@@ -1,0 +1,198 @@
+"""SAM ViT image encoder (vit_b / vit_l / vit_h) in functional JAX.
+
+TPU-native re-design of the encoder the reference takes from
+``segment_anything.modeling.image_encoder`` (built via
+micro_sam/models/build_sam.py:87-142): patch embed (16x16 conv), absolute
+position embedding, transformer blocks with 14x14 windowed attention and
+decomposed relative-position bias (4 global-attention blocks), and a conv neck
+to 256 channels. Layout is NHWC; all shapes are static (1024^2 input -> 64x64
+tokens), so the whole forward jits into one XLA program. Attention runs through
+``ops.attention`` which dispatches to a Pallas flash kernel on TPU with an XLA
+einsum fallback.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import common as cm
+from ..ops.attention import attention_with_rel_pos
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Relative position helpers
+# ---------------------------------------------------------------------------
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-offset relative positional embeddings.
+
+    Returns (q_size, k_size, head_dim). Interpolates the table if its length
+    does not match 2*max(q,k)-1 (same semantics as the torch reference).
+    """
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos.astype(jnp.float32), (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative_coords = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return jnp.take(rel_pos, jnp.asarray(relative_coords, dtype=jnp.int32), axis=0)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """(B, H, W, C) -> (B * nWin, win, win, C), zero-padding H/W to multiples."""
+    B, H, W, C = x.shape
+    pad_h = (window - H % window) % window
+    pad_w = (window - W % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window, window, Wp // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(
+    x: jnp.ndarray, window: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = x.shape[0] // ((Hp // window) * (Wp // window))
+    x = x.reshape(B, Hp // window, Wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W, :]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_attention(key, dim: int, num_heads: int, input_size: Tuple[int, int],
+                   use_rel_pos: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    head_dim = dim // num_heads
+    p = {
+        "qkv": cm.init_linear(k1, dim, dim * 3),
+        "proj": cm.init_linear(k2, dim, dim),
+    }
+    if use_rel_pos:
+        p["rel_pos_h"] = jnp.zeros((2 * input_size[0] - 1, head_dim))
+        p["rel_pos_w"] = jnp.zeros((2 * input_size[1] - 1, head_dim))
+    return p
+
+
+def init_block(key, dim: int, num_heads: int, mlp_ratio: float,
+               input_size: Tuple[int, int], use_rel_pos: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm1": cm.init_layer_norm(dim),
+        "attn": init_attention(k1, dim, num_heads, input_size, use_rel_pos),
+        "norm2": cm.init_layer_norm(dim),
+        "mlp": cm.init_mlp_block(k2, dim, int(dim * mlp_ratio)),
+    }
+
+
+def init_image_encoder(
+    key,
+    img_size: int = 1024,
+    patch_size: int = 16,
+    embed_dim: int = 768,
+    depth: int = 12,
+    num_heads: int = 12,
+    mlp_ratio: float = 4.0,
+    out_chans: int = 256,
+    window_size: int = 14,
+    global_attn_indexes: Sequence[int] = (2, 5, 8, 11),
+    use_rel_pos: bool = True,
+    use_abs_pos: bool = True,
+) -> Params:
+    keys = jax.random.split(key, depth + 4)
+    grid = img_size // patch_size
+    p = {
+        "patch_embed": cm.init_conv(keys[0], patch_size, patch_size, 3, embed_dim),
+        "blocks": [],
+        "neck": {
+            "conv1": cm.init_conv(keys[1], 1, 1, embed_dim, out_chans, bias=False),
+            "ln1": cm.init_layer_norm(out_chans),
+            "conv2": cm.init_conv(keys[2], 3, 3, out_chans, out_chans, bias=False),
+            "ln2": cm.init_layer_norm(out_chans),
+        },
+    }
+    if use_abs_pos:
+        p["pos_embed"] = jnp.zeros((1, grid, grid, embed_dim))
+    for i in range(depth):
+        ws = 0 if i in global_attn_indexes else window_size
+        input_size = (grid, grid) if ws == 0 else (ws, ws)
+        p["blocks"].append(
+            init_block(keys[3 + i], embed_dim, num_heads, mlp_ratio, input_size, use_rel_pos)
+        )
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def apply_attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Windowed / global multi-head attention with decomposed rel-pos bias.
+
+    x: (B, H, W, C) where B folds the window batch.
+    """
+    B, H, W, C = x.shape
+    head_dim = C // num_heads
+    qkv = cm.linear(p["qkv"], x.reshape(B, H * W, C))
+    qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim)
+    q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, nH, hd)
+
+    rel_h = rel_w = None
+    if "rel_pos_h" in p:
+        rel_h = get_rel_pos(H, H, p["rel_pos_h"])  # (H, H, hd)
+        rel_w = get_rel_pos(W, W, p["rel_pos_w"])  # (W, W, hd)
+
+    out = attention_with_rel_pos(q, k, v, (H, W), rel_h, rel_w)  # (B, N, nH, hd)
+    out = out.reshape(B, H, W, C)
+    return cm.linear(p["proj"], out)
+
+
+def apply_block(p: Params, x: jnp.ndarray, num_heads: int, window_size: int) -> jnp.ndarray:
+    shortcut = x
+    x = cm.layer_norm(p["norm1"], x)
+    if window_size > 0:
+        H, W = x.shape[1], x.shape[2]
+        x, pad_hw = window_partition(x, window_size)
+        x = apply_attention(p["attn"], x, num_heads)
+        x = window_unpartition(x, window_size, pad_hw, (H, W))
+    else:
+        x = apply_attention(p["attn"], x, num_heads)
+    x = shortcut + x
+    return x + cm.mlp_block(p["mlp"], cm.layer_norm(p["norm2"], x))
+
+
+def apply_image_encoder(
+    p: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    window_size: int = 14,
+    global_attn_indexes: Sequence[int] = (2, 5, 8, 11),
+    patch_size: int = 16,
+) -> jnp.ndarray:
+    """x: (B, H, W, 3) preprocessed pixels -> (B, H/16, W/16, 256) embeddings."""
+    x = cm.conv2d(p["patch_embed"], x, stride=patch_size, padding="VALID")
+    if "pos_embed" in p:
+        x = x + p["pos_embed"].astype(x.dtype)
+    for i, bp in enumerate(p["blocks"]):
+        ws = 0 if i in tuple(global_attn_indexes) else window_size
+        x = apply_block(bp, x, num_heads, ws)
+    # Neck
+    x = cm.conv2d(p["neck"]["conv1"], x, stride=1, padding="VALID")
+    x = cm.layer_norm_2d(p["neck"]["ln1"], x)
+    x = cm.conv2d(p["neck"]["conv2"], x, stride=1, padding=1)
+    x = cm.layer_norm_2d(p["neck"]["ln2"], x)
+    return x

@@ -1,0 +1,255 @@
+"""SamPredictor: the interactive inference interface.
+
+Equivalent of ``segment_anything.SamPredictor`` as used across the reference
+(micro_sam/util.py:317 returns one; prompt_based_segmentation and
+instance_segmentation drive it). TPU-native design decisions:
+
+- The image encoder and the prompt decode are separate jitted programs; the
+  decode path pads prompts to power-of-two capacity buckets so the whole
+  interactive session reuses a handful of compiled programs (<50 ms p50 target,
+  SURVEY.md §3.2).
+- Boxes are packed as two extra points with labels 2/3 before entering jit.
+- ``features`` are cached as (1, 64, 64, 256) NHWC on device; the zarr cache
+  layer stores them NCHW for interoperability with reference caches.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.sam import Sam, preprocess, postprocess_masks, MASK_THRESHOLD
+from .utils.transforms import ResizeLongestSide, get_preprocess_shape
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class SamPredictor:
+    def __init__(self, sam: Sam):
+        self.model = sam
+        self.transform = ResizeLongestSide(sam.config.img_size)
+        # model metadata the reference attaches in get_sam_model (util.py:443-470)
+        self.model_type: str = sam.config.model_type
+        self.model_name: Optional[str] = None
+        self._checkpoint_hash: Optional[str] = None
+        self.reset_image()
+        self._encode_fn = jax.jit(self._encode_impl)
+        self._decode_fn = jax.jit(self._decode_impl)
+        self._upscale_fn = jax.jit(self._upscale_impl, static_argnames=("input_size", "original_size"))
+
+    # ------------------------------------------------------------------
+    # jitted cores
+    # ------------------------------------------------------------------
+    def _encode_impl(self, params, x):
+        """x: (B, h, w, 3) raw resized pixels (pre-pad) -> (B, 64, 64, 256)."""
+        px = preprocess(x, self.model.config.img_size)
+        return self.model.encode_image(params, px)
+
+    def _decode_impl(self, params, features, points, labels, mask_input, has_mask):
+        return self.model.decode_masks(params, features, points, labels, mask_input, has_mask)
+
+    def _upscale_impl(self, masks, input_size, original_size):
+        return postprocess_masks(
+            masks, input_size, original_size, self.model.config.img_size
+        )
+
+    # ------------------------------------------------------------------
+    # reference-parity API
+    # ------------------------------------------------------------------
+    def reset_image(self) -> None:
+        self.is_image_set = False
+        self.features = None
+        self.original_size: Optional[Tuple[int, int]] = None
+        self.input_size: Optional[Tuple[int, int]] = None
+
+    def set_image(self, image: np.ndarray, image_format: str = "RGB") -> None:
+        """image: (H, W, 3) uint8 (use util._to_image for normalization)."""
+        assert image.ndim == 3 and image.shape[2] == 3, f"Bad image shape {image.shape}"
+        if image_format == "BGR":
+            image = image[..., ::-1]
+        self.original_size = tuple(image.shape[:2])
+        resized = self._resize_longest_host(image)
+        self.input_size = tuple(resized.shape[:2])
+        feats = self._encode_fn(self.model.params, jnp.asarray(resized)[None])
+        self.features = feats
+        self.is_image_set = True
+
+    def set_features(
+        self,
+        features,
+        original_size: Tuple[int, int],
+        input_size: Optional[Tuple[int, int]] = None,
+    ) -> None:
+        """Install precomputed embeddings (reference: util.set_precomputed).
+
+        Accepts NHWC (1, 64, 64, 256) or NCHW (1, 256, 64, 64) (cache layout).
+        """
+        features = jnp.asarray(np.asarray(features))
+        if features.ndim == 3:
+            features = features[None]
+        if features.shape[1] == 256 and features.shape[-1] != 256:
+            features = jnp.transpose(features, (0, 2, 3, 1))
+        self.features = features
+        self.original_size = tuple(int(x) for x in original_size)
+        if input_size is None:
+            input_size = get_preprocess_shape(
+                self.original_size[0], self.original_size[1], self.model.config.img_size
+            )
+        self.input_size = tuple(int(x) for x in input_size)
+        self.is_image_set = True
+
+    def get_image_embedding(self) -> np.ndarray:
+        """Embeddings in the reference's NCHW layout (1, 256, 64, 64)."""
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...).")
+        return np.asarray(jnp.transpose(self.features, (0, 3, 1, 2)), dtype=np.float32)
+
+    def _resize_longest_host(self, image: np.ndarray) -> np.ndarray:
+        """PIL bilinear (antialiased) resize — matches torchvision's resize used
+        by the reference's ResizeLongestSide.apply_image."""
+        from PIL import Image
+        h, w = image.shape[:2]
+        new_h, new_w = get_preprocess_shape(h, w, self.model.config.img_size)
+        if (new_h, new_w) == (h, w):
+            return np.asarray(image, dtype=np.float32)
+        im = Image.fromarray(np.asarray(image, dtype=np.uint8))
+        im = im.resize((new_w, new_h), Image.BILINEAR)
+        return np.asarray(im, dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    # prompt packing
+    # ------------------------------------------------------------------
+    def _pack_prompts(
+        self,
+        point_coords: Optional[np.ndarray],   # (B, N, 2) or (N, 2), xy original coords
+        point_labels: Optional[np.ndarray],
+        box: Optional[np.ndarray],            # (B, 4) or (4,) XYXY original coords
+        mask_input: Optional[np.ndarray],     # (B, 1, 256, 256) or (1, 256, 256)
+    ):
+        batched = True
+        if point_coords is not None and np.asarray(point_coords).ndim == 2:
+            batched = False
+        if point_coords is None and box is not None and np.asarray(box).ndim == 1:
+            batched = False
+
+        def at_least_3d(a):
+            a = np.asarray(a, dtype=np.float32)
+            return a if a.ndim == 3 else a[None]
+
+        pts_list, lbl_list = [], []
+        B = 1
+        if point_coords is not None:
+            pc = at_least_3d(point_coords)
+            pl = np.asarray(point_labels, dtype=np.int32)
+            if pl.ndim == 1:
+                pl = pl[None]
+            B = pc.shape[0]
+            pc = self.transform.apply_coords(pc, self.original_size)
+            pts_list.append(pc.reshape(B, -1, 2))
+            lbl_list.append(pl)
+        if box is not None:
+            bx = np.asarray(box, dtype=np.float32)
+            if bx.ndim == 1:
+                bx = bx[None]
+            B = max(B, bx.shape[0])
+            bx = self.transform.apply_boxes(bx, self.original_size).reshape(-1, 2, 2)
+            pts_list.append(bx)
+            lbl_list.append(np.tile(np.array([[2, 3]], dtype=np.int32), (bx.shape[0], 1)))
+
+        if pts_list:
+            # broadcast batch dims
+            pts_list = [np.broadcast_to(p, (B,) + p.shape[1:]) if p.shape[0] != B else p
+                        for p in pts_list]
+            lbl_list = [np.broadcast_to(l, (B,) + l.shape[1:]) if l.shape[0] != B else l
+                        for l in lbl_list]
+            points = np.concatenate(pts_list, axis=1)
+            labels = np.concatenate(lbl_list, axis=1)
+        else:
+            raise ValueError("At least one of point or box prompts is required.")
+
+        # If only points (no box), SAM appends a padding point.
+        if box is None:
+            points = np.concatenate([points, np.zeros((B, 1, 2), np.float32)], axis=1)
+            labels = np.concatenate([labels, -np.ones((B, 1), np.int32)], axis=1)
+
+        # pad to capacity bucket for stable jit shapes
+        P = points.shape[1]
+        cap = _next_pow2(max(P, 2))
+        if cap > P:
+            points = np.concatenate([points, np.zeros((B, cap - P, 2), np.float32)], axis=1)
+            labels = np.concatenate([labels, -np.ones((B, cap - P), np.int32)], axis=1)
+
+        mask_hw = self.model.config.embedding_size * 4  # 256 for 1024-input models
+        if mask_input is not None:
+            mi = np.asarray(mask_input, dtype=np.float32)
+            if mi.ndim == 3:
+                mi = mi[None]
+            # (B, 1, s, s) -> (B, s, s, 1)
+            mi = np.transpose(mi, (0, 2, 3, 1))
+            if mi.shape[0] != B:
+                mi = np.broadcast_to(mi, (B,) + mi.shape[1:])
+            has_mask = np.ones((B,), bool)
+        else:
+            mi = np.zeros((B, mask_hw, mask_hw, 1), np.float32)
+            has_mask = np.zeros((B,), bool)
+        return points, labels, mi, has_mask, batched
+
+    # ------------------------------------------------------------------
+    # predict
+    # ------------------------------------------------------------------
+    def predict(
+        self,
+        point_coords: Optional[np.ndarray] = None,
+        point_labels: Optional[np.ndarray] = None,
+        box: Optional[np.ndarray] = None,
+        mask_input: Optional[np.ndarray] = None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+    ):
+        """Single-image prediction from prompts in original-image coordinates.
+
+        Returns (masks (C, H, W), iou_predictions (C,), low_res_masks (C, 256, 256))
+        for unbatched prompts, with a leading batch axis otherwise.
+        """
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...) before prediction.")
+        points, labels, mi, has_mask, batched = self._pack_prompts(
+            point_coords, point_labels, box, mask_input
+        )
+        feats = self.features
+        B = points.shape[0]
+        if feats.shape[0] != B:
+            feats = jnp.broadcast_to(feats, (B,) + feats.shape[1:])
+        low_res, iou = self._decode_fn(
+            self.model.params, feats, jnp.asarray(points), jnp.asarray(labels),
+            jnp.asarray(mi), jnp.asarray(has_mask),
+        )
+        if multimask_output:
+            low_res, iou = low_res[:, 1:], iou[:, 1:]
+        else:
+            low_res, iou = low_res[:, 0:1], iou[:, 0:1]
+        masks = self._upscale_fn(
+            low_res, input_size=tuple(self.input_size), original_size=tuple(self.original_size)
+        )
+        masks = np.asarray(masks)
+        iou = np.asarray(iou)
+        low_res = np.asarray(low_res)
+        if not return_logits:
+            masks = masks > MASK_THRESHOLD
+        if not batched:
+            return masks[0], iou[0], low_res[0]
+        return masks, iou, low_res
+
+    # torch-API compatibility shim used by ported call sites
+    def predict_batched(self, point_coords=None, point_labels=None, boxes=None,
+                        mask_input=None, multimask_output=True, return_logits=False):
+        return self.predict(point_coords, point_labels, boxes, mask_input,
+                            multimask_output, return_logits)

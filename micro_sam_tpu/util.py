@@ -1,0 +1,768 @@
+"""Core runtime: model registry/loading, device handling, embedding precompute & cache.
+
+TPU-native rebuild of micro_sam/util.py (reference L1, SURVEY.md §1). The
+embedding precompute is the throughput workhorse (reference call stack §3.1):
+tiles/z-slices are batched into a single jitted encoder program; cache writes
+overlap with device compute via a thread pool; the cache is a zarr-v2
+compatible store (utils/zarr_lite) carrying the same signature attributes as
+the reference (data_signature, tile_shape/halo, model_type, ...) so caches are
+mutually intelligible.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import warnings
+from concurrent import futures
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import __version__
+from .models.build_sam import get_config, SAM_CONFIGS, _validate_model_type
+from .models.sam import Sam, SamConfig, init_sam_params
+from .models.convert import load_torch_checkpoint, normalize_state_dict, convert_sam_state_dict
+from .predictor import SamPredictor
+from .utils import zarr_lite
+from .utils.blocking import Blocking
+from .utils.transforms import get_preprocess_shape
+
+# ImageEmbeddings: {"features": array or group, "input_size": ..., "original_size": ...}
+ImageEmbeddings = Dict[str, Any]
+
+_DEFAULT_MODEL = "vit_b_lm"
+
+
+# -----------------------------------------------------------------------------
+# Cache directory & registry
+# -----------------------------------------------------------------------------
+
+def microsam_cachedir() -> str:
+    """Cache dir; override with MICROSAM_CACHEDIR (reference util.py:62-86)."""
+    cache_dir = os.environ.get("MICROSAM_CACHEDIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "micro_sam_tpu"
+    )
+    return cache_dir
+
+
+def models() -> Dict[str, Dict[str, Optional[str]]]:
+    """Model registry: the reference zoo names (micro_sam/util.py:89-181).
+
+    Checkpoints are torch ``.pt`` files converted on load (models/convert.py).
+    In offline environments entries without a local file raise on download.
+    """
+    base = "https://dl.fbaipublicfiles.com/segment_anything/"
+    registry: Dict[str, Dict[str, Optional[str]]] = {
+        "vit_h": {"url": base + "sam_vit_h_4b8939.pth"},
+        "vit_l": {"url": base + "sam_vit_l_0b3195.pth"},
+        "vit_b": {"url": base + "sam_vit_b_01ec64.pth"},
+        "vit_t": {"url": "https://owncloud.gwdg.de/index.php/s/TuDzuwVDHd1ZDnQ/download"},
+    }
+    finetuned = [
+        "vit_l_lm", "vit_b_lm", "vit_t_lm",
+        "vit_l_em_organelles", "vit_b_em_organelles", "vit_t_em_organelles",
+        "vit_b_histopathology", "vit_l_histopathology", "vit_h_histopathology",
+        "vit_b_medical_imaging",
+    ]
+    for name in finetuned:
+        registry[name] = {"url": None}  # resolved via bioimage.io zenodo records
+        registry[f"{name}_decoder"] = {"url": None}
+    return registry
+
+
+def get_model_names() -> List[str]:
+    return list(models().keys())
+
+
+# -----------------------------------------------------------------------------
+# Devices
+# -----------------------------------------------------------------------------
+
+def get_device(device: Optional[str] = None):
+    """Resolve a jax device. Order: tpu/accelerator -> cpu (util.py:203)."""
+    if device is None or device in ("auto",):
+        return jax.devices()[0]
+    if hasattr(device, "platform"):
+        return device
+    devs = [d for d in jax.devices() if d.platform == str(device)]
+    if not devs:
+        try:
+            devs = jax.devices(str(device))
+        except RuntimeError:
+            raise RuntimeError(f"Unsupported device: {device}. Available: "
+                               f"{sorted({d.platform for d in jax.devices()})}")
+    return devs[0]
+
+
+def _available_devices() -> List[str]:
+    return sorted({d.platform for d in jax.devices()})
+
+
+# -----------------------------------------------------------------------------
+# Model loading
+# -----------------------------------------------------------------------------
+
+def _compute_hash(path: str) -> str:
+    import xxhash
+    h = xxhash.xxh128()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def get_sam_model(
+    model_type: str = _DEFAULT_MODEL,
+    device: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    return_sam: bool = False,
+    return_state: bool = False,
+    peft_kwargs: Optional[Dict] = None,
+    flexible_load_checkpoint: bool = False,
+    compute_dtype: Optional[str] = None,
+    seed: int = 0,
+    **kwargs,
+) -> Union[SamPredictor, Tuple]:
+    """Build a SamPredictor (reference util.py:317).
+
+    If ``checkpoint_path`` points to a torch ``.pt`` / ``.pth`` checkpoint it is
+    converted to a JAX pytree; ``.msam`` (numpy ``.npz``) checkpoints saved by
+    this framework load directly. Without a checkpoint the model is
+    random-initialized (this environment has no download path).
+    """
+    _validate_model_type(model_type)
+    if compute_dtype is None:
+        compute_dtype = "bfloat16" if _on_accelerator() else "float32"
+
+    state: Dict[str, Any] = {}
+    decoder_state = None
+    if checkpoint_path is not None and os.path.exists(str(checkpoint_path)):
+        checkpoint_path = str(checkpoint_path)
+        if checkpoint_path.endswith((".npz", ".msam")):
+            cfg, params = load_native_checkpoint(checkpoint_path, model_type)
+        else:
+            cfg, params, decoder_state = load_torch_checkpoint(checkpoint_path, model_type)
+            from dataclasses import replace
+            cfg = replace(cfg, compute_dtype=compute_dtype)
+        state["checkpoint_path"] = checkpoint_path
+    else:
+        if checkpoint_path is not None:
+            raise FileNotFoundError(
+                f"Checkpoint {checkpoint_path} does not exist and model download "
+                "is unavailable in this environment."
+            )
+        cfg = get_config(model_type, compute_dtype)
+        params = init_sam_params(jax.random.PRNGKey(seed), cfg)
+
+    if peft_kwargs:
+        from .models.peft_sam import apply_peft
+        params = apply_peft(params, cfg, **peft_kwargs)
+
+    sam = Sam(cfg, params)
+    predictor = SamPredictor(sam)
+    predictor.model_type = model_type
+    predictor.model_name = model_type
+
+    state["model_state"] = params
+    if decoder_state is not None:
+        state["decoder_state"] = decoder_state
+
+    if return_sam and return_state:
+        return predictor, sam, state
+    if return_sam:
+        return predictor, sam
+    if return_state:
+        return predictor, state
+    return predictor
+
+
+def _on_accelerator() -> bool:
+    return jax.devices()[0].platform not in ("cpu",)
+
+
+def save_native_checkpoint(path: str, params: dict, config: SamConfig) -> None:
+    """Save params as flat npz (this framework's native checkpoint format)."""
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k.startswith("_"):
+                    continue
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(node)
+    rec("", params)
+    np.savez_compressed(path, __model_type__=np.array(config.model_type), **flat)
+
+
+def load_native_checkpoint(path: str, model_type: Optional[str] = None):
+    data = np.load(path, allow_pickle=False)
+    mt = model_type or str(data["__model_type__"])
+    cfg = get_config(mt)
+    params = init_sam_params(jax.random.PRNGKey(0), cfg)
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            return {k: (v if k.startswith("_") else rec(f"{prefix}/{k}" if prefix else k, v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [rec(f"{prefix}/{i}", v) for i, v in enumerate(node)]
+        return jnp.asarray(data[prefix])
+    return cfg, rec("", params)
+
+
+def export_custom_sam_model(
+    checkpoint_path: str, model_type: str, save_path: str, with_segmentation_decoder: bool = False,
+) -> None:
+    """Export a training checkpoint to a plain torch-layout SAM state dict
+    (reference util.py:511), written via torch.save for interoperability."""
+    import torch
+    predictor, state = get_sam_model(
+        model_type=model_type, checkpoint_path=checkpoint_path, return_state=True
+    )
+    from .models.convert import export_torch_state_dict
+    sd = export_torch_state_dict(predictor.model.params, predictor.model.config)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    torch.save(sd, save_path)
+
+
+# -----------------------------------------------------------------------------
+# Image normalization
+# -----------------------------------------------------------------------------
+
+def _to_image(input_: np.ndarray) -> np.ndarray:
+    """Normalize to (H, W, 3) uint8 (reference util.py:617-650): per-channel
+    min-max to [0, 255]; grayscale -> 3 channels, 2 channels -> pad, >3 -> first 3."""
+    input_ = np.asarray(input_)
+    if input_.ndim == 2:
+        input_ = input_[..., None]
+    if input_.ndim != 3:
+        raise ValueError(f"Invalid image dimensions {input_.shape}")
+    if input_.shape[-1] > 3:
+        input_ = input_[..., :3]
+
+    if input_.dtype != np.uint8:
+        image = np.zeros(input_.shape, dtype=np.uint8)
+        for c in range(input_.shape[-1]):
+            ch = input_[..., c].astype(np.float64)
+            mn, mx = ch.min(), ch.max()
+            if mx > mn:
+                image[..., c] = np.round((ch - mn) / (mx - mn) * 255).astype(np.uint8)
+        input_ = image
+
+    if input_.shape[-1] == 1:
+        input_ = np.repeat(input_, 3, axis=-1)
+    elif input_.shape[-1] == 2:
+        input_ = np.concatenate(
+            [input_, np.zeros(input_.shape[:2] + (1,), dtype=np.uint8)], axis=-1
+        )
+    return input_
+
+
+# -----------------------------------------------------------------------------
+# Embedding precompute & cache
+# -----------------------------------------------------------------------------
+
+def _compute_data_signature(input_: np.ndarray) -> str:
+    return hashlib.sha1(np.ascontiguousarray(input_).tobytes()).hexdigest()
+
+
+def get_block_shape(shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Default tile shape heuristic (reference util.py:1377)."""
+    ndim = len(shape)
+    if ndim == 2:
+        return tuple(min(s, 2048) for s in shape)
+    return (1,) + tuple(min(s, 2048) for s in shape[1:])
+
+
+def _tile_grid(shape_2d, tile_shape, halo) -> Blocking:
+    return Blocking((0, 0), tuple(shape_2d), tuple(tile_shape))
+
+
+def _resize_for_encoder(predictor: SamPredictor, image: np.ndarray) -> np.ndarray:
+    return predictor._resize_longest_host(_to_image(image))
+
+
+class _EmbeddingWriter:
+    """Thread-pool writer overlapping cache writes with device compute."""
+
+    def __init__(self, enabled: bool):
+        self._pool = futures.ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4)) if enabled else None
+        self._futures: List[futures.Future] = []
+
+    def submit(self, fn, *args):
+        if self._pool is None:
+            fn(*args)
+        else:
+            self._futures.append(self._pool.submit(fn, *args))
+
+    def finish(self):
+        if self._pool is not None:
+            for f in self._futures:
+                f.result()
+            self._pool.shutdown()
+
+
+def _features_to_cache_layout(feats: jnp.ndarray) -> np.ndarray:
+    """(B, 64, 64, 256) NHWC device layout -> (B, 256, 64, 64) reference layout."""
+    return np.asarray(jnp.transpose(feats, (0, 3, 1, 2)), dtype=np.float32)
+
+
+def _encode_batch(predictor: SamPredictor, batch: np.ndarray) -> jnp.ndarray:
+    """batch: (B, h, w, 3) resized pixels -> (B, 64, 64, 256)."""
+    return predictor._encode_fn(predictor.model.params, jnp.asarray(batch))
+
+
+def _embedding_signature(predictor: SamPredictor, input_: np.ndarray,
+                         tile_shape, halo) -> Dict[str, Any]:
+    sig = {
+        "data_signature": _compute_data_signature(input_),
+        "model_type": predictor.model_type,
+        "model_name": predictor.model_name or predictor.model_type,
+        "micro_sam_version": __version__,
+        "backend": "jax",
+    }
+    if tile_shape is not None:
+        sig["tile_shape"] = list(tile_shape)
+        sig["halo"] = list(halo)
+    return sig
+
+
+def _check_saved_embeddings(f, signature: Dict[str, Any]) -> bool:
+    """True if cache holds matching, complete embeddings (util.py:1069-1093)."""
+    if "features" not in f:
+        return False
+    if not f.attrs.get("done", False):
+        return False
+    hard_keys = ("data_signature", "tile_shape", "halo")
+    soft_keys = ("model_type", "model_name", "micro_sam_version")
+    for key, val in signature.items():
+        saved = f.attrs.get(key)
+        if key in hard_keys and saved is not None and saved != val:
+            raise RuntimeError(
+                f"Embedding cache mismatch for '{key}': got {saved}, expected {val}."
+            )
+        if key in soft_keys and saved is not None and saved != val:
+            warnings.warn(
+                f"Embedding cache '{key}' mismatch: {saved} (saved) vs {val} (current)."
+            )
+    return True
+
+
+def precompute_image_embeddings(
+    predictor: SamPredictor,
+    input_: np.ndarray,
+    save_path: Optional[str] = None,
+    lazy_loading: bool = False,
+    ndim: Optional[int] = None,
+    tile_shape: Optional[Tuple[int, int]] = None,
+    halo: Optional[Tuple[int, int]] = None,
+    verbose: bool = True,
+    batch_size: int = 1,
+    pbar_init=None,
+    pbar_update=None,
+    mask: Optional[np.ndarray] = None,
+) -> ImageEmbeddings:
+    """Compute (or load cached) image embeddings (reference util.py:1132).
+
+    Dispatch: 2d / tiled 2d / 3d / tiled 3d by (ndim, tile_shape). Embeddings
+    are cached at ``save_path`` in zarr-v2 layout with signature attrs.
+    """
+    ndim = input_.ndim if ndim is None else ndim
+    if tile_shape is not None and halo is None:
+        halo = tuple(0 for _ in tile_shape)
+
+    if save_path is None:
+        f = zarr_lite.open(zarr_lite.MemoryStore())
+    else:
+        f = zarr_lite.open(str(save_path), mode="a")
+
+    signature = _embedding_signature(predictor, input_, tile_shape, halo)
+    if _check_saved_embeddings(f, signature):
+        return _load_cached_embeddings(f, input_, tile_shape, halo, lazy_loading)
+
+    pbar_init, pbar_update, pbar_close = handle_pbar(verbose, pbar_init, pbar_update)
+
+    if ndim == 2 and tile_shape is None:
+        embeddings = _compute_2d(predictor, input_, f, batch_size, pbar_init, pbar_update)
+    elif ndim == 2:
+        embeddings = _compute_tiled_2d(
+            predictor, input_, f, tile_shape, halo, batch_size, mask, pbar_init, pbar_update
+        )
+    elif ndim == 3 and tile_shape is None:
+        embeddings = _compute_3d(predictor, input_, f, batch_size, pbar_init, pbar_update)
+    elif ndim == 3:
+        embeddings = _compute_tiled_3d(
+            predictor, input_, f, tile_shape, halo, batch_size, mask, pbar_init, pbar_update
+        )
+    else:
+        raise ValueError(f"Invalid dimensionality {ndim}; expected 2 or 3.")
+
+    f.attrs.update(signature)
+    f.attrs["input_size"] = list(embeddings["input_size"]) if embeddings["input_size"] else None
+    f.attrs["original_size"] = list(embeddings["original_size"]) if embeddings["original_size"] else None
+    f.attrs["done"] = True
+    pbar_close()
+    if lazy_loading and save_path is not None:
+        return _load_cached_embeddings(f, input_, tile_shape, halo, lazy_loading)
+    return embeddings
+
+
+def _compute_2d(predictor, input_, f, batch_size, pbar_init, pbar_update) -> ImageEmbeddings:
+    pbar_init(1, "compute image embeddings")
+    resized = _resize_for_encoder(predictor, input_)
+    input_size = tuple(resized.shape[:2])
+    original_size = tuple(input_.shape[:2])
+    feats = _encode_batch(predictor, resized[None])
+    features = _features_to_cache_layout(feats)  # (1, 256, 64, 64)
+    f.create_dataset("features", data=features, chunks=features.shape, overwrite=True)
+    pbar_update(1)
+    return {"features": features, "input_size": input_size, "original_size": original_size}
+
+
+def _feature_shape(predictor) -> tuple:
+    cfg = predictor.model.config
+    return (cfg.prompt_embed_dim, cfg.embedding_size, cfg.embedding_size)
+
+
+def _compute_3d(predictor, input_, f, batch_size, pbar_init, pbar_update) -> ImageEmbeddings:
+    n_slices = input_.shape[0]
+    C, E, _ = _feature_shape(predictor)
+    pbar_init(n_slices, "compute image embeddings for the volume")
+    original_size = tuple(input_.shape[1:3])
+    input_size = get_preprocess_shape(
+        original_size[0], original_size[1], predictor.model.config.img_size
+    )
+
+    ds = f.require_dataset(
+        "features", shape=(n_slices, 1, C, E, E), chunks=(1, 1, C, E, E),
+        dtype="float32",
+    )
+    writer = _EmbeddingWriter(enabled=True)
+    out = np.zeros((n_slices, 1, C, E, E), dtype=np.float32)
+
+    # resume support: skip slices already computed (reference util.py:971-991)
+    done_flags = f.attrs.get("slices_done", [])
+    done = set(done_flags)
+
+    pending: List[Tuple[int, np.ndarray]] = []
+
+    def flush():
+        if not pending:
+            return
+        idxs = [i for i, _ in pending]
+        batch = np.stack([b for _, b in pending])
+        feats = _features_to_cache_layout(_encode_batch(predictor, batch))
+        for j, i in enumerate(idxs):
+            out[i, 0] = feats[j]
+            writer.submit(ds.__setitem__, (i, 0), feats[j])
+            pbar_update(1)
+        pending.clear()
+
+    for z in range(n_slices):
+        if z in done:
+            out[z] = ds[z]
+            pbar_update(1)
+            continue
+        pending.append((z, _resize_for_encoder(predictor, input_[z])))
+        if len(pending) == batch_size:
+            flush()
+    flush()
+    writer.finish()
+    f.attrs["slices_done"] = list(range(n_slices))
+    return {"features": out, "input_size": input_size, "original_size": original_size}
+
+
+def _get_tiles_in_mask(blocking: Blocking, mask: Optional[np.ndarray]) -> List[int]:
+    if mask is None:
+        return list(range(len(blocking)))
+    mask = np.asarray(mask)
+    keep = []
+    for tile_id in range(len(blocking)):
+        b = blocking.get_block(tile_id)
+        if mask[b.slicing].any():
+            keep.append(tile_id)
+    return keep
+
+
+def _compute_tiled_2d(predictor, input_, f, tile_shape, halo, batch_size, mask,
+                      pbar_init, pbar_update) -> ImageEmbeddings:
+    shape_2d = input_.shape[:2]
+    blocking = _tile_grid(shape_2d, tile_shape, halo)
+    tile_ids = _get_tiles_in_mask(blocking, mask)
+    pbar_init(len(tile_ids), "compute tiled image embeddings")
+
+    features = f.require_group("features")
+    features.attrs.update({
+        "shape": list(shape_2d), "tile_shape": list(tile_shape), "halo": list(halo),
+    })
+    writer = _EmbeddingWriter(enabled=True)
+    mem: Dict[int, Dict[str, Any]] = {}
+
+    pending: List[Tuple[int, np.ndarray, Tuple[int, int], Tuple[int, int]]] = []
+
+    def flush():
+        if not pending:
+            return
+        hw = pending[0][1].shape[:2]
+        batch = np.stack([p[1] for p in pending])
+        feats = _features_to_cache_layout(_encode_batch(predictor, batch))
+        for j, (tile_id, _, in_size, orig_size) in enumerate(pending):
+            tf = feats[j:j + 1]
+            mem[tile_id] = {
+                "features": tf, "input_size": in_size, "original_size": orig_size,
+            }
+            def write(tile_id=tile_id, tf=tf, in_size=in_size, orig_size=orig_size):
+                ds = features.create_dataset(
+                    str(tile_id), data=tf, chunks=tf.shape, overwrite=True
+                )
+                ds.attrs.update({
+                    "input_size": list(in_size), "original_size": list(orig_size),
+                })
+            writer.submit(write)
+            pbar_update(1)
+        pending.clear()
+
+    for tile_id in tile_ids:
+        tile = blocking.get_block_with_halo(tile_id, halo).outer_block
+        tile_input = input_[tile.slicing]
+        orig_size = tuple(tile_input.shape[:2])
+        resized = _resize_for_encoder(predictor, tile_input)
+        in_size = tuple(resized.shape[:2])
+        # batch only same-shape tiles together (border tiles differ)
+        if pending and pending[-1][1].shape != resized.shape:
+            flush()
+        pending.append((tile_id, resized, in_size, orig_size))
+        if len(pending) == batch_size:
+            flush()
+    flush()
+    writer.finish()
+    return {
+        "features": mem if mem else features,
+        "input_size": None, "original_size": None,
+        "tile_shape": tuple(tile_shape), "halo": tuple(halo), "shape": tuple(shape_2d),
+    }
+
+
+def _compute_tiled_3d(predictor, input_, f, tile_shape, halo, batch_size, mask,
+                      pbar_init, pbar_update) -> ImageEmbeddings:
+    n_slices = input_.shape[0]
+    shape_2d = input_.shape[1:3]
+    blocking = _tile_grid(shape_2d, tile_shape, halo)
+    tile_ids = _get_tiles_in_mask(blocking, None if mask is None else np.max(mask, axis=0))
+    C, E, _ = _feature_shape(predictor)
+    pbar_init(len(tile_ids) * n_slices, "compute tiled embeddings for the volume")
+
+    features = f.require_group("features")
+    features.attrs.update({
+        "shape": list(input_.shape[:3]), "tile_shape": list(tile_shape), "halo": list(halo),
+    })
+    writer = _EmbeddingWriter(enabled=True)
+    mem: Dict[int, Dict[str, Any]] = {}
+
+    for tile_id in tile_ids:
+        tile = blocking.get_block_with_halo(tile_id, halo).outer_block
+        tile_feats = np.zeros((n_slices, 1, C, E, E), dtype=np.float32)
+        in_size = orig_size = None
+        batch_buf: List[Tuple[int, np.ndarray]] = []
+
+        def flush():
+            nonlocal batch_buf
+            if not batch_buf:
+                return
+            batch = np.stack([b for _, b in batch_buf])
+            feats = _features_to_cache_layout(_encode_batch(predictor, batch))
+            for j, (z, _) in enumerate(batch_buf):
+                tile_feats[z, 0] = feats[j]
+                pbar_update(1)
+            batch_buf = []
+
+        for z in range(n_slices):
+            tile_input = input_[(z,) + tile.slicing]
+            orig_size = tuple(tile_input.shape[:2])
+            resized = _resize_for_encoder(predictor, tile_input)
+            in_size = tuple(resized.shape[:2])
+            batch_buf.append((z, resized))
+            if len(batch_buf) == batch_size:
+                flush()
+        flush()
+
+        mem[tile_id] = {"features": tile_feats, "input_size": in_size, "original_size": orig_size}
+
+        def write(tile_id=tile_id, tf=tile_feats, in_size=in_size, orig_size=orig_size):
+            ds = features.create_dataset(
+                str(tile_id), data=tf, chunks=(1, 1) + tf.shape[2:], overwrite=True
+            )
+            ds.attrs.update({
+                "input_size": list(in_size), "original_size": list(orig_size),
+            })
+        writer.submit(write)
+    writer.finish()
+    return {
+        "features": mem if mem else features,
+        "input_size": None, "original_size": None,
+        "tile_shape": tuple(tile_shape), "halo": tuple(halo),
+        "shape": tuple(input_.shape[:3]),
+    }
+
+
+def _load_cached_embeddings(f, input_, tile_shape, halo, lazy_loading) -> ImageEmbeddings:
+    features = f["features"]
+    attrs = f.attrs
+    if tile_shape is not None or (not hasattr(features, "shape")):
+        # tiled: features is a group of per-tile datasets
+        if hasattr(features, "shape"):
+            raise RuntimeError("Cache does not contain tiled features.")
+        grp_attrs = features.attrs
+        emb: ImageEmbeddings = {
+            "features": features if lazy_loading else {
+                int(k): {
+                    "features": features[k][...],
+                    "input_size": tuple(features[k].attrs["input_size"]),
+                    "original_size": tuple(features[k].attrs["original_size"]),
+                } for k in features.keys()
+            },
+            "input_size": None, "original_size": None,
+            "tile_shape": tuple(grp_attrs["tile_shape"]),
+            "halo": tuple(grp_attrs["halo"]),
+            "shape": tuple(grp_attrs["shape"]),
+        }
+        return emb
+    input_size = attrs.get("input_size")
+    original_size = attrs.get("original_size")
+    feats = features if lazy_loading else features[...]
+    return {
+        "features": feats,
+        "input_size": tuple(input_size) if input_size else None,
+        "original_size": tuple(original_size) if original_size else None,
+    }
+
+
+def _get_tile_features(image_embeddings: ImageEmbeddings, tile_id: int):
+    feats = image_embeddings["features"]
+    if isinstance(feats, dict):
+        return feats[int(tile_id)]
+    # lazy zarr group
+    ds = feats[str(tile_id)]
+    return {
+        "features": ds[...],
+        "input_size": tuple(ds.attrs["input_size"]),
+        "original_size": tuple(ds.attrs["original_size"]),
+    }
+
+
+def set_precomputed(
+    predictor: SamPredictor,
+    image_embeddings: ImageEmbeddings,
+    i: Optional[int] = None,
+    tile_id: Optional[int] = None,
+) -> SamPredictor:
+    """Set precomputed embeddings on the predictor (reference util.py:1214)."""
+    if tile_id is not None:
+        tile = _get_tile_features(image_embeddings, tile_id)
+        if i is None:
+            feats = tile["features"]
+        else:
+            feats = tile["features"][i]
+        predictor.set_features(feats, tile["original_size"], tile["input_size"])
+        return predictor
+
+    features = image_embeddings["features"]
+    if i is not None:
+        features = features[i]  # (1, 256, 64, 64) for both numpy and lazy zarr
+    features = np.asarray(features)
+    predictor.set_features(
+        features, image_embeddings["original_size"], image_embeddings["input_size"]
+    )
+    return predictor
+
+
+# -----------------------------------------------------------------------------
+# Misc utilities (reference util.py:1265-1397)
+# -----------------------------------------------------------------------------
+
+def compute_iou(mask1: np.ndarray, mask2: np.ndarray) -> float:
+    overlap = np.logical_and(mask1 == 1, mask2 == 1).sum()
+    union = np.logical_or(mask1 == 1, mask2 == 1).sum()
+    eps = 1e-7
+    return float(overlap) / (float(union) + eps)
+
+
+def get_centers_and_bounding_boxes(
+    segmentation: np.ndarray, mode: str = "v"
+) -> Tuple[Dict[int, Tuple], Dict[int, Tuple]]:
+    """Center coordinates and bounding boxes of all objects (util.py:1282)."""
+    from scipy import ndimage
+    assert segmentation.ndim == 2
+    ids = np.unique(segmentation)
+    ids = ids[ids != 0]
+    centers = ndimage.center_of_mass(
+        np.ones_like(segmentation), segmentation, ids
+    ) if len(ids) else []
+    center_coordinates = {int(i): tuple(c) for i, c in zip(ids, centers)}
+    slices = ndimage.find_objects(segmentation)
+    bbox_coordinates = {}
+    for i, sl in enumerate(slices, start=1):
+        if sl is None:
+            continue
+        bbox_coordinates[i] = tuple((s.start, s.stop) for s in sl)
+    return center_coordinates, bbox_coordinates
+
+
+def load_image_data(path: str, key: Optional[str] = None, lazy_loading: bool = False):
+    """Helper to load image data from file (util.py:1313)."""
+    if key is None:
+        import imageio.v3 as imageio
+        return imageio.imread(path)
+    import h5py
+    with h5py.File(path, "r") as fh:
+        data = fh[key][...] if not lazy_loading else fh[key][...]
+    return data
+
+
+def segmentation_to_one_hot(
+    segmentation: np.ndarray, segmentation_ids: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """One-hot (N, 1, H, W) float32 masks for the given ids (util.py:1335)."""
+    if segmentation_ids is None:
+        ids = np.unique(segmentation)
+        ids = ids[ids != 0]
+    else:
+        ids = np.asarray(segmentation_ids)
+        matched = np.isin(ids, np.unique(segmentation))
+        if not matched.all():
+            raise RuntimeError(f"Segmentation ids not found: {ids[~matched]}")
+    one_hot = (segmentation[None] == ids[:, None, None]).astype(np.float32)
+    return one_hot[:, None]
+
+
+# -----------------------------------------------------------------------------
+# Progress reporting (reference util.py:1097-1129)
+# -----------------------------------------------------------------------------
+
+def handle_pbar(verbose: bool, pbar_init=None, pbar_update=None):
+    """Returns (pbar_init, pbar_update, pbar_close) callables."""
+    if pbar_init is not None and pbar_update is not None:
+        return pbar_init, pbar_update, (lambda: None)
+    if verbose:
+        from tqdm import tqdm
+        state = {}
+
+        def init(total, description):
+            state["pbar"] = tqdm(total=total, desc=description)
+
+        def update(n=1):
+            if "pbar" in state:
+                state["pbar"].update(n)
+
+        def close():
+            if "pbar" in state:
+                state["pbar"].close()
+        return init, update, close
+    return (lambda total, desc: None), (lambda n=1: None), (lambda: None)

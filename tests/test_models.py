@@ -1,0 +1,111 @@
+"""Model-stack tests: shapes, jit-ability, torch checkpoint round-trip.
+
+Mirrors the reference's test strategy (SURVEY.md §4): tiny CPU-runnable models,
+shape contracts, and conversion correctness.
+"""
+import numpy as np
+import pytest
+
+
+def test_encoder_shapes(tiny_sam):
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.sam import preprocess
+
+    x = np.random.RandomState(0).rand(2, 200, 256, 3).astype(np.float32) * 255
+    px = preprocess(jnp.asarray(x), tiny_sam.config.img_size)
+    assert px.shape == (2, 256, 256, 3)
+    emb = tiny_sam.encode_image(tiny_sam.params, px)
+    assert emb.shape == (2, 16, 16, 256)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_decoder_shapes(tiny_sam):
+    import jax
+    import jax.numpy as jnp
+
+    emb = jnp.zeros((3, 16, 16, 256))
+    pts = jnp.zeros((3, 2, 2))
+    lbl = jnp.array([[1, -1]] * 3)
+    masks, iou = jax.jit(tiny_sam.decode_masks)(tiny_sam.params, emb, pts, lbl)
+    assert masks.shape == (3, 4, 64, 64)
+    assert iou.shape == (3, 4)
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_window_partition_roundtrip():
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.image_encoder import window_partition, window_unpartition
+
+    x = jnp.arange(2 * 10 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 10, 3)
+    w, pad_hw = window_partition(x, 4)
+    assert w.shape == (2 * 9, 4, 4, 3)
+    y = window_unpartition(w, 4, pad_hw, (10, 10))
+    assert np.allclose(np.asarray(x), np.asarray(y))
+
+
+def test_conv_transpose_matches_torch():
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from micro_sam_tpu.models import common as cm
+
+    w_t = torch.randn(6, 4, 2, 2)
+    b_t = torch.randn(4)
+    x_t = torch.randn(1, 6, 5, 5)
+    ref = torch.nn.functional.conv_transpose2d(x_t, w_t, b_t, stride=2).numpy()
+    p = {"w": jnp.asarray(w_t.numpy().transpose(2, 3, 1, 0)), "b": jnp.asarray(b_t.numpy())}
+    y = cm.conv_transpose2d(p, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)), stride=2)
+    assert np.allclose(np.asarray(y).transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+
+def test_torch_checkpoint_conversion_roundtrip(tmp_path, tiny_sam):
+    """export -> torch state dict -> convert back -> identical forward."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.convert import (
+        convert_sam_state_dict, export_torch_state_dict, normalize_state_dict,
+    )
+
+    sd = export_torch_state_dict(tiny_sam.params, tiny_sam.config)
+    sd_t = {f"sam.{k}": torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    state = {"model_state": sd_t}
+
+    sam_state, decoder_state = normalize_state_dict(state)
+    assert decoder_state is None
+    cfg, params = convert_sam_state_dict(sam_state, tiny_sam.config)
+
+    emb = jnp.ones((1, 16, 16, 256)) * 0.1
+    pts = jnp.array([[[100.0, 120.0], [0.0, 0.0]]])
+    lbl = jnp.array([[1, -1]])
+    m1, i1 = tiny_sam.decode_masks(tiny_sam.params, emb, pts, lbl)
+    m2, i2 = tiny_sam.decode_masks(params, emb, pts, lbl)
+    assert np.allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+    assert np.allclose(np.asarray(i1), np.asarray(i2), atol=1e-5)
+
+
+def test_predictor_point_and_box(tiny_predictor, synthetic_image):
+    image, _ = synthetic_image
+    from micro_sam_tpu.util import _to_image
+
+    tiny_predictor.set_image(_to_image(image))
+    masks, iou, low_res = tiny_predictor.predict(
+        point_coords=np.array([[128.0, 128.0]]), point_labels=np.array([1]),
+    )
+    assert masks.shape == (3, 256, 256)
+    assert iou.shape == (3,)
+    assert low_res.shape == (3, 64, 64)
+    assert masks.dtype == bool
+
+    masks, iou, _ = tiny_predictor.predict(box=np.array([50.0, 50.0, 120.0, 120.0]),
+                                           multimask_output=False)
+    assert masks.shape == (1, 256, 256)
+
+
+def test_predictor_batched_prompts(tiny_predictor, synthetic_image):
+    image, _ = synthetic_image
+    from micro_sam_tpu.util import _to_image
+
+    tiny_predictor.set_image(_to_image(image))
+    boxes = np.array([[10.0, 10.0, 60.0, 60.0], [100.0, 100.0, 150.0, 150.0]])
+    masks, iou, low = tiny_predictor.predict(box=boxes, multimask_output=False)
+    assert masks.shape == (2, 1, 256, 256)
+    assert iou.shape == (2, 1)

@@ -1,0 +1,157 @@
+"""Tests for util: normalization, embedding precompute + cache contract.
+
+Mirrors reference test/test_util.py: embedding caching correctness incl.
+tiled/3d layouts and zarr attribute signatures.
+"""
+import numpy as np
+import pytest
+
+
+def test_to_image():
+    from micro_sam_tpu.util import _to_image
+
+    x = np.random.RandomState(0).rand(64, 64).astype(np.float32)
+    img = _to_image(x)
+    assert img.shape == (64, 64, 3)
+    assert img.dtype == np.uint8
+    assert img.max() == 255
+
+    x8 = (x * 255).astype(np.uint8)
+    img = _to_image(x8)
+    assert img.shape == (64, 64, 3)
+
+    x2 = np.random.RandomState(0).rand(64, 64, 2)
+    assert _to_image(x2).shape == (64, 64, 3)
+
+    x5 = np.random.RandomState(0).rand(64, 64, 5)
+    assert _to_image(x5).shape == (64, 64, 3)
+
+
+def test_blocking():
+    from micro_sam_tpu.utils.blocking import Blocking
+
+    b = Blocking((0, 0), (250, 250), (100, 100))
+    assert len(b) == 9
+    blk = b.get_block(8)
+    assert blk.begin == (200, 200) and blk.end == (250, 250)
+
+    bh = b.get_block_with_halo(4, (10, 10))
+    assert bh.outer_block.begin == (90, 90) and bh.outer_block.end == (210, 210)
+    assert bh.inner_block.begin == (100, 100) and bh.inner_block.end == (200, 200)
+    assert bh.inner_block_local.begin == (10, 10) and bh.inner_block_local.end == (110, 110)
+
+    # border clipping of halo
+    bh0 = b.get_block_with_halo(0, (10, 10))
+    assert bh0.outer_block.begin == (0, 0)
+    assert b.coordinates_to_block_id((150, 50)) == 3
+
+
+def test_zarr_lite_roundtrip(tmp_path):
+    from micro_sam_tpu.utils import zarr_lite
+
+    path = str(tmp_path / "test.zarr")
+    f = zarr_lite.open(path)
+    f.attrs["hello"] = "world"
+    ds = f.create_dataset("x", data=np.arange(24).reshape(4, 6), chunks=(2, 3))
+    ds.attrs["meta"] = [1, 2]
+
+    g = zarr_lite.open(path, mode="r")
+    assert g.attrs["hello"] == "world"
+    arr = g["x"]
+    assert arr.shape == (4, 6)
+    assert np.array_equal(arr[...], np.arange(24).reshape(4, 6))
+    assert np.array_equal(arr[1:3, 2:5], np.arange(24).reshape(4, 6)[1:3, 2:5])
+    assert arr.attrs["meta"] == [1, 2]
+
+    # partial write
+    arr[0:2, 0:2] = 99
+    expected = np.arange(24).reshape(4, 6).copy()
+    expected[0:2, 0:2] = 99
+    assert np.array_equal(g["x"][...], expected)
+
+    # group nesting
+    grp = f.require_group("features")
+    grp.create_dataset("0", data=np.ones((2, 2)))
+    assert "features" in f
+    assert list(f["features"].keys()) == ["0"]
+
+
+def test_embeddings_2d(tiny_predictor, synthetic_image, tmp_path):
+    from micro_sam_tpu.util import precompute_image_embeddings, set_precomputed
+
+    image, _ = synthetic_image
+    save_path = str(tmp_path / "emb.zarr")
+    emb = precompute_image_embeddings(tiny_predictor, image, save_path, verbose=False)
+    assert emb["features"].shape == (1, 256, 16, 16)
+    assert emb["original_size"] == (256, 256)
+
+    # cache hit: second call loads from disk
+    emb2 = precompute_image_embeddings(tiny_predictor, image, save_path, verbose=False)
+    assert np.allclose(emb["features"], emb2["features"])
+
+    # signature mismatch on different data -> hard error
+    other = np.asarray(image).copy()
+    other[:10] = 0
+    with pytest.raises(RuntimeError):
+        precompute_image_embeddings(tiny_predictor, other, save_path, verbose=False)
+
+    set_precomputed(tiny_predictor, emb)
+    assert tiny_predictor.is_image_set
+    assert tiny_predictor.features.shape == (1, 16, 16, 256)
+
+
+def test_embeddings_tiled_2d(tiny_predictor, tmp_path):
+    from micro_sam_tpu.util import precompute_image_embeddings, set_precomputed
+
+    image = (np.random.RandomState(0).rand(400, 300) * 255).astype(np.uint8)
+    emb = precompute_image_embeddings(
+        tiny_predictor, image, str(tmp_path / "emb.zarr"),
+        tile_shape=(200, 200), halo=(24, 24), verbose=False,
+    )
+    assert emb["shape"] == (400, 300)
+    feats = emb["features"]
+    assert set(feats.keys()) == {0, 1, 2, 3}
+    assert feats[0]["features"].shape == (1, 256, 16, 16)
+    # border tile original size includes halo
+    assert feats[0]["original_size"] == (224, 224)
+
+    set_precomputed(tiny_predictor, emb, tile_id=3)
+    assert tiny_predictor.original_size == feats[3]["original_size"]
+
+    # reload from cache
+    emb2 = precompute_image_embeddings(
+        tiny_predictor, image, str(tmp_path / "emb.zarr"),
+        tile_shape=(200, 200), halo=(24, 24), verbose=False,
+    )
+    assert np.allclose(emb2["features"][2]["features"], feats[2]["features"])
+
+
+def test_embeddings_3d(tiny_predictor, tmp_path):
+    from micro_sam_tpu.util import precompute_image_embeddings, set_precomputed
+
+    volume = (np.random.RandomState(0).rand(4, 128, 128) * 255).astype(np.uint8)
+    emb = precompute_image_embeddings(
+        tiny_predictor, volume, str(tmp_path / "emb3d.zarr"), ndim=3,
+        verbose=False, batch_size=2,
+    )
+    assert emb["features"].shape == (4, 1, 256, 16, 16)
+    set_precomputed(tiny_predictor, emb, i=2)
+    assert tiny_predictor.features.shape == (1, 16, 16, 256)
+
+    emb2 = precompute_image_embeddings(
+        tiny_predictor, volume, str(tmp_path / "emb3d.zarr"), ndim=3, verbose=False,
+    )
+    assert np.allclose(emb["features"], emb2["features"])
+
+
+def test_segmentation_to_one_hot():
+    from micro_sam_tpu.util import segmentation_to_one_hot
+
+    seg = np.zeros((10, 10), dtype=np.uint32)
+    seg[:3, :3] = 1
+    seg[5:, 5:] = 4
+    oh = segmentation_to_one_hot(seg)
+    assert oh.shape == (2, 1, 10, 10)
+    assert oh[0].sum() == 9
+    oh = segmentation_to_one_hot(seg, np.array([4]))
+    assert oh.shape == (1, 1, 10, 10)
