@@ -1,0 +1,90 @@
+"""Benchmark: ViT-B embedding-precompute throughput + prompt-decode latency.
+
+Runs on whatever jax.devices() provides (the real TPU chip under the driver).
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): >= 5000 x 1024^2 ViT-B tiles/min on v5e-8
+=> 10.42 tiles/sec/chip. vs_baseline = measured tiles/sec/chip / 10.42.
+
+NOTE on timing: through the axon relay, block_until_ready() returns
+immediately; only fetching a value forces completion. Each jitted program
+therefore returns a small checksum that we fetch to fence the timing.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_TILES_PER_SEC_PER_CHIP = 5000.0 / 60.0 / 8.0  # north-star on v5e-8
+
+
+def main():
+    from micro_sam_tpu.models.build_sam import get_config
+    from micro_sam_tpu.models.sam import init_sam_params, Sam, preprocess
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    cfg = get_config("vit_b", compute_dtype="bfloat16" if on_tpu else "float32")
+    params = init_sam_params(jax.random.PRNGKey(0), cfg)
+    sam = Sam(cfg, params)
+
+    batch = 4 if on_tpu else 1
+
+    @jax.jit
+    def encode(params, pixels):
+        feats = sam.encode_image(params, preprocess(pixels, cfg.img_size))
+        return feats, jnp.sum(feats.astype(jnp.float32))
+
+    @jax.jit
+    def decode(params, feats, points, labels):
+        masks, iou = sam.decode_masks(params, feats, points, labels)
+        return masks, iou, jnp.sum(iou)
+
+    x = jnp.asarray(np.random.rand(batch, 1024, 1024, 3).astype(np.float32) * 255)
+
+    # warmup / compile (fetch forces completion)
+    feats, chk = encode(params, x)
+    float(chk)
+
+    n_iter = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        feats, chk = encode(params, x)
+    float(chk)  # fences the whole queue
+    dt = time.perf_counter() - t0
+    tiles_per_sec = n_iter * batch / dt
+
+    # prompt decode latency (single point, B=1); per-call fence
+    f1 = feats[:1].astype(cfg.dtype)
+    pts = jnp.asarray(np.array([[[512.0, 512.0], [0.0, 0.0]]], np.float32))
+    lbl = jnp.asarray(np.array([[1, -1]], np.int32))
+    m, i, c = decode(params, f1, pts, lbl)
+    float(c)
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        m, i, c = decode(params, f1, pts, lbl)
+        float(c)
+        lat.append(time.perf_counter() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+
+    result = {
+        "metric": "vit_b_1024px_embed_tiles_per_sec_per_chip",
+        "value": round(tiles_per_sec, 3),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC_PER_CHIP, 3),
+        "extra": {
+            "decode_p50_ms": round(p50_ms, 3),
+            "platform": platform,
+            "batch": batch,
+            "compute_dtype": cfg.compute_dtype,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,292 @@
+"""Host-side postprocessing ops: C++ backend with numpy/scipy fallbacks.
+
+Replacement surface for the reference's nifty/elf/vigra stack (SURVEY.md §2.4):
+connected components, seeded watershed, unique/isin/relabel, size filtering,
+label overlap, RLE, greedy multicut. The C++ library (native/src/postprocess.cpp,
+built by native/build.py into _postprocess.so) accelerates the hot ops; every
+op has a pure numpy/scipy fallback so the package works without the build step.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+_LIB = None
+
+
+def _load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.join(os.path.dirname(__file__), "_postprocess.so")
+    if os.path.exists(so):
+        try:
+            _LIB = ctypes.CDLL(so)
+        except OSError:
+            _LIB = False
+    else:
+        _LIB = False
+    return _LIB
+
+
+def has_native() -> bool:
+    return bool(_load_lib())
+
+
+# ---------------------------------------------------------------------------
+# Connected components / labeling
+# ---------------------------------------------------------------------------
+
+def label(segmentation: np.ndarray, block_shape=None, with_background: bool = True) -> np.ndarray:
+    """Connected components of a (possibly multi-label) segmentation: two
+    touching regions with different input ids stay separate (elf.parallel.label
+    semantics via per-id labeling)."""
+    seg = np.asarray(segmentation)
+    lib = _load_lib()
+    if lib and seg.ndim == 2:
+        out = np.zeros(seg.shape, dtype=np.uint32)
+        seg32 = np.ascontiguousarray(seg, dtype=np.uint32)
+        n = lib.label_multilabel_2d(
+            seg32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(seg.shape[0]), ctypes.c_int64(seg.shape[1]),
+        )
+        return out
+    # numpy fallback: label the foreground, then split labels that span
+    # multiple input ids by pairing (cc, input_id)
+    structure = ndimage.generate_binary_structure(seg.ndim, 1)
+    cc, _ = ndimage.label(seg != 0, structure=structure)
+    # pair (cc, seg) -> unique ids
+    pairs = cc.astype(np.uint64) << np.uint64(32) | seg.astype(np.uint64)
+    pairs[seg == 0] = 0
+    _, out = np.unique(pairs, return_inverse=True)
+    out = out.reshape(seg.shape).astype(np.uint32)
+    if pairs.flat[np.argmin(pairs)] != 0 and 0 not in pairs:
+        out += 1  # ensure background id 0 stays 0 only when present
+    return out
+
+
+def unique(segmentation: np.ndarray, return_counts: bool = False, block_shape=None):
+    return np.unique(np.asarray(segmentation), return_counts=return_counts)
+
+
+def isin(segmentation: np.ndarray, ids, out: Optional[np.ndarray] = None, block_shape=None):
+    res = np.isin(np.asarray(segmentation), np.asarray(ids))
+    if out is not None:
+        out[...] = res
+        return out
+    return res
+
+
+def relabel_consecutive(segmentation: np.ndarray, start_label: int = 1, block_shape=None):
+    """Relabel to consecutive ids starting at start_label; 0 stays background.
+    Returns (relabeled, max_id, mapping)."""
+    seg = np.asarray(segmentation)
+    ids = np.unique(seg)
+    ids = ids[ids != 0]
+    mapping = {0: 0}
+    new_ids = np.arange(start_label, start_label + len(ids), dtype=seg.dtype)
+    lookup = np.zeros(int(seg.max()) + 1 if seg.size else 1, dtype=seg.dtype)
+    lookup[ids] = new_ids
+    out = lookup[seg]
+    mapping.update({int(i): int(n) for i, n in zip(ids, new_ids)})
+    return out, (int(new_ids[-1]) if len(new_ids) else 0), mapping
+
+
+def size_filter(segmentation: np.ndarray, min_size: int = 0,
+                max_size: Optional[int] = None, relabel: bool = True) -> np.ndarray:
+    seg = np.asarray(segmentation).copy()
+    ids, counts = np.unique(seg, return_counts=True)
+    remove = ids[(counts < min_size) & (ids != 0)]
+    if max_size is not None:
+        remove = np.concatenate([remove, ids[(counts > max_size) & (ids != 0)]])
+    if len(remove):
+        seg[np.isin(seg, remove)] = 0
+    if relabel:
+        seg, _, _ = relabel_consecutive(seg)
+    return seg
+
+
+# ---------------------------------------------------------------------------
+# Seeded watershed
+# ---------------------------------------------------------------------------
+
+def seeded_watershed(
+    heightmap: np.ndarray, seeds: np.ndarray, mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Priority-flood watershed from integer seeds on a heightmap, optionally
+    restricted to a mask. C++ backend when built; heapq fallback otherwise."""
+    hm = np.ascontiguousarray(heightmap, dtype=np.float32)
+    sd = np.ascontiguousarray(seeds, dtype=np.uint32)
+    msk = np.ones(hm.shape, dtype=np.uint8) if mask is None else \
+        np.ascontiguousarray(mask, dtype=np.uint8)
+    lib = _load_lib()
+    if lib and hm.ndim == 2:
+        out = sd.copy()
+        lib.seeded_watershed_2d(
+            hm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            msk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(hm.shape[0]), ctypes.c_int64(hm.shape[1]),
+        )
+        return out
+    return _watershed_py(hm, sd, msk)
+
+
+def _watershed_py(heightmap: np.ndarray, seeds: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    import heapq
+    out = seeds.copy()
+    shape = heightmap.shape
+    ndim = heightmap.ndim
+    visited = (seeds != 0) | (mask == 0)
+    heap = []
+    counter = 0
+    seed_coords = np.column_stack(np.nonzero(seeds))
+    offsets = []
+    for d in range(ndim):
+        for s in (-1, 1):
+            off = [0] * ndim
+            off[d] = s
+            offsets.append(tuple(off))
+
+    def push_neighbors(coord, lbl):
+        nonlocal counter
+        for off in offsets:
+            nb = tuple(c + o for c, o in zip(coord, off))
+            if any(c < 0 or c >= s for c, s in zip(nb, shape)):
+                continue
+            if not visited[nb]:
+                heapq.heappush(heap, (heightmap[nb], counter, nb, lbl))
+                counter += 1
+
+    for coord in seed_coords:
+        push_neighbors(tuple(coord), out[tuple(coord)])
+
+    while heap:
+        _, _, coord, lbl = heapq.heappop(heap)
+        if visited[coord]:
+            continue
+        visited[coord] = True
+        out[coord] = lbl
+        push_neighbors(coord, lbl)
+    return out
+
+
+def distance_transform(mask: np.ndarray, sampling=None) -> np.ndarray:
+    return ndimage.distance_transform_edt(mask, sampling=sampling)
+
+
+# ---------------------------------------------------------------------------
+# Label overlap
+# ---------------------------------------------------------------------------
+
+class overlap:
+    """Pairwise overlap between two segmentations (nifty.ground_truth.overlap
+    API subset used by the reference)."""
+
+    def __init__(self, seg_a: np.ndarray, seg_b: np.ndarray):
+        a = np.asarray(seg_a).ravel()
+        b = np.asarray(seg_b).ravel()
+        pairs = a.astype(np.uint64) << np.uint64(32) | b.astype(np.uint64)
+        uniq, counts = np.unique(pairs, return_counts=True)
+        ids_a = (uniq >> np.uint64(32)).astype(np.int64)
+        ids_b = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        self._table: Dict[int, List[Tuple[int, int]]] = {}
+        for ia, ib, c in zip(ids_a, ids_b, counts):
+            self._table.setdefault(int(ia), []).append((int(ib), int(c)))
+        counts_a = np.bincount(a.astype(np.int64))
+        self._sizes_a = counts_a
+
+    def overlapArrays(self, seg_id: int, sorted_: bool = True):
+        entries = self._table.get(int(seg_id), [])
+        ids = np.array([e[0] for e in entries], dtype=np.int64)
+        vals = np.array([e[1] for e in entries], dtype=np.float64)
+        if sorted_ and len(vals):
+            order = np.argsort(-vals)
+            ids, vals = ids[order], vals[order]
+        return ids, vals
+
+    def overlapArraysNormalized(self, seg_id: int, sorted_: bool = True):
+        ids, vals = self.overlapArrays(seg_id, sorted_)
+        size = self._sizes_a[seg_id] if seg_id < len(self._sizes_a) else 0
+        if size > 0:
+            vals = vals / float(size)
+        return ids, vals
+
+
+# ---------------------------------------------------------------------------
+# RLE
+# ---------------------------------------------------------------------------
+
+def compute_rle_batch(masks: np.ndarray) -> List[Dict]:
+    """Batch RLE; C++ when available (called from ops.amg_utils)."""
+    lib = _load_lib()
+    out = []
+    if lib:
+        for m in masks:
+            m = np.ascontiguousarray(m, dtype=np.uint8)
+            h, w = m.shape
+            counts = np.zeros(h * w + 2, dtype=np.int64)
+            n = lib.rle_encode_colmajor(
+                m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(h), ctypes.c_int64(w),
+            )
+            out.append({"size": [h, w], "counts": counts[:n].tolist()})
+        return out
+    from ..ops.amg_utils import mask_to_rle
+    return [mask_to_rle(m) for m in masks]
+
+
+# ---------------------------------------------------------------------------
+# Greedy multicut decomposition (3d merging)
+# ---------------------------------------------------------------------------
+
+def greedy_multicut(n_nodes: int, uv_ids: np.ndarray, costs: np.ndarray) -> np.ndarray:
+    """Greedy additive edge contraction: merge the highest-positive-cost edge
+    until none remain (the decomposition objective the reference solves with
+    nifty's multicut on overlap-derived costs, multi_dimensional_segmentation.py:353-373).
+
+    Positive cost = attractive (merge), negative = repulsive.
+    Returns node labels (n_nodes,).
+    """
+    import heapq
+    parent = np.arange(n_nodes, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    # contract in order of decreasing cost; maintain merged edge costs lazily
+    edge_costs: Dict[Tuple[int, int], float] = {}
+    for (u, v), c in zip(np.asarray(uv_ids), np.asarray(costs)):
+        key = (min(int(u), int(v)), max(int(u), int(v)))
+        edge_costs[key] = edge_costs.get(key, 0.0) + float(c)
+
+    heap = [(-c, u, v) for (u, v), c in edge_costs.items() if c > 0]
+    heapq.heapify(heap)
+    while heap:
+        negc, u, v = heapq.heappop(heap)
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        # recompute current cost between the two clusters
+        cost = 0.0
+        for (a, b), c in edge_costs.items():
+            if {find(a), find(b)} == {ru, rv}:
+                cost += c
+        if cost <= 0:
+            continue
+        parent[max(ru, rv)] = min(ru, rv)
+
+    labels = np.array([find(i) for i in range(n_nodes)], dtype=np.int64)
+    _, labels = np.unique(labels, return_inverse=True)
+    return labels

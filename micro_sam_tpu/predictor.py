@@ -139,6 +139,9 @@ class SamPredictor:
             batched = False
         if point_coords is None and box is not None and np.asarray(box).ndim == 1:
             batched = False
+        if (point_coords is None and box is None and mask_input is not None
+                and np.asarray(mask_input).ndim == 3):
+            batched = False
 
         def at_least_3d(a):
             a = np.asarray(a, dtype=np.float32)
@@ -172,20 +175,27 @@ class SamPredictor:
                         for l in lbl_list]
             points = np.concatenate(pts_list, axis=1)
             labels = np.concatenate(lbl_list, axis=1)
+        elif mask_input is not None:
+            # mask-only prompting: empty sparse prompt set (SAM semantics)
+            if np.asarray(mask_input).ndim == 4:
+                B = np.asarray(mask_input).shape[0]
+            points = np.zeros((B, 0, 2), np.float32)
+            labels = np.zeros((B, 0), np.int32)
         else:
-            raise ValueError("At least one of point or box prompts is required.")
+            raise ValueError("At least one of point, box or mask prompts is required.")
 
         # If only points (no box), SAM appends a padding point.
-        if box is None:
+        if box is None and points.shape[1] > 0:
             points = np.concatenate([points, np.zeros((B, 1, 2), np.float32)], axis=1)
             labels = np.concatenate([labels, -np.ones((B, 1), np.int32)], axis=1)
 
         # pad to capacity bucket for stable jit shapes
         P = points.shape[1]
-        cap = _next_pow2(max(P, 2))
-        if cap > P:
-            points = np.concatenate([points, np.zeros((B, cap - P, 2), np.float32)], axis=1)
-            labels = np.concatenate([labels, -np.ones((B, cap - P), np.int32)], axis=1)
+        if P > 0:
+            cap = _next_pow2(max(P, 2))
+            if cap > P:
+                points = np.concatenate([points, np.zeros((B, cap - P, 2), np.float32)], axis=1)
+                labels = np.concatenate([labels, -np.ones((B, cap - P), np.int32)], axis=1)
 
         mask_hw = self.model.config.embedding_size * 4  # 256 for 1024-input models
         if mask_input is not None:

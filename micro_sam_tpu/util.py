@@ -766,3 +766,211 @@ def handle_pbar(verbose: bool, pbar_init=None, pbar_update=None):
                 state["pbar"].close()
         return init, update, close
     return (lambda total, desc: None), (lambda n=1: None), (lambda: None)
+
+
+# -----------------------------------------------------------------------------
+# Mask records -> instance segmentation, NMS (reference util.py:1568-1827)
+# -----------------------------------------------------------------------------
+
+def mask_data_to_segmentation(
+    masks: List[Dict[str, Any]],
+    shape: Optional[Tuple[int, int]] = None,
+    min_object_size: int = 0,
+    max_object_size: Optional[int] = None,
+    label_masks: bool = True,
+    with_background: bool = False,
+    merge_exclusively: bool = True,
+) -> np.ndarray:
+    """Convert mask records (from AMG / batched inference) to an instance
+    segmentation by area-sorted exclusive painting (reference util.py:1658).
+
+    Mask records need "segmentation" (binary mask), "area", optionally
+    "seg_id", "bbox"+"global_bbox" (XYWH) for tiled predictions.
+    """
+    from . import native
+
+    masks = sorted(masks, key=(lambda x: x["area"]), reverse=True)
+    if shape is None:
+        shape = next(iter(masks))["segmentation"].shape
+    segmentation = np.zeros(shape, dtype="uint32")
+
+    seg_id = 1
+    for mask_data in masks:
+        area = mask_data["area"]
+        if (area < min_object_size) or (max_object_size is not None and area > max_object_size):
+            continue
+
+        this_mask = np.asarray(mask_data["segmentation"])
+        this_seg_id = mask_data.get("seg_id", seg_id)
+        if "global_bbox" in mask_data:
+            bb = mask_data["bbox"]
+            bb = np.s_[bb[1]:bb[1] + bb[3], bb[0]:bb[0] + bb[2]]
+            global_bb = mask_data["global_bbox"]
+            global_bb = np.s_[global_bb[1]:global_bb[1] + global_bb[3],
+                              global_bb[0]:global_bb[0] + global_bb[2]]
+            if merge_exclusively:
+                this_mask = np.logical_and(this_mask[bb], segmentation[global_bb] == 0)
+            else:
+                this_mask = this_mask[bb]
+            segmentation[global_bb][this_mask] = this_seg_id
+        else:
+            if merge_exclusively:
+                this_mask = np.logical_and(this_mask, segmentation == 0)
+            segmentation[this_mask] = this_seg_id
+        seg_id = this_seg_id + 1
+
+    if label_masks:
+        segmentation = native.label(segmentation)
+
+    seg_ids, sizes = native.unique(segmentation, return_counts=True)
+    filter_ids = seg_ids[sizes < min_object_size]
+    if with_background:
+        bg_id = seg_ids[np.argmax(sizes)]
+        filter_ids = np.concatenate([filter_ids, [bg_id]])
+
+    if len(filter_ids):
+        segmentation[native.isin(segmentation, filter_ids)] = 0
+    segmentation, _, _ = native.relabel_consecutive(segmentation)
+    return segmentation
+
+
+def _overlap_matrix(boxes: np.ndarray) -> np.ndarray:
+    """Pairwise "bounding boxes intersect" matrix for XYXY boxes."""
+    x1 = np.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    y1 = np.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    x2 = np.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    y2 = np.minimum(boxes[:, None, 3], boxes[None, :, 3])
+    w = np.clip(x2 - x1, 0, None)
+    h = np.clip(y2 - y1, 0, None)
+    return (w * h) > 0
+
+
+def _calculate_ious_between_pred_masks(masks, boxes, diagonal_value=1.0):
+    """Pairwise mask IoU, restricted to pairs whose boxes overlap
+    (reference util.py:1580)."""
+    n = masks.shape[0]
+    m = np.zeros((n, n), dtype=np.float64)
+    overlap_m = _overlap_matrix(boxes)
+    masks = np.asarray(masks, dtype=bool)
+    for i in range(n):
+        js = np.nonzero(overlap_m[i])[0]
+        js_half = js[js > i]
+        if len(js_half) > 0:
+            inter = np.logical_and(masks[i], masks[js_half]).sum(axis=(1, 2))
+            union = np.logical_or(masks[i], masks[js_half]).sum(axis=(1, 2))
+            m[i, js_half] = inter / np.maximum(union, 1)
+    m = m + m.T
+    np.fill_diagonal(m, diagonal_value)
+    return m
+
+
+def _calculate_iomin_between_pred_masks(masks, boxes, eps=1e-6):
+    """Pairwise intersection-over-min-area via flattened matmul
+    (reference util.py:1601)."""
+    overlap_m = _overlap_matrix(boxes)
+    n = masks.shape[0]
+    flat = np.asarray(masks, dtype=np.float32).reshape(n, -1)
+    areas = flat.sum(axis=1)
+    inter = flat @ flat.T
+    min_areas = np.minimum(areas[:, None], areas[None, :])
+    iomin = inter / (min_areas + eps)
+    iomin[~overlap_m] = 0
+    return iomin
+
+
+def _batched_mask_nms(masks, boxes, scores, nms_thresh, intersection_over_min):
+    boxes = np.asarray(boxes, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    masks = np.asarray(masks)
+    if intersection_over_min:
+        iou_matrix = _calculate_iomin_between_pred_masks(masks, boxes)
+    else:
+        iou_matrix = _calculate_ious_between_pred_masks(masks, boxes)
+    sorted_indices = np.argsort(-scores, kind="stable")
+    keep = []
+    while len(sorted_indices) > 0:
+        i = sorted_indices[0]
+        keep.append(int(i))
+        if len(sorted_indices) == 1:
+            break
+        iou_values = iou_matrix[i, sorted_indices[1:]]
+        sorted_indices = sorted_indices[1:][iou_values <= nms_thresh]
+    return np.asarray(keep, dtype=np.int64)
+
+
+def apply_nms(
+    predictions: List[Dict[str, Any]],
+    min_size: int,
+    shape: Optional[Tuple[int, int]] = None,
+    perform_box_nms: bool = False,
+    nms_thresh: float = 0.9,
+    max_size: Optional[int] = None,
+    intersection_over_min: bool = False,
+) -> np.ndarray:
+    """Mask/box NMS over prediction records, then merge into an instance
+    segmentation (reference util.py:1736)."""
+    from .ops.amg_utils import MaskData, batched_nms
+
+    if len(predictions) == 0:
+        return np.zeros(shape if shape is not None else (1, 1), dtype="uint32")
+
+    data = MaskData(
+        masks=np.stack([np.asarray(pred["segmentation"]) for pred in predictions]),
+        iou_preds=np.array([pred["predicted_iou"] for pred in predictions]),
+    )
+    data["boxes"] = np.array([pred["bbox"] for pred in predictions])
+    data["area"] = [int(np.asarray(m).sum()) for m in data["masks"]]
+    data["stability_scores"] = np.array([pred["stability_score"] for pred in predictions])
+
+    is_tiled = "global_bbox" in predictions[0]
+    if is_tiled:
+        if shape is None:
+            raise ValueError("The output shape 'shape' has to be passed for tiled predictions.")
+        data["global_boxes"] = np.array([pred["global_bbox"] for pred in predictions])
+
+    if min_size > 0:
+        data.filter(np.array([i for i, a in enumerate(data["area"]) if a > min_size], dtype=np.int64))
+    if max_size is not None:
+        data.filter(np.array([i for i, a in enumerate(data["area"]) if a < max_size], dtype=np.int64))
+    if len(data) == 0:
+        return np.zeros(shape if shape is not None else predictions[0]["segmentation"].shape,
+                        dtype="uint32")
+
+    # Boxes in the records are XYWH; convert for geometric overlap tests.
+    def _xywh_to_xyxy(b):
+        b = np.asarray(b, dtype=np.float64).copy()
+        b[:, 2] += b[:, 0]
+        b[:, 3] += b[:, 1]
+        return b
+
+    scores = data["iou_preds"] * data["stability_scores"]
+    nms_boxes = _xywh_to_xyxy(data["global_boxes"] if is_tiled else data["boxes"])
+    if perform_box_nms:
+        assert not intersection_over_min  # not implemented
+        keep_by_nms = batched_nms(nms_boxes, scores, None, iou_threshold=nms_thresh)
+    else:
+        keep_by_nms = _batched_mask_nms(
+            masks=data["masks"], boxes=nms_boxes, scores=scores,
+            nms_thresh=nms_thresh, intersection_over_min=intersection_over_min,
+        )
+    data.filter(keep_by_nms)
+
+    if is_tiled:
+        mask_data = [
+            {"segmentation": mask, "area": area, "bbox": box, "global_bbox": global_box}
+            for mask, area, box, global_box in zip(
+                data["masks"], data["area"], data["boxes"], data["global_boxes"])
+        ]
+    else:
+        mask_data = [
+            {"segmentation": mask, "area": area, "bbox": box}
+            for mask, area, box in zip(data["masks"], data["area"], data["boxes"])
+        ]
+
+    if shape is None:
+        shape = predictions[0]["segmentation"].shape
+    if mask_data:
+        segmentation = mask_data_to_segmentation(mask_data, shape=shape, min_object_size=min_size)
+    else:
+        segmentation = np.zeros(shape, dtype="uint32")
+    return segmentation
