@@ -60,3 +60,34 @@ def binary_closing_1d_z(segmentation: np.ndarray, gap_closing: int) -> np.ndarra
     return ndimage.binary_closing(
         segmentation > 0, structure=structure, iterations=gap_closing
     )
+
+
+class RegionProps:
+    """Minimal regionprops record: label, area, bbox (y0, x0, y1, x1 [, z...]),
+    centroid."""
+
+    __slots__ = ("label", "area", "bbox", "slices", "centroid")
+
+    def __init__(self, label, area, bbox, slices, centroid):
+        self.label = label
+        self.area = area
+        self.bbox = bbox
+        self.slices = slices
+        self.centroid = centroid
+
+
+def regionprops(segmentation: np.ndarray):
+    """Per-object label/area/bbox/centroid (skimage.measure.regionprops subset)."""
+    seg = np.asarray(segmentation)
+    slices = ndimage.find_objects(seg)
+    props = []
+    for idx, sl in enumerate(slices, start=1):
+        if sl is None:
+            continue
+        local = seg[sl] == idx
+        area = int(local.sum())
+        bbox = tuple(s.start for s in sl) + tuple(s.stop for s in sl)
+        coords = np.nonzero(local)
+        centroid = tuple(float(c.mean() + s.start) for c, s in zip(coords, sl))
+        props.append(RegionProps(idx, area, bbox, sl, centroid))
+    return props

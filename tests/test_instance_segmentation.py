@@ -1,0 +1,186 @@
+"""AMG / AIS / APG tests with tiny models (reference test strategy §4)."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    import jax
+    from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam
+    from micro_sam_tpu.predictor import SamPredictor
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    cfg = SamConfig(model_type="vit_b", embed_dim=64, depth=2, num_heads=2,
+                    global_attn_indexes=(1,), img_size=256)
+    params = init_sam_params(jax.random.PRNGKey(0), cfg)
+    predictor = SamPredictor(Sam(cfg, params))
+    image, seg = synthetic_data(shape=(256, 256), seed=7)
+    return predictor, image, seg
+
+
+def test_amg(tiny_setup):
+    from micro_sam_tpu.instance_segmentation import AutomaticMaskGenerator
+
+    predictor, image, seg = tiny_setup
+    amg = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16)
+    amg.initialize(image)
+    assert amg.is_initialized
+
+    out = amg.generate(pred_iou_thresh=-10.0, stability_score_thresh=0.0)
+    assert out.shape == image.shape
+    assert out.dtype == np.uint32
+
+    records = amg.generate(pred_iou_thresh=-10.0, stability_score_thresh=0.0,
+                           output_mode="binary_mask")
+    assert isinstance(records, list)
+    if records:
+        rec = records[0]
+        assert set(rec).issuperset({"segmentation", "area", "bbox", "predicted_iou",
+                                    "stability_score", "point_coords"})
+
+    # state round trip
+    state = amg.get_state()
+    amg2 = AutomaticMaskGenerator(predictor, points_per_side=4)
+    amg2.set_state(state)
+    out2 = amg2.generate(pred_iou_thresh=-10.0, stability_score_thresh=0.0)
+    assert np.array_equal(out, out2)
+
+    # rle output mode
+    rles = amg.generate(pred_iou_thresh=-10.0, stability_score_thresh=0.0, output_mode="rle")
+    if rles:
+        assert "counts" in rles[0]["segmentation"]
+
+
+def test_tiled_amg(tiny_setup, tmp_path):
+    from micro_sam_tpu.instance_segmentation import TiledAutomaticMaskGenerator
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    predictor, _, _ = tiny_setup
+    image = (np.random.RandomState(1).rand(300, 280) * 255).astype(np.uint8)
+    emb = precompute_image_embeddings(
+        predictor, image, str(tmp_path / "emb.zarr"),
+        tile_shape=(150, 150), halo=(16, 16), verbose=False,
+    )
+    amg = TiledAutomaticMaskGenerator(predictor, points_per_side=2, points_per_batch=8)
+    amg.initialize(image, image_embeddings=emb)
+    out = amg.generate(pred_iou_thresh=-10.0, stability_score_thresh=0.0)
+    assert out.shape == image.shape
+
+
+@pytest.fixture(scope="module")
+def tiny_decoder():
+    import jax
+    from micro_sam_tpu.instance_segmentation import DecoderAdapter
+    from micro_sam_tpu.models.unetr import init_unetr_decoder
+
+    params = init_unetr_decoder(jax.random.PRNGKey(1), embed_dim=256, out_channels=3)
+    return DecoderAdapter(params)
+
+
+def test_ais(tiny_setup, tiny_decoder):
+    from micro_sam_tpu.instance_segmentation import InstanceSegmentationWithDecoder
+
+    predictor, image, seg = tiny_setup
+    ais = InstanceSegmentationWithDecoder(predictor, tiny_decoder)
+    ais.initialize(image)
+    assert ais.is_initialized
+
+    out = ais.generate()
+    assert out.shape == image.shape
+    assert out.dtype == np.uint32
+
+    state = ais.get_state()
+    assert set(state) == {"foreground", "center_distances", "boundary_distances"}
+    ais2 = InstanceSegmentationWithDecoder(predictor, tiny_decoder)
+    ais2.set_state(state)
+    out2 = ais2.generate()
+    assert np.array_equal(out, out2)
+
+
+def test_tiled_ais(tiny_setup, tiny_decoder, tmp_path):
+    from micro_sam_tpu.instance_segmentation import TiledInstanceSegmentationWithDecoder
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    predictor, _, _ = tiny_setup
+    image = (np.random.RandomState(2).rand(300, 250) * 255).astype(np.uint8)
+    emb = precompute_image_embeddings(
+        predictor, image, str(tmp_path / "emb.zarr"),
+        tile_shape=(150, 150), halo=(16, 16), verbose=False,
+    )
+    ais = TiledInstanceSegmentationWithDecoder(predictor, tiny_decoder)
+    ais.initialize(image, image_embeddings=emb, batch_size=2)
+    assert ais._foreground.shape == image.shape
+    out = ais.generate()
+    assert out.shape == image.shape
+
+
+def test_apg(tiny_setup, tiny_decoder):
+    from micro_sam_tpu.instance_segmentation import AutomaticPromptGenerator
+
+    predictor, image, seg = tiny_setup
+    apg = AutomaticPromptGenerator(predictor, tiny_decoder)
+    apg.initialize(image)
+
+    # With random decoder weights the default prompt derivation yields thousands
+    # of noise prompts; use a bounded prompt function to exercise the pipeline.
+    def prompt_function(foreground, center_distances, boundary_distances, **kwargs):
+        pts = np.array([[[60.0, 60.0]], [[128.0, 128.0]], [[200.0, 180.0]]])
+        return {"points": pts, "point_labels": np.ones((3, 1))}
+
+    out = apg.generate(min_size=0, prompt_function=prompt_function)
+    assert out.shape == image.shape
+    assert out.dtype == np.uint32
+
+    # default derivation path at least produces prompts (or empty result)
+    from micro_sam_tpu.instance_segmentation import _derive_point_prompts
+    prompts = _derive_point_prompts(
+        apg._foreground[:64, :64], apg._center_distances[:64, :64],
+        apg._boundary_distances[:64, :64],
+    )
+    assert prompts is None or prompts["points"].ndim == 3
+
+
+def test_watershed():
+    from micro_sam_tpu.instance_segmentation import watershed_from_center_and_boundary_distances
+
+    # two blobs with clear centers
+    shape = (64, 64)
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    d1 = np.sqrt((yy - 20) ** 2 + (xx - 20) ** 2)
+    d2 = np.sqrt((yy - 44) ** 2 + (xx - 44) ** 2)
+    center_dist = np.minimum(d1, d2) / 20.0
+    fg = (np.minimum(d1, d2) < 12).astype(np.float32)
+    boundary_dist = 1.0 - center_dist
+
+    seg = watershed_from_center_and_boundary_distances(
+        center_dist, 1 - fg, fg, center_distance_threshold=0.4,
+        boundary_distance_threshold=0.9, foreground_threshold=0.5,
+        distance_smoothing=0.6, min_size=5,
+    )
+    ids = np.unique(seg)
+    assert len(ids[ids != 0]) == 2
+
+
+def test_generator_factory(tiny_setup, tiny_decoder):
+    from micro_sam_tpu import instance_segmentation as iseg
+
+    predictor, _, _ = tiny_setup
+    assert isinstance(
+        iseg.get_instance_segmentation_generator(predictor, is_tiled=False),
+        iseg.AutomaticMaskGenerator,
+    )
+    assert isinstance(
+        iseg.get_instance_segmentation_generator(predictor, is_tiled=True),
+        iseg.TiledAutomaticMaskGenerator,
+    )
+    assert isinstance(
+        iseg.get_instance_segmentation_generator(predictor, is_tiled=False, decoder=tiny_decoder),
+        iseg.InstanceSegmentationWithDecoder,
+    )
+    assert isinstance(
+        iseg.get_instance_segmentation_generator(
+            predictor, is_tiled=False, decoder=tiny_decoder, segmentation_mode="apg"),
+        iseg.AutomaticPromptGenerator,
+    )
+    with pytest.raises(ValueError):
+        iseg.get_instance_segmentation_generator(predictor, is_tiled=False, segmentation_mode="bad")
