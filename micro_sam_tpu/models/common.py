@@ -76,6 +76,14 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
+    if "lora" in p:  # PEFT low-rank update (models/peft_sam.py)
+        la = p["lora"]
+        y = y + jnp.dot(
+            jnp.dot(x, la["a"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype),
+            la["b"].astype(x.dtype), preferred_element_type=jnp.float32,
+        )
+    if "ssf_scale" in p:  # PEFT scale-shift
+        y = y * p["ssf_scale"] + p["ssf_shift"]
     return y.astype(x.dtype)
 
 
@@ -166,7 +174,14 @@ def init_mlp_block(key, dim: int, hidden: int) -> Params:
 
 
 def mlp_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return linear(p["lin2"], gelu(linear(p["lin1"], x)))
+    y = linear(p["lin2"], gelu(linear(p["lin1"], x)))
+    if "adapter" in p:  # PEFT parallel adapter (AdaptFormer)
+        a = p["adapter"]
+        down = jax.nn.relu(jnp.dot(x, a["down"].astype(x.dtype),
+                                   preferred_element_type=jnp.float32)).astype(x.dtype)
+        y = y + a["scale"] * jnp.dot(down, a["up"].astype(x.dtype),
+                                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return y
 
 
 def init_mlp(key, in_dim: int, hidden: int, out_dim: int, depth: int) -> Params:

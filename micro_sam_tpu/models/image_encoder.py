@@ -147,7 +147,31 @@ def apply_attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """
     B, H, W, C = x.shape
     head_dim = C // num_heads
-    qkv = cm.linear(p["qkv"], x.reshape(B, H * W, C))
+    xf = x.reshape(B, H * W, C)
+    qkv = cm.linear(p["qkv"], xf)
+
+    # PEFT low-rank / factorized updates on q, k, v (models/peft_sam.py)
+    if "lora" in p:
+        deltas = []
+        for part in ("q", "k", "v"):
+            if part in p["lora"]:
+                la = p["lora"][part]
+                d = cm.linear({"w": la["a"]}, xf)
+                d = cm.linear({"w": la["b"]}, d)
+            else:
+                d = jnp.zeros_like(xf)
+            deltas.append(d)
+        qkv = qkv + jnp.concatenate(deltas, axis=-1)
+    if "fact" in p:
+        # shared-core factorization is resolved by the caller placing
+        # fact_u/fact_v in scope via closure; per-layer scales live here
+        fu, fv = p["fact"]["_u"], p["fact"]["_v"]
+        dq = cm.linear({"w": fu * p["fact"]["q_scale"]}, xf)
+        dq = cm.linear({"w": fv}, dq)
+        dv = cm.linear({"w": fu * p["fact"]["v_scale"]}, xf)
+        dv = cm.linear({"w": fv}, dv)
+        qkv = qkv + jnp.concatenate([dq, jnp.zeros_like(dq), dv], axis=-1)
+
     qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim)
     q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, nH, hd)
 
@@ -189,6 +213,10 @@ def apply_image_encoder(
         x = x + p["pos_embed"].astype(x.dtype)
     for i, bp in enumerate(p["blocks"]):
         ws = 0 if i in tuple(global_attn_indexes) else window_size
+        if "fact_u" in p and "fact" in bp["attn"]:
+            # thread the shared FacT core into the block (PEFT)
+            bp = dict(bp, attn=dict(bp["attn"], fact=dict(
+                bp["attn"]["fact"], _u=p["fact_u"], _v=p["fact_v"])))
         x = apply_block(bp, x, num_heads, ws)
     # Neck
     x = cm.conv2d(p["neck"]["conv1"], x, stride=1, padding="VALID")

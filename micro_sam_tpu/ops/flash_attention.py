@@ -1,0 +1,191 @@
+"""Pallas TPU flash attention with decomposed relative-position bias.
+
+The SAM ViT encoder's global-attention blocks attend over N = 64*64 = 4096
+tokens; materializing the (B, heads, N, N) float32 logits is the memory
+bottleneck (8 tiles x 12 heads x 4096^2 x 4B = 6.4 GB per block). This kernel
+computes the decomposed rel-pos bias *inside* the kernel from the (H, H, hd)
+and (W, W, hd) tables, with online-softmax accumulation, so HBM traffic is
+O(N * hd) instead of O(N^2).
+
+Key trick: with q/k blocks sized to whole token rows (multiples of W), the
+bias tile for a (BQ, BK) block is
+
+    bias = qRh[:, :, kr0:kr0+RK, None] + qRw[:, :, None, :]
+
+where qRh = einsum(q_rows, rel_h rows) and qRw = einsum(q_rows, rel_w) are tiny
+per-q-block matmuls — no gathers needed.
+
+Semantics match ops.attention._einsum_attention_rel_pos: logits use q scaled by
+hd^-0.5, the rel-pos terms use the *unscaled* q (reference SAM behavior).
+Backward falls back to the einsum implementation via custom_vjp (the encoder
+backward only runs in finetuning, where batch sizes are small).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
+                  w: int, scale: float):
+    """One (batch*head, q-block) program.
+
+    q_ref: (1, BQ, hd); k_ref/v_ref: (1, N, hd); rh_ref: (RQ, H, hd) — the
+    rel_pos_h rows for this q block (sliced by the BlockSpec index map);
+    rw_ref: (W, W, hd); o_ref: (1, BQ, hd).
+    """
+    _, bq, hd = q_ref.shape
+    n = k_ref.shape[1]
+    rq = bq // w           # q token rows in this block
+    rk = block_k // w      # k token rows per k block
+
+    q = q_ref[0].astype(jnp.float32)             # (BQ, hd)
+    q_rows = q.reshape(rq, w, hd)
+
+    # Per-block rel-pos width projection (tiny matmul, shared over k blocks).
+    rw = rw_ref[:].astype(jnp.float32)           # (W, W, hd)
+    q_rw = jax.lax.dot_general(                  # (W, RQ, W) -> (RQ, W, W)
+        q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 0, 2)
+    q_rw2d = q_rw.reshape(bq, w)                 # merge leading dims (lowerable)
+
+    # Bias expansion without 4D reshapes (Mosaic can't shape-cast those):
+    #   bias = q_rh2d @ E + q_rw2d @ T
+    # with constant 0/1 expansion matrices
+    #   E[r, kcol] = (kcol // W == r)   (RK, BK): broadcast row value over its W cols
+    #   T[wc, kcol] = (kcol % W == wc)  (W, BK):  tile the width term over k rows
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (rk, block_k), 1)
+    expand_rows = (kcol // w == jax.lax.broadcasted_iota(jnp.int32, (rk, block_k), 0)
+                   ).astype(jnp.float32)
+    kcol_w = jax.lax.broadcasted_iota(jnp.int32, (w, block_k), 1)
+    tile_cols = (kcol_w % w == jax.lax.broadcasted_iota(jnp.int32, (w, block_k), 0)
+                 ).astype(jnp.float32)
+    bias_w = jax.lax.dot_general(                # (BQ, BK), constant over k rows
+        q_rw2d, tile_cols, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    q_scaled = q * scale
+
+    def body(j, carry):
+        m_prev, l_prev, acc_prev = carry
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q_scaled, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+
+        # rel-pos height projection for this k block: Rh rows [j*rk, j*rk+rk)
+        rh_blk = rh_ref[:, pl.ds(j * rk, rk), :].astype(jnp.float32)  # (RQ, RK, hd)
+        q_rh_blk = jax.lax.dot_general(                                # (RQ, W, RK)
+            q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        q_rh2d = q_rh_blk.reshape(bq, rk)
+        bias_h = jax.lax.dot_general(
+            q_rh2d, expand_rows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits + bias_h + bias_w
+
+        m_cur = jnp.max(logits, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+        acc_new = acc_prev * alpha[:, None] + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((bq,), dtype=jnp.float32)
+    acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, rel_h, rel_w, hw, block_q=512, block_k=512):
+    """q, k, v: (BH, N, hd); rel_h: (H, H, hd); rel_w: (W, W, hd)."""
+    BH, N, hd = q.shape
+    H, W = hw
+    assert N == H * W, f"{N} != {H}*{W}"
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    assert block_q % W == 0 and block_k % W == 0 and N % block_q == 0 and N % block_k == 0
+    rq = block_q // W
+
+    grid = (BH, N // block_q)
+    kernel = functools.partial(_flash_kernel, block_k=block_k, w=W, scale=hd ** -0.5)
+    interpret = jax.default_backend() == "cpu"  # CPU tests run the interpreter
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, N, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, N, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((rq, H, hd), lambda b, i: (i, 0, 0)),
+            pl.BlockSpec((W, W, hd), lambda b, i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_attention_rel_pos_core(q, k, v, rel_h, rel_w, hw):
+    return _flash_impl(q, k, v, rel_h, rel_w, hw)
+
+
+def _flash_impl(q, k, v, rel_h, rel_w, hw):
+    """q, k, v: (B, N, nH, hd) -> (B, N, nH, hd)."""
+    B, N, nH, hd = q.shape
+    qt = q.transpose(0, 2, 1, 3).reshape(B * nH, N, hd)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * nH, N, hd)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * nH, N, hd)
+    out = _flash_forward(qt, kt, vt, rel_h.astype(q.dtype), rel_w.astype(q.dtype), hw)
+    return out.reshape(B, nH, N, hd).transpose(0, 2, 1, 3)
+
+
+def _flash_fwd(q, k, v, rel_h, rel_w, hw):
+    return _flash_impl(q, k, v, rel_h, rel_w, hw), (q, k, v, rel_h, rel_w)
+
+
+def _flash_bwd(hw, res, g):
+    from .attention import _einsum_attention_rel_pos
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, rh_, rw_: _einsum_attention_rel_pos(q_, k_, v_, hw, rh_, rw_),
+        q, k, v, rel_h, rel_w,
+    )
+    return vjp(g)
+
+
+flash_attention_rel_pos_core.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_rel_pos(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    hw: Tuple[int, int],
+    rel_h: Optional[jnp.ndarray], rel_w: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Public entry: (B, N, nH, hd) attention over an (H, W) grid."""
+    H, W = hw
+    if rel_h is None:
+        rel_h = jnp.zeros((H, H, q.shape[-1]), dtype=q.dtype)
+        rel_w = jnp.zeros((W, W, q.shape[-1]), dtype=q.dtype)
+    return flash_attention_rel_pos_core(q, k, v, rel_h, rel_w, tuple(hw))

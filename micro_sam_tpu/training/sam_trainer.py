@@ -1,0 +1,415 @@
+"""SAM trainer with iterative prompt sampling — the reference's training core
+(micro_sam/training/sam_trainer.py) re-designed TPU-first.
+
+The key difference to the torch implementation: the reference round-trips
+predictions to the host every sub-iteration to sample corrective points
+(np.random.choice) and broadcasts a mask-use coin flip over DDP. Here the
+ENTIRE iterative step — encoder forward, n_sub_iteration decode/loss rounds,
+in-graph corrective-point sampling (Gumbel-argmax over the false-negative /
+false-positive regions), the mask-input coin flip from a PRNG key, backward and
+the optax update — compiles into ONE jit program. Data parallelism is a mesh
+sharding of the batch (see parallel/), not DDP.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .trainable_sam import TrainableSAM
+from .util import ConvertToSamInputs
+
+
+def dice_score(pred_sigmoid: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Per-sample soft dice similarity over the trailing two axes."""
+    num = 2.0 * jnp.sum(pred_sigmoid * target, axis=(-2, -1))
+    den = jnp.sum(pred_sigmoid ** 2, axis=(-2, -1)) + jnp.sum(target ** 2, axis=(-2, -1))
+    return num / (den + eps)
+
+
+def _gumbel_pick(key, region: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniformly sample one True pixel per (N, H, W) mask via Gumbel-argmax.
+
+    Returns xy coordinates (N, 2) float32. Rows with empty masks return (0, 0).
+    """
+    N, H, W = region.shape
+    flat = region.reshape(N, H * W)
+    gumbel = jax.random.gumbel(key, flat.shape)
+    masked = jnp.where(flat > 0, gumbel, -jnp.inf)
+    idx = jnp.argmax(masked, axis=-1)
+    has_any = jnp.any(flat > 0, axis=-1)
+    idx = jnp.where(has_any, idx, 0)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    return jnp.stack([xs, ys], axis=-1), has_any
+
+
+def _bbox_ring(gt: jnp.ndarray, df: int = 3) -> jnp.ndarray:
+    """(N, H, W) masks -> boolean ring inside the df-dilated bbox but outside
+    the object (fallback region for negative points; cf. reference
+    prompt_generators.py:298)."""
+    from ..ops.amg_utils import batched_mask_to_box
+    N, H, W = gt.shape
+    boxes = batched_mask_to_box(gt > 0)  # (N, 4) xyxy
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    x0 = jnp.maximum(boxes[:, 0] - df, 0)[:, None, None]
+    y0 = jnp.maximum(boxes[:, 1] - df, 0)[:, None, None]
+    x1 = jnp.minimum(boxes[:, 2] + df, W)[:, None, None]
+    y1 = jnp.minimum(boxes[:, 3] + df, H)[:, None, None]
+    in_box = (ys >= y0) & (ys < y1) & (xs >= x0) & (xs < x1)
+    return in_box & (gt <= 0)
+
+
+class SamTrainer:
+    """Iterative-prompting trainer (reference sam_trainer.py:18).
+
+    Args:
+        name: Checkpoint/run name.
+        train_loader / val_loader: Iterables yielding (image, labels) numpy
+            batches: image (B, H, W, C) raw, labels (B, H, W) instance masks.
+        model: TrainableSAM.
+        optimizer: optax optimizer (default AdamW 1e-5).
+        n_sub_iteration: Number of corrective-prompting rounds per step.
+        n_objects_per_batch: Objects sampled per image.
+        convert_inputs: GT -> prompts converter.
+        mse_loss_weight: Weight of the IoU-regression loss.
+        prompt_generator: unused (sampling is in-graph), kept for API parity.
+        mask_prob: Probability of feeding the predicted mask logits back as a
+            mask prompt in sub-iterations.
+        save_root: Directory for checkpoints.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        train_loader,
+        val_loader,
+        model: TrainableSAM,
+        optimizer=None,
+        n_sub_iteration: int = 8,
+        n_objects_per_batch: Optional[int] = 25,
+        convert_inputs: Optional[ConvertToSamInputs] = None,
+        mse_loss_weight: float = 1.0,
+        prompt_generator=None,
+        mask_prob: float = 0.5,
+        save_root: Optional[str] = None,
+        lr: float = 1e-5,
+        seed: int = 0,
+        mesh=None,
+        logger=None,
+    ):
+        self.name = name
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.model = model
+        self.optimizer = optimizer or optax.adamw(lr)
+        self.n_sub_iteration = n_sub_iteration
+        self.n_objects_per_batch = n_objects_per_batch or 25
+        self.convert_inputs = convert_inputs or ConvertToSamInputs(
+            transform=None, box_distortion_factor=0.025
+        )
+        self.mse_loss_weight = mse_loss_weight
+        self.mask_prob = mask_prob
+        self.save_root = save_root or "./checkpoints"
+        self._key = jax.random.PRNGKey(seed)
+        self._iteration = 0
+        self._epoch = 0
+        self._best_metric = np.inf
+        self._step_cache: Dict = {}
+        self.mesh = mesh
+        self.logger = logger
+        self.train_metrics: list = []
+
+        self.opt_state = self.optimizer.init(self.model.params)
+
+    # ------------------------------------------------------------------
+    # prompt schedule (reference sam_trainer.py:70-104)
+    # ------------------------------------------------------------------
+    def _get_prompt_and_multimasking_choices(self, iteration: int) -> Tuple[bool, bool, bool]:
+        """Returns (use_points, use_box, multimask)."""
+        if iteration % 2 == 0:
+            return True, False, True   # single positive point, multimask
+        return False, True, False      # box prompt
+
+    def _get_prompt_and_multimasking_choices_for_val(self, iteration: int):
+        if iteration % 4 == 0:
+            return True, False, True
+        if iteration % 4 == 1:
+            return False, True, False
+        if iteration % 4 == 2:
+            return True, True, False
+        return True, False, False
+
+    # ------------------------------------------------------------------
+    # the jitted step
+    # ------------------------------------------------------------------
+    def _build_step(self, use_points: bool, use_box: bool, multimask: bool,
+                    patch_hw: Tuple[int, int], with_grad: bool = True):
+        cache_key = (use_points, use_box, multimask, patch_hw, with_grad)
+        if cache_key in self._step_cache:
+            return self._step_cache[cache_key]
+
+        model = self.model
+        cfg = model.config
+        n_sub = self.n_sub_iteration
+        mse_w = self.mse_loss_weight
+        mask_prob = self.mask_prob
+        optimizer = self.optimizer
+        img_size = cfg.img_size
+        scale_y = img_size / max(patch_hw)
+        scale_x = img_size / max(patch_hw)
+        mask_hw = cfg.embedding_size * 4
+
+        # prompt layout: [initial points (P0) | box pts (2) | corrective (2*n_sub) | pad (1)]
+        def loss_fn(params, images, gt, obj_valid, points0, labels0, boxes0, key):
+            B, O = gt.shape[:2]
+            N = B * O
+            S1, S2 = gt.shape[2], gt.shape[3]
+            gt_flat = gt.reshape(N, S1, S2)
+            valid = obj_valid.reshape(N).astype(jnp.float32)
+
+            feats = model.image_embeddings_oft(params, images)     # (B, e, e, C)
+            feats = jnp.repeat(feats, O, axis=0)                   # (N, e, e, C)
+
+            P0 = points0.shape[2] if use_points else 0
+            cap = P0 + (2 if use_box else 0) + 2 * n_sub + 1
+            points = jnp.zeros((N, cap, 2), jnp.float32)
+            labels = -jnp.ones((N, cap), jnp.int32)
+            pos = 0
+            if use_points:
+                p0 = points0.reshape(N, P0, 2) * jnp.array([scale_x, scale_y])
+                points = points.at[:, :P0].set(p0)
+                labels = labels.at[:, :P0].set(labels0.reshape(N, P0))
+                pos = P0
+            if use_box:
+                bx = boxes0.reshape(N, 4) * jnp.array([scale_x, scale_y, scale_x, scale_y])
+                corners = jnp.stack([bx[:, :2], bx[:, 2:]], axis=1)  # (N, 2, 2)
+                points = jax.lax.dynamic_update_slice(points, corners, (0, pos, 0))
+                labels = jax.lax.dynamic_update_slice(
+                    labels, jnp.tile(jnp.array([[2, 3]], jnp.int32), (N, 1)), (0, pos)
+                )
+                pos = pos + 2
+
+            mask_input = jnp.zeros((N, mask_hw, mask_hw, 1), jnp.float32)
+            has_mask = jnp.zeros((N,), bool)
+
+            def sub_iteration(carry, inputs):
+                points, labels, mask_input, has_mask, write_pos = carry
+                subkey, is_first = inputs
+
+                low_res, iou_pred = model.forward_decoder(
+                    params, feats, points, labels, mask_input, has_mask
+                )  # (N, 4, s, s), (N, 4)
+                up = model.upscale_masks(low_res, (S1, S2))  # (N, 4, S1, S2)
+
+                # --- loss ---
+                pred_sig = jax.nn.sigmoid(up)
+                dice_all = dice_score(pred_sig, gt_flat[:, None])      # (N, 4)
+                dice_loss_all = 1.0 - dice_all
+                pred_bin = (up > 0).astype(jnp.float32)
+                inter = jnp.sum(pred_bin * gt_flat[:, None], axis=(-2, -1))
+                union = jnp.sum(jnp.maximum(pred_bin, gt_flat[:, None]), axis=(-2, -1))
+                actual_iou = inter / jnp.maximum(union, 1e-7)
+
+                if multimask:
+                    # first round multimask: min dice over the 3 multimask outputs
+                    d3 = dice_loss_all[:, 1:]
+                    best = jnp.argmin(d3, axis=1) + 1                   # (N,)
+                    mask_loss_first = jnp.min(d3, axis=1)
+                    mask_loss_single = dice_loss_all[:, 0]
+                    mask_loss = jnp.where(is_first, mask_loss_first, mask_loss_single)
+                    sel = jnp.where(is_first, best, 0)
+                else:
+                    mask_loss = dice_loss_all[:, 0]
+                    sel = jnp.zeros((N,), jnp.int32)
+
+                rows = jnp.arange(N)
+                iou_loss = (iou_pred[rows, sel] - jax.lax.stop_gradient(actual_iou[rows, sel])) ** 2
+                model_iou = iou_pred[rows, sel]
+
+                step_loss = jnp.sum((mask_loss + mse_w * iou_loss) * valid) / jnp.maximum(valid.sum(), 1)
+
+                # --- corrective prompts (no gradient) ---
+                best_up = jax.lax.stop_gradient(up[rows, sel])          # (N, S1, S2)
+                best_low = jax.lax.stop_gradient(low_res[rows, sel])    # (N, s, s)
+                pred_mask = best_up > 0
+                gt_bool = gt_flat > 0.5
+                pos_region = gt_bool & ~pred_mask
+                neg_region = pred_mask & ~gt_bool
+                overlap = gt_bool & pred_mask
+
+                kp, kn, km = jax.random.split(subkey, 3)
+                pos_src = jnp.where(
+                    jnp.any(pos_region, axis=(1, 2))[:, None, None], pos_region, overlap
+                )
+                pos_xy, _ = _gumbel_pick(kp, pos_src)
+                ring = _bbox_ring(gt_flat)
+                neg_src = jnp.where(
+                    jnp.any(neg_region, axis=(1, 2))[:, None, None], neg_region,
+                    jnp.where(jnp.any(ring, axis=(1, 2))[:, None, None], ring, ~gt_bool),
+                )
+                neg_xy, _ = _gumbel_pick(kn, neg_src)
+
+                scale = jnp.array([scale_x, scale_y])
+                new_pts = jnp.stack([pos_xy * scale, neg_xy * scale], axis=1)  # (N, 2, 2)
+                new_lbl = jnp.tile(jnp.array([[1, 0]], jnp.int32), (N, 1))
+                points_new = jax.lax.dynamic_update_slice(points, new_pts, (0, write_pos, 0))
+                labels_new = jax.lax.dynamic_update_slice(labels, new_lbl, (0, write_pos))
+
+                # --- mask feedback (coin flip shared across the batch, replaces
+                # the reference's DDP rank-0 broadcast, sam_trainer.py:216-228) ---
+                use_mask = jax.random.uniform(km) < mask_prob
+                mask_input_new = jax.image.resize(
+                    best_low[..., None], (N, mask_hw, mask_hw, 1), method="bilinear"
+                )
+                has_mask_new = jnp.broadcast_to(use_mask, (N,))
+
+                return (
+                    (points_new, labels_new, mask_input_new, has_mask_new, write_pos + 2),
+                    (step_loss, jnp.sum(model_iou * valid) / jnp.maximum(valid.sum(), 1)),
+                )
+
+            keys = jax.random.split(key, n_sub)
+            is_first_flags = jnp.arange(n_sub) == 0
+            (points, labels, mask_input, has_mask, _), (losses, ious) = jax.lax.scan(
+                sub_iteration,
+                (points, labels, mask_input, has_mask, pos),
+                (keys, is_first_flags),
+            )
+            loss = jnp.sum(losses) / n_sub
+            return loss, (loss, jnp.mean(ious))
+
+        def train_step(params, opt_state, key, images, gt, obj_valid, points0, labels0, boxes0):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, gt, obj_valid, points0, labels0, boxes0, key
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        def eval_step(params, key, images, gt, obj_valid, points0, labels0, boxes0):
+            _, aux = loss_fn(params, images, gt, obj_valid, points0, labels0, boxes0, key)
+            return aux
+
+        fn = jax.jit(train_step, donate_argnums=(0, 1)) if with_grad else jax.jit(eval_step)
+        self._step_cache[cache_key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # host-side batch preparation
+    # ------------------------------------------------------------------
+    def _prepare_batch(self, image, labels, use_points: bool, use_box: bool):
+        """Sample objects + initial prompts for a numpy batch."""
+        batched = self.convert_inputs(
+            image, labels, n_objects=self.n_objects_per_batch,
+            get_points=use_points, get_boxes=use_box,
+        )
+        return batched
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+    def _run_epoch(self, train: bool = True):
+        loader = self.train_loader if train else self.val_loader
+        losses, ious = [], []
+        for image, labels in loader:
+            if train:
+                use_points, use_box, multimask = self._get_prompt_and_multimasking_choices(
+                    self._iteration
+                )
+            else:
+                use_points, use_box, multimask = \
+                    self._get_prompt_and_multimasking_choices_for_val(self._iteration)
+
+            batch = self._prepare_batch(image, labels, use_points, use_box)
+            if batch is None:
+                continue
+            images_j, gt, obj_valid, points0, labels0, boxes0 = batch
+            patch_hw = tuple(gt.shape[2:])
+
+            self._key, key = jax.random.split(self._key)
+            step = self._build_step(use_points, use_box, multimask, patch_hw, with_grad=train)
+            if train:
+                self.model.params, self.opt_state, (loss, miou) = step(
+                    self.model.params, self.opt_state, key,
+                    images_j, gt, obj_valid, points0, labels0, boxes0,
+                )
+                self._iteration += 1
+            else:
+                loss, miou = step(
+                    self.model.params, key, images_j, gt, obj_valid, points0, labels0, boxes0,
+                )
+            losses.append(float(loss))
+            ious.append(float(miou))
+        return float(np.mean(losses)) if losses else np.inf, \
+            float(np.mean(ious)) if ious else 0.0
+
+    def fit(self, epochs: Optional[int] = None, iterations: Optional[int] = None,
+            save_every_kth_epoch: Optional[int] = None, verbose: bool = True):
+        """Run training (torch_em DefaultTrainer.fit-compatible entry)."""
+        if epochs is None and iterations is None:
+            raise ValueError("Pass epochs or iterations")
+        if epochs is None:
+            try:
+                steps_per_epoch = len(self.train_loader)
+            except TypeError:
+                steps_per_epoch = 1
+            epochs = max(1, int(np.ceil(iterations / max(steps_per_epoch, 1))))
+
+        os.makedirs(os.path.join(self.save_root, self.name), exist_ok=True)
+        for epoch in range(epochs):
+            t0 = time.time()
+            train_loss, train_iou = self._run_epoch(train=True)
+            val_loss, val_iou = self._run_epoch(train=False)
+            self._epoch = epoch + 1
+            self.train_metrics.append({
+                "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
+                "train_model_iou": train_iou, "val_model_iou": val_iou,
+            })
+            if verbose:
+                print(
+                    f"[{self.name}] epoch {epoch + 1}/{epochs}: "
+                    f"train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
+                    f"model_iou={val_iou:.3f} ({time.time() - t0:.1f}s)"
+                )
+            self.save_checkpoint("latest")
+            if val_loss < self._best_metric:
+                self._best_metric = val_loss
+                self.save_checkpoint("best")
+            if save_every_kth_epoch and (epoch + 1) % save_every_kth_epoch == 0:
+                self.save_checkpoint(f"epoch-{epoch + 1}")
+
+    # ------------------------------------------------------------------
+    # checkpointing (npz pytree; format shared with util.save_native_checkpoint)
+    # ------------------------------------------------------------------
+    def _checkpoint_path(self, name: str) -> str:
+        return os.path.join(self.save_root, self.name, f"{name}.pkl")
+
+    def _checkpoint_state(self) -> Dict:
+        return {
+            "model_state": jax.tree.map(np.asarray, self.model.params),
+            "model_type": self.model.config.model_type,
+            "iteration": self._iteration,
+            "epoch": self._epoch,
+            "metrics": self.train_metrics,
+        }
+
+    def save_checkpoint(self, name: str) -> None:
+        state = self._checkpoint_state()
+        with open(self._checkpoint_path(name), "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, name: str = "latest") -> Dict:
+        with open(self._checkpoint_path(name), "rb") as f:
+            state = pickle.load(f)
+        self.model.params = jax.tree.map(jnp.asarray, state["model_state"])
+        self._iteration = state.get("iteration", 0)
+        self._epoch = state.get("epoch", 0)
+        return state

@@ -1,0 +1,29 @@
+"""Flash-attention kernel vs einsum reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("with_rel", [True, False])
+def test_flash_matches_einsum(with_rel):
+    import jax
+    import jax.numpy as jnp
+    from micro_sam_tpu.ops.attention import _einsum_attention_rel_pos
+    from micro_sam_tpu.ops.flash_attention import flash_attention_rel_pos
+
+    H = W = 8
+    N, nH, hd = H * W, 2, 32
+    B = 2
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, N, nH, hd).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(B, N, nH, hd).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(B, N, nH, hd).astype(np.float32))
+    if with_rel:
+        rel_h = jnp.asarray(rng.randn(H, H, hd).astype(np.float32) * 0.2)
+        rel_w = jnp.asarray(rng.randn(W, W, hd).astype(np.float32) * 0.2)
+    else:
+        rel_h = rel_w = None
+
+    ref = _einsum_attention_rel_pos(q, k, v, (H, W), rel_h, rel_w)
+    out = flash_attention_rel_pos(q, k, v, (H, W), rel_h, rel_w)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5), \
+        np.abs(np.asarray(out) - np.asarray(ref)).max()

@@ -1,0 +1,172 @@
+"""Training stack tests: converters, trainers (1-epoch smoke), PEFT.
+
+Mirrors the reference test strategy: tiny model + synthetic data.
+"""
+import numpy as np
+import pytest
+
+
+def _make_loader(n_batches=2, batch_size=1, size=128, with_decoder=False, seed=0):
+    from micro_sam_tpu.sample_data import synthetic_data
+    from micro_sam_tpu.training.training import PerObjectDistanceTransform
+
+    batches = []
+    trafo = PerObjectDistanceTransform()
+    for i in range(n_batches):
+        imgs, labs, targets = [], [], []
+        for b in range(batch_size):
+            image, seg = synthetic_data(shape=(size, size), seed=seed + i * 10 + b, n_objects=4)
+            imgs.append(np.repeat(image[..., None], 3, axis=-1).astype(np.float32))
+            labs.append(seg)
+            if with_decoder:
+                targets.append(trafo(seg))
+        if with_decoder:
+            batches.append((np.stack(imgs), np.stack(labs), np.stack(targets)))
+        else:
+            batches.append((np.stack(imgs), np.stack(labs)))
+    return batches
+
+
+@pytest.fixture(scope="module")
+def tiny_trainable():
+    import jax
+    from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam
+    from micro_sam_tpu.training.trainable_sam import TrainableSAM
+
+    cfg = SamConfig(model_type="vit_b", embed_dim=64, depth=2, num_heads=2,
+                    global_attn_indexes=(1,), img_size=128)
+    params = init_sam_params(jax.random.PRNGKey(0), cfg)
+    return TrainableSAM(Sam(cfg, params))
+
+
+def test_convert_to_sam_inputs():
+    from micro_sam_tpu.training.util import ConvertToSamInputs
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    image, seg = synthetic_data(shape=(128, 128), seed=3, n_objects=4)
+    conv = ConvertToSamInputs()
+    out = conv(image[None], seg[None], n_objects=3, get_points=True, get_boxes=True)
+    images, gt, valid, points, labels, boxes = out
+    assert images.shape == (1, 128, 128, 3)
+    assert gt.shape[0] == 1 and gt.shape[1] <= 3
+    assert valid.shape == gt.shape[:2]
+    assert points.shape[:2] == gt.shape[:2]
+    assert boxes.shape[-1] == 4
+    # boxes xyxy within bounds
+    assert np.all(np.asarray(boxes) >= 0) and np.all(np.asarray(boxes) <= 128)
+
+
+def test_sam_trainer_smoke(tiny_trainable, tmp_path):
+    from micro_sam_tpu.training.sam_trainer import SamTrainer
+
+    loader = _make_loader(n_batches=2, size=128)
+    trainer = SamTrainer(
+        name="test-run", train_loader=loader, val_loader=loader[:1],
+        model=tiny_trainable, n_sub_iteration=2, n_objects_per_batch=3,
+        save_root=str(tmp_path),
+    )
+    p0 = np.asarray(tiny_trainable.params["mask_decoder"]["iou_token"]["w"]).copy()
+    trainer.fit(epochs=1, verbose=False)
+    p1 = np.asarray(tiny_trainable.params["mask_decoder"]["iou_token"]["w"])
+    assert not np.allclose(p0, p1), "Parameters did not change during training."
+    assert (tmp_path / "test-run" / "latest.pkl").exists()
+    assert (tmp_path / "test-run" / "best.pkl").exists()
+    assert np.isfinite(trainer.train_metrics[0]["train_loss"])
+
+
+def test_joint_sam_trainer_smoke(tiny_trainable, tmp_path):
+    import jax
+    from micro_sam_tpu.training.joint_sam_trainer import JointSamTrainer
+    from micro_sam_tpu.models.unetr import init_unetr_decoder
+
+    loader = _make_loader(n_batches=2, size=128, with_decoder=True)
+    unetr = init_unetr_decoder(jax.random.PRNGKey(7), embed_dim=256, out_channels=3)
+    trainer = JointSamTrainer(
+        name="joint-run", train_loader=loader, val_loader=loader[:1],
+        model=tiny_trainable, n_sub_iteration=2, n_objects_per_batch=2,
+        save_root=str(tmp_path), unetr=unetr,
+    )
+    trainer.fit(epochs=1, verbose=False)
+    import pickle
+    with open(tmp_path / "joint-run" / "latest.pkl", "rb") as f:
+        state = pickle.load(f)
+    assert "decoder_state" in state
+
+
+def test_dataset_and_loader():
+    from micro_sam_tpu.training.training import default_sam_loader
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    image, seg = synthetic_data(shape=(256, 256), seed=5)
+    loader = default_sam_loader(
+        raw_paths=[image], raw_key=None, label_paths=[seg], label_key=None,
+        patch_shape=(128, 128), with_segmentation_decoder=True, batch_size=1,
+        n_samples=2,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    raw, labels, targets = batches[0]
+    assert raw.shape[1:3] == (128, 128)
+    assert targets.shape[1] == 3
+    assert targets[0, 0].max() <= 1.0
+
+
+def test_train_sam_end_to_end(tmp_path):
+    """train_sam through the public API with a tiny custom model registry hack."""
+    from micro_sam_tpu.sample_data import synthetic_data
+    from micro_sam_tpu.training.training import default_sam_loader
+    from micro_sam_tpu.training import sam_trainer as st
+    from micro_sam_tpu.training.trainable_sam import TrainableSAM
+    from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam
+    import jax
+
+    image, seg = synthetic_data(shape=(256, 256), seed=9)
+    loader = default_sam_loader(
+        raw_paths=[image], raw_key=None, label_paths=[seg], label_key=None,
+        patch_shape=(128, 128), with_segmentation_decoder=False, batch_size=1,
+        n_samples=2,
+    )
+    cfg = SamConfig(model_type="vit_b", embed_dim=64, depth=2, num_heads=2,
+                    global_attn_indexes=(1,), img_size=128)
+    model = TrainableSAM(Sam(cfg, init_sam_params(jax.random.PRNGKey(1), cfg)))
+    trainer = st.SamTrainer(
+        name="e2e", train_loader=loader, val_loader=loader, model=model,
+        n_sub_iteration=2, n_objects_per_batch=2, save_root=str(tmp_path),
+    )
+    trainer.fit(epochs=1, verbose=False)
+
+
+def test_peft_lora_forward(tiny_trainable):
+    import jax
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.peft_sam import apply_peft, get_peft_mask
+    from micro_sam_tpu.models.sam import preprocess
+
+    sam = tiny_trainable.sam
+    params = apply_peft(sam.params, sam.config, rank=2, peft_module="lora")
+    assert "lora" in params["image_encoder"]["blocks"][0]["attn"]
+
+    x = jnp.zeros((1, 128, 128, 3))
+    px = preprocess(x, sam.config.img_size)
+    emb0 = sam.encode_image(sam.params, px)
+    emb1 = sam.encode_image(params, px)
+    # LoRA B starts at zero -> identical forward
+    assert np.allclose(np.asarray(emb0), np.asarray(emb1), atol=1e-6)
+
+    mask = get_peft_mask(params, "lora")
+    flat = jax.tree.leaves(mask["image_encoder"])
+    assert any(flat) and not all(flat)
+
+
+@pytest.mark.parametrize("module", ["ssf", "adaptformer", "bias_tuning"])
+def test_peft_variants(tiny_trainable, module):
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.peft_sam import apply_peft, get_peft_mask
+    from micro_sam_tpu.models.sam import preprocess
+
+    sam = tiny_trainable.sam
+    params = apply_peft(sam.params, sam.config, rank=2, peft_module=module)
+    x = jnp.zeros((1, 128, 128, 3))
+    emb = sam.encode_image(params, preprocess(x, sam.config.img_size))
+    assert np.isfinite(np.asarray(emb)).all()
+    get_peft_mask(params, module)
