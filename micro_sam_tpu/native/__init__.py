@@ -23,6 +23,13 @@ def _load_lib():
     if _LIB is not None:
         return _LIB
     so = os.path.join(os.path.dirname(__file__), "_postprocess.so")
+    if not os.path.exists(so):
+        # first use: try to build the C++ backend (g++ is part of the toolchain)
+        try:
+            from .build import build
+            build(verbose=False)
+        except Exception:
+            pass
     if os.path.exists(so):
         try:
             _LIB = ctypes.CDLL(so)
@@ -132,6 +139,16 @@ def seeded_watershed(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             msk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int64(hm.shape[0]), ctypes.c_int64(hm.shape[1]),
+        )
+        return out
+    if lib and hm.ndim == 3:
+        out = sd.copy()
+        lib.seeded_watershed_3d(
+            hm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            msk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(hm.shape[0]), ctypes.c_int64(hm.shape[1]),
+            ctypes.c_int64(hm.shape[2]),
         )
         return out
     return _watershed_py(hm, sd, msk)
@@ -254,6 +271,19 @@ def greedy_multicut(n_nodes: int, uv_ids: np.ndarray, costs: np.ndarray) -> np.n
     Positive cost = attractive (merge), negative = repulsive.
     Returns node labels (n_nodes,).
     """
+    uv = np.ascontiguousarray(uv_ids, dtype=np.int64).reshape(-1, 2)
+    cs = np.ascontiguousarray(costs, dtype=np.float64)
+    lib = _load_lib()
+    if lib:
+        out = np.zeros(n_nodes, dtype=np.int64)
+        lib.greedy_multicut(
+            ctypes.c_int64(n_nodes),
+            uv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(len(uv)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
     import heapq
     parent = np.arange(n_nodes, dtype=np.int64)
 
