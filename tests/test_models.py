@@ -109,3 +109,24 @@ def test_predictor_batched_prompts(tiny_predictor, synthetic_image):
     masks, iou, low = tiny_predictor.predict(box=boxes, multimask_output=False)
     assert masks.shape == (2, 1, 256, 256)
     assert iou.shape == (2, 1)
+
+
+def test_tiny_vit_vit_t():
+    """vit_t (TinyViT) builds and runs through the predictor."""
+    import numpy as np
+    from micro_sam_tpu.models.build_sam import build_sam
+    from micro_sam_tpu.predictor import SamPredictor
+    from dataclasses import replace
+
+    sam = build_sam("vit_t")
+    sam.config = replace(sam.config, img_size=256)  # small input for CPU speed
+    # re-init with the small size: TinyViT is resolution-agnostic, embeddings
+    # change spatial dims only
+    predictor = SamPredictor(sam)
+    image = (np.random.RandomState(0).rand(200, 256, 3) * 255).astype(np.uint8)
+    predictor.set_image(image)
+    assert predictor.features.shape == (1, 16, 16, 256)
+    masks, iou, low = predictor.predict(
+        point_coords=np.array([[100.0, 100.0]]), point_labels=np.array([1])
+    )
+    assert masks.shape == (3, 200, 256)
