@@ -1,0 +1,81 @@
+"""3d annotator (reference micro_sam/sam_annotator/annotator_3d.py)."""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from ._state import AnnotatorState
+from ._widgets import _require_napari
+from .. import util
+
+
+def annotator_3d(
+    image: np.ndarray,
+    embedding_path: Optional[Union[str, util.ImageEmbeddings]] = None,
+    segmentation_result: Optional[np.ndarray] = None,
+    model_type: str = util._DEFAULT_MODEL,
+    tile_shape: Optional[Tuple[int, int]] = None,
+    halo: Optional[Tuple[int, int]] = None,
+    return_viewer: bool = False,
+    viewer=None,
+    precompute_amg_state: bool = False,
+    checkpoint_path: Optional[str] = None,
+    device=None,
+    prefer_decoder: bool = True,
+):
+    """Start the 3d annotator (reference annotator_3d.py:50)."""
+    state = AnnotatorState()
+    state.image_shape = image.shape[:3]
+
+    if isinstance(embedding_path, dict):
+        state.image_embeddings = embedding_path
+        state.predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint_path)
+    else:
+        state.initialize_predictor(
+            image, model_type=model_type, save_path=embedding_path, ndim=3,
+            device=device, checkpoint_path=checkpoint_path, tile_shape=tile_shape,
+            halo=halo, precompute_amg_state=precompute_amg_state,
+            prefer_decoder=prefer_decoder,
+        )
+
+    _require_napari()
+    import napari
+    from ._annotator import Annotator3d
+
+    viewer = napari.Viewer() if viewer is None else viewer
+    viewer.add_image(image, name="image")
+    annotator = Annotator3d(viewer)
+    annotator._update_image(segmentation_result=segmentation_result)
+    viewer.window.add_dock_widget(annotator)
+    if return_viewer:
+        return viewer
+    napari.run()
+
+
+def main():
+    """@private CLI."""
+    import argparse
+    parser = argparse.ArgumentParser(description="Start the 3d annotator.")
+    parser.add_argument("-i", "--input_path", required=True)
+    parser.add_argument("-k", "--key", default=None)
+    parser.add_argument("-e", "--embedding_path", default=None)
+    parser.add_argument("-m", "--model_type", default=util._DEFAULT_MODEL)
+    parser.add_argument("-c", "--checkpoint", default=None)
+    parser.add_argument("--tile_shape", nargs="+", type=int, default=None)
+    parser.add_argument("--halo", nargs="+", type=int, default=None)
+    parser.add_argument("--precompute_amg_state", action="store_true")
+    args = parser.parse_args()
+
+    image = util.load_image_data(args.input_path, args.key)
+    annotator_3d(
+        image, embedding_path=args.embedding_path, model_type=args.model_type,
+        tile_shape=None if args.tile_shape is None else tuple(args.tile_shape),
+        halo=None if args.halo is None else tuple(args.halo),
+        checkpoint_path=args.checkpoint,
+        precompute_amg_state=args.precompute_amg_state,
+    )
+
+
+if __name__ == "__main__":
+    main()
