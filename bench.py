@@ -31,7 +31,7 @@ def main():
     params = init_sam_params(jax.random.PRNGKey(0), cfg)
     sam = Sam(cfg, params)
 
-    batch = 16 if on_tpu else 1
+    batch = 8 if on_tpu else 1
 
     @jax.jit
     def encode(params, pixels):
