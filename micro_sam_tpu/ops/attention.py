@@ -62,12 +62,16 @@ def attention_with_rel_pos(
     """Self-attention over an (H, W) token grid with decomposed rel-pos bias.
 
     q, k, v: (B, N, nH, hd) with N == H*W. Returns (B, N, nH, hd).
+
+    Dispatches to the Pallas flash kernel on TPU for both the global (N=4096)
+    and windowed (N=196) blocks — the einsum path materializes the rel-pos
+    bias as a 6d float32 tensor, which is HBM-bandwidth-bound even for small
+    windows.
     """
-    if _USE_PALLAS and q.shape[1] >= 1024:
+    if _USE_PALLAS and _on_tpu():
         try:
             from .flash_attention import flash_attention_rel_pos
-            if flash_attention_rel_pos is not None and _on_tpu():
-                return flash_attention_rel_pos(q, k, v, hw, rel_h, rel_w)
+            return flash_attention_rel_pos(q, k, v, hw, rel_h, rel_w)
         except ImportError:
             pass
     return _einsum_attention_rel_pos(q, k, v, hw, rel_h, rel_w)

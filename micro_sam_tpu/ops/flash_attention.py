@@ -37,27 +37,18 @@ NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
                   w: int, scale: float):
-    """One (batch*head, q-block) program.
+    """One (batch-group, q-block) program; loops over the heads folded into
+    axis 1 of the refs (1 for global blocks, nH for windows — fewer tiny
+    programs for the 25-windows-per-image case).
 
-    q_ref: (1, BQ, hd); k_ref/v_ref: (1, N, hd); rh_ref: (RQ, H, hd) — the
-    rel_pos_h rows for this q block (sliced by the BlockSpec index map);
-    rw_ref: (W, W, hd); o_ref: (1, BQ, hd).
+    q_ref: (1, HPP, BQ, hd); k_ref/v_ref: (1, HPP, N, hd); rh_ref:
+    (RQ, H, hd) — the rel_pos_h rows for this q block (sliced by the BlockSpec
+    index map); rw_ref: (W, W, hd); o_ref: (1, HPP, BQ, hd).
     """
-    _, bq, hd = q_ref.shape
-    n = k_ref.shape[1]
+    _, hpp, bq, hd = q_ref.shape
+    n = k_ref.shape[2]
     rq = bq // w           # q token rows in this block
     rk = block_k // w      # k token rows per k block
-
-    q = q_ref[0].astype(jnp.float32)             # (BQ, hd)
-    q_rows = q.reshape(rq, w, hd)
-
-    # Per-block rel-pos width projection (tiny matmul, shared over k blocks).
-    rw = rw_ref[:].astype(jnp.float32)           # (W, W, hd)
-    q_rw = jax.lax.dot_general(                  # (W, RQ, W) -> (RQ, W, W)
-        q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).transpose(1, 0, 2)
-    q_rw2d = q_rw.reshape(bq, w)                 # merge leading dims (lowerable)
 
     # Bias expansion without 4D reshapes (Mosaic can't shape-cast those):
     #   bias = q_rh2d @ E + q_rw2d @ T
@@ -70,77 +61,96 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
     kcol_w = jax.lax.broadcasted_iota(jnp.int32, (w, block_k), 1)
     tile_cols = (kcol_w % w == jax.lax.broadcasted_iota(jnp.int32, (w, block_k), 0)
                  ).astype(jnp.float32)
-    bias_w = jax.lax.dot_general(                # (BQ, BK), constant over k rows
-        q_rw2d, tile_cols, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
-    q_scaled = q * scale
+    rw = rw_ref[:].astype(jnp.float32)           # (W, W, hd)
 
-    def body(j, carry):
-        m_prev, l_prev, acc_prev = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+    for h in range(hpp):  # static unroll over the heads folded into this program
+        q = q_ref[0, h].astype(jnp.float32)      # (BQ, hd)
+        q_rows = q.reshape(rq, w, hd)
 
-        logits = jax.lax.dot_general(
-            q_scaled, k_blk, (((1,), (1,)), ((), ())),
+        # Per-block rel-pos width projection (tiny matmul, shared over k blocks).
+        q_rw = jax.lax.dot_general(              # (W, RQ, W) -> (RQ, W, W)
+            q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
-
-        # rel-pos height projection for this k block: Rh rows [j*rk, j*rk+rk)
-        rh_blk = rh_ref[:, pl.ds(j * rk, rk), :].astype(jnp.float32)  # (RQ, RK, hd)
-        q_rh_blk = jax.lax.dot_general(                                # (RQ, W, RK)
-            q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
+        ).transpose(1, 0, 2)
+        q_rw2d = q_rw.reshape(bq, w)             # merge leading dims (lowerable)
+        bias_w = jax.lax.dot_general(            # (BQ, BK), constant over k rows
+            q_rw2d, tile_cols, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        q_rh2d = q_rh_blk.reshape(bq, rk)
-        bias_h = jax.lax.dot_general(
-            q_rh2d, expand_rows, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        logits = logits + bias_h + bias_w
 
-        m_cur = jnp.max(logits, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new[:, None])
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1)
-        acc_new = acc_prev * alpha[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
+        q_scaled = q * scale
 
-    m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq,), dtype=jnp.float32)
-    acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+        def body(j, carry):
+            m_prev, l_prev, acc_prev = carry
+            k_blk = k_ref[0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+            v_blk = v_ref[0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+
+            logits = jax.lax.dot_general(
+                q_scaled, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, BK)
+
+            # rel-pos height projection for this k block: Rh rows [j*rk, j*rk+rk)
+            rh_blk = rh_ref[:, pl.ds(j * rk, rk), :].astype(jnp.float32)  # (RQ, RK, hd)
+            q_rh_blk = jax.lax.dot_general(                                # (RQ, W, RK)
+                q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            q_rh2d = q_rh_blk.reshape(bq, rk)
+            bias_h = jax.lax.dot_general(
+                q_rh2d, expand_rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits_b = logits + bias_h + bias_w
+
+            m_cur = jnp.max(logits_b, axis=-1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(logits_b - m_new[:, None])
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+            acc_new = acc_prev * alpha[:, None] + jax.lax.dot_general(
+                p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
+        l0 = jnp.zeros((bq,), dtype=jnp.float32)
+        acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
+        o_ref[0, h] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, rel_h, rel_w, hw, block_q=512, block_k=512):
-    """q, k, v: (BH, N, hd); rel_h: (H, H, hd); rel_w: (W, W, hd)."""
-    BH, N, hd = q.shape
+def _flash_forward(q, k, v, rel_h, rel_w, hw, block_q=512, block_k=512,
+                   heads_per_program=1):
+    """q, k, v: (BG, HPP, N, hd); rel_h: (H, H, hd); rel_w: (W, W, hd).
+
+    heads_per_program > 1 folds heads into the kernel loop — used for the
+    small-window blocks where per-program overhead would otherwise dominate.
+    """
+    BG, HPP, N, hd = q.shape
     H, W = hw
     assert N == H * W, f"{N} != {H}*{W}"
+    assert HPP == heads_per_program
     block_q = min(block_q, N)
     block_k = min(block_k, N)
     assert block_q % W == 0 and block_k % W == 0 and N % block_q == 0 and N % block_k == 0
     rq = block_q // W
 
-    grid = (BH, N // block_q)
+    grid = (BG, N // block_q)
     kernel = functools.partial(_flash_kernel, block_k=block_k, w=W, scale=hd ** -0.5)
     interpret = jax.default_backend() == "cpu"  # CPU tests run the interpreter
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, N, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, N, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, HPP, block_q, hd), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, HPP, N, hd), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, HPP, N, hd), lambda b, i: (b, 0, 0, 0)),
             pl.BlockSpec((rq, H, hd), lambda b, i: (i, 0, 0)),
             pl.BlockSpec((W, W, hd), lambda b, i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, HPP, block_q, hd), lambda b, i: (b, 0, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
     )(q, k, v, rel_h, rel_w)
@@ -154,10 +164,14 @@ def flash_attention_rel_pos_core(q, k, v, rel_h, rel_w, hw):
 def _flash_impl(q, k, v, rel_h, rel_w, hw):
     """q, k, v: (B, N, nH, hd) -> (B, N, nH, hd)."""
     B, N, nH, hd = q.shape
-    qt = q.transpose(0, 2, 1, 3).reshape(B * nH, N, hd)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * nH, N, hd)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * nH, N, hd)
-    out = _flash_forward(qt, kt, vt, rel_h.astype(q.dtype), rel_w.astype(q.dtype), hw)
+    # Fold heads into the program for small (window-sized) attention; keep
+    # one head per program for the big global blocks (VMEM k/v footprint).
+    hpp = nH if N <= 1024 else 1
+    qt = q.transpose(0, 2, 1, 3).reshape(B * nH // hpp, hpp, N, hd)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * nH // hpp, hpp, N, hd)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * nH // hpp, hpp, N, hd)
+    out = _flash_forward(qt, kt, vt, rel_h.astype(q.dtype), rel_w.astype(q.dtype), hw,
+                         heads_per_program=hpp)
     return out.reshape(B, nH, N, hd).transpose(0, 2, 1, 3)
 
 

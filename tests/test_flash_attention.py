@@ -27,3 +27,25 @@ def test_flash_matches_einsum(with_rel):
     out = flash_attention_rel_pos(q, k, v, (H, W), rel_h, rel_w)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5), \
         np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+
+def test_flash_window_size():
+    """Window-sized attention (N=196, W=14) through the kernel path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from micro_sam_tpu.ops.attention import _einsum_attention_rel_pos
+    from micro_sam_tpu.ops.flash_attention import flash_attention_rel_pos
+
+    H = W = 14
+    N, nH, hd = H * W, 4, 32
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(3, N, nH, hd).astype(np.float32) * 0.4)
+    k = jnp.asarray(rng.randn(3, N, nH, hd).astype(np.float32) * 0.4)
+    v = jnp.asarray(rng.randn(3, N, nH, hd).astype(np.float32))
+    rel_h = jnp.asarray(rng.randn(H, H, hd).astype(np.float32) * 0.2)
+    rel_w = jnp.asarray(rng.randn(W, W, hd).astype(np.float32) * 0.2)
+
+    ref = _einsum_attention_rel_pos(q, k, v, (H, W), rel_h, rel_w)
+    out = flash_attention_rel_pos(q, k, v, (H, W), rel_h, rel_w)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5), \
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
