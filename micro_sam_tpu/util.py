@@ -974,3 +974,30 @@ def apply_nms(
     else:
         segmentation = np.zeros(shape, dtype="uint32")
     return segmentation
+
+
+def export_custom_qlora_model(
+    checkpoint_path: Optional[str],
+    finetuned_path: str,
+    model_type: str,
+    save_path: str,
+) -> None:
+    """Export a QLoRA-finetuned checkpoint to a LoRA checkpoint usable with
+    get_sam_model(peft_kwargs=...) (reference util.py:545): dequantizes the
+    bf16 base weights back to float32 and keeps the LoRA parameters."""
+    import pickle
+
+    with open(finetuned_path, "rb") as f:
+        state = pickle.load(f)
+    params = state["model_state"] if "model_state" in state else state
+
+    def dequantize(x):
+        arr = np.asarray(x)
+        if arr.dtype == np.dtype("bfloat16") or str(arr.dtype) == "bfloat16":
+            return arr.astype(np.float32)
+        return arr
+
+    params = jax.tree.map(dequantize, params)
+    out = {"model_state": params, "model_type": model_type, "peft_module": "lora"}
+    with open(save_path, "wb") as f:
+        pickle.dump(out, f)
