@@ -71,6 +71,32 @@ def main():
         lat.append(time.perf_counter() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
 
+    # AMG throughput: grid decode via the device-side packed pipeline
+    amg_masks_per_sec = None
+    if on_tpu:
+        from micro_sam_tpu.predictor import SamPredictor, _AmgDecoder
+        predictor = SamPredictor(sam)
+        predictor.set_features(feats[:1], (1024, 1024), (1024, 1024))
+        # threshold 2.0: random-init logits produce ~real-world mask sparsity
+        decoder_amg = _AmgDecoder(predictor, mask_threshold=2.0)
+        from micro_sam_tpu.ops.amg_utils import build_point_grid
+        from micro_sam_tpu import native
+        grid_pts = (build_point_grid(32) * 1024).astype(np.float32)
+        ppb = 256
+        # warmup one batch
+        decoder_amg(grid_pts[:ppb])
+        t0 = time.perf_counter()
+        n_masks = 0
+        for s in range(0, len(grid_pts), ppb):
+            chunk = grid_pts[s:s + ppb]
+            if len(chunk) < ppb:
+                break
+            packed, iou, stab, boxes = decoder_amg(chunk)
+            rles = native.rle_from_packed(packed, 1024, 1024)
+            n_masks += len(rles)
+        amg_dt = time.perf_counter() - t0
+        amg_masks_per_sec = n_masks / amg_dt
+
     result = {
         "metric": "vit_b_1024px_embed_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 3),
@@ -78,6 +104,7 @@ def main():
         "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC_PER_CHIP, 3),
         "extra": {
             "decode_p50_ms": round(p50_ms, 3),
+            "amg_masks_per_sec": None if amg_masks_per_sec is None else round(amg_masks_per_sec, 1),
             "platform": platform,
             "batch": batch,
             "compute_dtype": cfg.compute_dtype,

@@ -242,16 +242,40 @@ class AutomaticMaskGenerator(AMGBase):
         self._crop_overlap_ratio = crop_overlap_ratio
         self._crop_n_points_downscale_factor = crop_n_points_downscale_factor
         self._stability_score_offset = stability_score_offset
+        self._amg_decoder = None
 
     def _process_batch(self, points, im_size, crop_box, original_size):
-        # one prompt per point; the predictor pads/batches into a single jit call
-        masks, iou_preds, _ = self._predictor.predict(
-            point_coords=points[:, None, :],
-            point_labels=np.ones((len(points), 1), dtype=np.int32),
-            multimask_output=True,
-            return_logits=True,
+        # Device-side fast path: decode + threshold + stability + boxes +
+        # bit-packing in ONE jit program; only packed bool masks reach the
+        # host (~32x less transfer than float masks).
+        from .predictor import _AmgDecoder
+        if self._amg_decoder is None or self._amg_decoder.predictor is not self._predictor:
+            self._amg_decoder = _AmgDecoder(self._predictor, self._stability_score_offset)
+
+        transformed = self._predictor.transform.apply_coords(points, im_size)
+        packed, iou_preds, stability, boxes = self._amg_decoder(
+            transformed.astype(np.float32)
         )
-        return self._to_mask_data(masks, iou_preds, crop_box, original_size, points=points)
+
+        orig_h, orig_w = original_size
+        crop_h, crop_w = self._predictor.original_size
+        C = iou_preds.shape[1]
+        data = MaskData(iou_preds=np.asarray(iou_preds).reshape(-1))
+        data["points"] = np.repeat(np.asarray(points), C, axis=0).astype(np.float64)
+        data["stability_score"] = np.asarray(stability).reshape(-1)
+        data["boxes"] = np.asarray(boxes).reshape(-1, 4)
+
+        is_full_frame = (crop_box == [0, 0, orig_w, orig_h]) or \
+            (tuple(crop_box) == (0, 0, orig_w, orig_h))
+        if is_full_frame:
+            # RLE straight from the packed device bitstream (no unpack)
+            data["rles"] = native.rle_from_packed(packed, crop_h, crop_w)
+        else:
+            bits = np.unpackbits(packed, axis=-1)[..., :crop_h]
+            masks = bits.reshape(-1, crop_w, crop_h).transpose(0, 2, 1).astype(bool)
+            masks = amg_utils.uncrop_masks(masks, crop_box, orig_h, orig_w)
+            data["rles"] = amg_utils.batched_mask_to_rle(masks)
+        return data
 
     def _process_crop(self, image, crop_box, crop_layer_idx, precomputed_embeddings,
                       pbar_init=None, pbar_update=None):

@@ -33,6 +33,8 @@ def _load_lib():
     if os.path.exists(so):
         try:
             _LIB = ctypes.CDLL(so)
+            for fn in ("label_multilabel_2d", "rle_encode_colmajor", "rle_encode_packed"):
+                getattr(_LIB, fn).restype = ctypes.c_int64
         except OSError:
             _LIB = False
     else:
@@ -320,3 +322,49 @@ def greedy_multicut(n_nodes: int, uv_ids: np.ndarray, costs: np.ndarray) -> np.n
     labels = np.array([find(i) for i in range(n_nodes)], dtype=np.int64)
     _, labels = np.unique(labels, return_inverse=True)
     return labels
+
+
+def rle_from_packed(packed: np.ndarray, h: int, w: int) -> List[Dict]:
+    """RLE records from device-packed masks.
+
+    packed: (N, W, ceil(H/8)) uint8 — ``packbits`` of the *transposed* (w, h)
+    mask along the last axis, MSB-first. When h is a multiple of 8 the bytes
+    form the exact Fortran-order bitstream and the C++ encoder scans them
+    directly; otherwise the per-column pad bits are stripped first.
+    """
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    n = len(packed)
+    n_bits = h * w
+    if packed.ndim == 2:
+        packed = packed.reshape(n, w, -1)
+
+    lib = _load_lib()
+    if lib and h % 8 == 0:
+        counts_buf = np.zeros(n_bits + 2, dtype=np.int64)
+        out = []
+        for row in packed.reshape(n, -1):
+            cnt = lib.rle_encode_packed(
+                row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(n_bits),
+                counts_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            out.append({"size": [h, w], "counts": counts_buf[:cnt].copy()})
+        return out
+
+    # general path: strip per-column padding, then scan the exact bitstream
+    bits = np.unpackbits(packed, axis=-1)[..., :h]   # (N, W, H)
+    if lib:
+        counts_buf = np.zeros(n_bits + 2, dtype=np.int64)
+        out = []
+        streams = np.packbits(bits.reshape(n, -1), axis=-1)
+        for row in streams:
+            cnt = lib.rle_encode_packed(
+                row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(n_bits),
+                counts_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            out.append({"size": [h, w], "counts": counts_buf[:cnt].copy()})
+        return out
+    from ..ops.amg_utils import mask_to_rle
+    masks = bits.transpose(0, 2, 1).astype(bool)
+    return [mask_to_rle(m) for m in masks]

@@ -277,3 +277,42 @@ void greedy_multicut(int64_t n_nodes, const int64_t* uv_ids, const double* costs
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// RLE directly from an MSB-first packed bitstream (COCO layout: runs start
+// with zeros). Used by the AMG device pipeline: masks are transposed and
+// bit-packed on the TPU so the packed bytes are already in Fortran order.
+// counts must have room for n_bits + 2 entries. Returns #counts.
+// ---------------------------------------------------------------------------
+
+int64_t rle_encode_packed(const uint8_t* bits, int64_t n_bits, int64_t* counts) {
+    int64_t n_counts = 0;
+    uint8_t current = 0;
+    int64_t run = 0;
+    const int64_t n_bytes = n_bits / 8;
+    for (int64_t i = 0; i < n_bytes; ++i) {
+        const uint8_t byte = bits[i];
+        if (byte == 0x00 && current == 0) { run += 8; continue; }
+        if (byte == 0xFF && current == 1) { run += 8; continue; }
+        for (int b = 7; b >= 0; --b) {
+            const uint8_t v = (byte >> b) & 1;
+            if (v == current) {
+                ++run;
+            } else {
+                counts[n_counts++] = run;
+                current = v;
+                run = 1;
+            }
+        }
+    }
+    for (int64_t i = n_bytes * 8; i < n_bits; ++i) {
+        const uint8_t v = (bits[i / 8] >> (7 - (i % 8))) & 1;
+        if (v == current) { ++run; } else { counts[n_counts++] = run; current = v; run = 1; }
+    }
+    counts[n_counts++] = run;
+    return n_counts;
+}
+
+}  // extern "C"

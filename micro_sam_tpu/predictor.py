@@ -263,3 +263,84 @@ class SamPredictor:
                         mask_input=None, multimask_output=True, return_logits=False):
         return self.predict(point_coords, point_labels, boxes, mask_input,
                             multimask_output, return_logits)
+
+
+# ---------------------------------------------------------------------------
+# Device-side AMG fast path
+# ---------------------------------------------------------------------------
+
+def _amg_decode_impl(model, params, features, points, labels, mask_threshold,
+                     stability_offset, input_size, original_size):
+    """Decode point prompts and reduce on device: thresholded masks are
+    bit-packed, stability scores / IoU / boxes computed in-graph. Transfers
+    ~32x less data than shipping float32 masks to the host."""
+    import jax
+    import jax.numpy as jnp
+    from .models.sam import postprocess_masks
+    from .ops.amg_utils import batched_mask_to_box, calculate_stability_score
+
+    low_res, iou_pred = model.decode_masks(params, features, points, labels)
+    masks = postprocess_masks(low_res, input_size, original_size, model.config.img_size)
+    masks = masks[:, 1:]      # multimask outputs
+    iou_pred = iou_pred[:, 1:]
+
+    stability = calculate_stability_score(masks, mask_threshold, stability_offset)
+    bool_masks = masks > mask_threshold
+    boxes = batched_mask_to_box(bool_masks)
+
+    # pack the TRANSPOSED masks so the packed bytes form the Fortran-order
+    # bitstream each RLE needs (native.rle_from_packed decodes it directly)
+    B, C, H, W = bool_masks.shape
+    transposed = bool_masks.transpose(0, 1, 3, 2)  # (B, C, W, H)
+    pad_h = (-H) % 8
+    if pad_h:
+        transposed = jnp.pad(transposed, ((0, 0), (0, 0), (0, 0), (0, pad_h)))
+    packed = jnp.packbits(transposed.reshape(B * C, W, -1), axis=-1)
+    return packed, iou_pred, stability, boxes
+
+
+class _AmgDecoder:
+    """Cached jitted AMG decode programs per (batch, original_size)."""
+
+    def __init__(self, predictor: "SamPredictor", stability_offset: float = 1.0,
+                 mask_threshold: float = 0.0):
+        self.predictor = predictor
+        self.stability_offset = stability_offset
+        self.mask_threshold = mask_threshold
+        self._jit = None
+
+    def __call__(self, points_xy: np.ndarray) -> tuple:
+        """points_xy: (B, 2) transformed (1024-frame) xy coords.
+
+        Returns numpy (bool_masks (B, 3, H, W), iou (B, 3), stability (B, 3),
+        boxes (B, 3, 4)).
+        """
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        pred = self.predictor
+        if self._jit is None:
+            self._jit = jax.jit(
+                functools.partial(_amg_decode_impl, pred.model),
+                static_argnames=("mask_threshold", "stability_offset",
+                                 "input_size", "original_size"),
+            )
+        B = points_xy.shape[0]
+        pts = np.concatenate(
+            [points_xy[:, None, :], np.zeros((B, 1, 2), np.float32)], axis=1
+        )
+        lbl = np.concatenate(
+            [np.ones((B, 1), np.int32), -np.ones((B, 1), np.int32)], axis=1
+        )
+        feats = pred.features
+        if feats.shape[0] != B:
+            feats = jnp.broadcast_to(feats, (B,) + feats.shape[1:])
+        packed, iou, stability, boxes = self._jit(
+            pred.model.params, feats, jnp.asarray(pts), jnp.asarray(lbl),
+            mask_threshold=self.mask_threshold, stability_offset=self.stability_offset,
+            input_size=tuple(pred.input_size), original_size=tuple(pred.original_size),
+        )
+        # packed: (B*3, W, ceil(H/8)) Fortran-order bitstreams (see
+        # native.rle_from_packed); stays packed — RLE reads the bits directly.
+        return np.asarray(packed), np.asarray(iou), np.asarray(stability), np.asarray(boxes)
