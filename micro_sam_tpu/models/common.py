@@ -118,13 +118,14 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME",
     """NHWC conv with HWIO kernel."""
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # NOTE: no preferred_element_type here — the conv VJP would emit a mixed
+    # bf16/f32 conv (unsupported); the TPU conv unit accumulates in f32 anyway.
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
@@ -146,14 +147,17 @@ def init_conv_transpose(key, kh: int, kw: int, in_ch: int, out_ch: int,
 
 def conv_transpose2d(p: Params, x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
     """NHWC transposed conv; kernel (kh, kw, out, in) with torch
-    ``ConvTranspose2d(kernel=s, stride=s)`` semantics (verified vs torch)."""
+    ``ConvTranspose2d(kernel=s, stride=s)`` semantics (verified vs torch).
+
+    Computed in float32 (same-dtype operands): the conv_transpose VJP cannot
+    mix a float32 ``preferred_element_type`` cotangent with bf16 operands.
+    """
     y = jax.lax.conv_transpose(
-        x, p["w"].astype(x.dtype),
+        x.astype(jnp.float32), p["w"].astype(jnp.float32),
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
