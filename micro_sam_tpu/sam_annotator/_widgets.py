@@ -202,3 +202,66 @@ def create_embedding_widget():
         "The Qt EmbeddingWidget is pending; use AnnotatorState.initialize_predictor "
         "for programmatic initialization."
     )
+
+
+def commit_to_file(
+    path: str,
+    committed_objects: np.ndarray,
+    current_segmentation: np.ndarray,
+    point_prompts=None,
+    shape_prompts=None,
+    data_signature: Optional[str] = None,
+    preserve_mode: str = "objects",
+    z_range: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
+    """Commit into a persistent zarr commit file (reference _widgets.py:588):
+    committed_objects dataset, per-object prompt groups, commit_history attr
+    and a data-signature guard."""
+    import json
+    from ..utils import zarr_lite
+
+    f = zarr_lite.open(str(path), mode="a")
+
+    # data signature guard: refuse to mix commits from different images
+    saved_sig = f.attrs.get("data_signature")
+    if saved_sig is not None and data_signature is not None and saved_sig != data_signature:
+        raise RuntimeError(
+            f"The commit file at {path} was created for data with signature "
+            f"{saved_sig}, but the current data has signature {data_signature}."
+        )
+    if data_signature is not None:
+        f.attrs["data_signature"] = data_signature
+
+    committed = commit_segmentation(
+        committed_objects, current_segmentation, preserve_mode, z_range
+    )
+
+    ds = f.require_dataset(
+        "committed_objects", shape=committed.shape, dtype="uint32",
+        chunks=(min(512, committed.shape[-2]), min(512, committed.shape[-1]))
+        if committed.ndim == 2 else None,
+    )
+    ds[...] = committed.astype(np.uint32)
+
+    # record the prompts that produced this commit
+    new_ids = sorted(
+        set(np.unique(committed).tolist()) - set(np.unique(committed_objects).tolist())
+    )
+    prompt_group = f.require_group("prompts")
+    for oid in new_ids:
+        g = prompt_group.require_group(f"object-{oid}")
+        if point_prompts is not None and len(point_prompts.data):
+            g.create_dataset("points", data=np.asarray(point_prompts.data, dtype="float32"),
+                             overwrite=True)
+            labels = point_prompts.properties.get("label")
+            if labels is not None:
+                g.attrs["point_labels"] = [str(l) for l in labels]
+        if shape_prompts is not None and len(shape_prompts.data):
+            for k, box in enumerate(shape_prompts.data):
+                g.create_dataset(f"box-{k}", data=np.asarray(box, dtype="float32"),
+                                 overwrite=True)
+
+    history = f.attrs.get("commit_history", [])
+    history.append({"new_ids": [int(i) for i in new_ids]})
+    f.attrs["commit_history"] = history
+    return committed

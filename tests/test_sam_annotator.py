@@ -192,3 +192,38 @@ def test_object_classifier_workflow(tiny_predictor, synthetic_image):
     pred = wf.train_and_predict()
     assert pred.shape == seg.shape
     assert set(np.unique(pred)) <= {0, 1, 2}
+
+
+def test_commit_to_file(tmp_path):
+    from micro_sam_tpu.sam_annotator._widgets import commit_to_file
+    from micro_sam_tpu.sam_annotator.util import PointData
+    from micro_sam_tpu.utils import zarr_lite
+    import pytest as _pytest
+
+    committed = np.zeros((32, 32), dtype=np.uint32)
+    seg = np.zeros_like(committed)
+    seg[4:12, 4:12] = 1
+    points = PointData(data=np.array([[8.0, 8.0]]),
+                       properties={"label": np.array(["positive"])})
+
+    path = str(tmp_path / "commit.zarr")
+    out = commit_to_file(path, committed, seg, point_prompts=points,
+                         data_signature="sig-1")
+    assert out.max() == 1
+
+    f = zarr_lite.open(path, mode="r")
+    assert np.array_equal(f["committed_objects"][...], out)
+    assert f.attrs["commit_history"] == [{"new_ids": [1]}]
+    assert "object-1" in f["prompts"]
+
+    # second commit with a different object
+    seg2 = np.zeros_like(committed)
+    seg2[20:30, 20:30] = 3
+    out2 = commit_to_file(path, out, seg2, data_signature="sig-1")
+    assert set(np.unique(out2)) == {0, 1, 2}
+    f = zarr_lite.open(path, mode="r")
+    assert len(f.attrs["commit_history"]) == 2
+
+    # signature guard
+    with _pytest.raises(RuntimeError):
+        commit_to_file(path, out2, seg, data_signature="other-sig")
