@@ -107,18 +107,28 @@ Store = Union[MemoryStore, DirectoryStore]
 # ---------------------------------------------------------------------------
 
 class Attributes:
-    def __init__(self, store: Store, prefix: str):
+    def __init__(self, store: Store, prefix: str, zarr_format: int = 2):
         self._store = store
-        self._key = f"{prefix}.zattrs" if prefix else ".zattrs"
+        self._format = zarr_format
+        if zarr_format == 3:
+            self._key = f"{prefix}zarr.json" if prefix else "zarr.json"
+        else:
+            self._key = f"{prefix}.zattrs" if prefix else ".zattrs"
 
     def _read(self) -> Dict[str, Any]:
         try:
-            return json.loads(self._store[self._key].decode())
+            doc = json.loads(self._store[self._key].decode())
         except KeyError:
             return {}
+        return doc.get("attributes", {}) if self._format == 3 else doc
 
     def _write(self, attrs: Dict[str, Any]) -> None:
-        self._store[self._key] = json.dumps(attrs, indent=1).encode()
+        if self._format == 3:
+            doc = json.loads(self._store[self._key].decode())
+            doc["attributes"] = attrs
+            self._store[self._key] = json.dumps(doc, indent=1).encode()
+        else:
+            self._store[self._key] = json.dumps(attrs, indent=1).encode()
 
     def __getitem__(self, name: str) -> Any:
         return self._read()[name]
@@ -157,17 +167,42 @@ def _normalize_dtype_str(dtype: np.dtype) -> str:
     return dtype.str
 
 
+_V3_DTYPES = {
+    "float32": "<f4", "float64": "<f8", "float16": "<f2",
+    "uint8": "|u1", "uint16": "<u2", "uint32": "<u4", "uint64": "<u8",
+    "int8": "|i1", "int16": "<i2", "int32": "<i4", "int64": "<i8", "bool": "|b1",
+}
+_V3_DTYPES_INV = {
+    np.dtype(v).name: k for k, v in _V3_DTYPES.items()
+}
+
+
 class Array:
-    def __init__(self, store: Store, prefix: str):
+    def __init__(self, store: Store, prefix: str, zarr_format: Optional[int] = None):
         self._store = store
         self._prefix = prefix
-        meta = json.loads(store[f"{prefix}.zarray" if prefix else ".zarray"].decode())
-        self.shape = tuple(meta["shape"])
-        self.chunks = tuple(meta["chunks"])
-        self.dtype = np.dtype(meta["dtype"])
-        self._compressor = meta.get("compressor")
-        self._fill_value = meta.get("fill_value", 0)
-        self.attrs = Attributes(store, prefix)
+        if zarr_format is None:
+            zarr_format = 3 if (f"{prefix}zarr.json" if prefix else "zarr.json") in store else 2
+        self._format = zarr_format
+        if zarr_format == 3:
+            meta = json.loads(store[f"{prefix}zarr.json" if prefix else "zarr.json"].decode())
+            assert meta.get("node_type") == "array", f"not an array at {prefix}"
+            self.shape = tuple(meta["shape"])
+            self.chunks = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
+            self.dtype = np.dtype(_V3_DTYPES.get(meta["data_type"], meta["data_type"]))
+            codecs = [c["name"] for c in meta.get("codecs", [])]
+            self._compressor = {"id": "gzip", "level": 1} if "gzip" in codecs else None
+            self._fill_value = meta.get("fill_value", 0)
+            sep = meta.get("chunk_key_encoding", {}).get("configuration", {}).get("separator", "/")
+            self._v3_sep = sep
+        else:
+            meta = json.loads(store[f"{prefix}.zarray" if prefix else ".zarray"].decode())
+            self.shape = tuple(meta["shape"])
+            self.chunks = tuple(meta["chunks"])
+            self.dtype = np.dtype(meta["dtype"])
+            self._compressor = meta.get("compressor")
+            self._fill_value = meta.get("fill_value", 0)
+        self.attrs = Attributes(store, prefix, zarr_format)
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -187,11 +222,32 @@ class Array:
         dtype,
         compressor: Optional[str] = "zlib",
         fill_value: Any = 0,
+        zarr_format: int = 2,
     ) -> "Array":
         shape = tuple(int(s) for s in shape)
         if chunks is None:
             chunks = shape if shape else (1,)
         chunks = tuple(min(int(c), s) if s > 0 else int(c) for c, s in zip(chunks, shape))
+        if zarr_format == 3:
+            codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+            if compressor not in (None, "none", "raw"):
+                codecs.append({"name": "gzip", "configuration": {"level": 1}})
+            meta = {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": list(shape),
+                "data_type": _V3_DTYPES_INV.get(np.dtype(dtype).name, np.dtype(dtype).name),
+                "chunk_grid": {"name": "regular",
+                               "configuration": {"chunk_shape": list(chunks)}},
+                "chunk_key_encoding": {"name": "default",
+                                       "configuration": {"separator": "/"}},
+                "fill_value": fill_value,
+                "codecs": codecs,
+                "attributes": {},
+            }
+            store[f"{prefix}zarr.json" if prefix else "zarr.json"] = \
+                json.dumps(meta, indent=1).encode()
+            return Array(store, prefix, zarr_format=3)
         if compressor == "zlib":
             comp_meta = {"id": "zlib", "level": 1}
         elif compressor in (None, "none", "raw"):
@@ -209,22 +265,32 @@ class Array:
             "filters": None,
         }
         store[f"{prefix}.zarray" if prefix else ".zarray"] = json.dumps(meta, indent=1).encode()
-        return Array(store, prefix)
+        return Array(store, prefix, zarr_format=2)
 
     # -- chunk io ----------------------------------------------------------
     def _chunk_key(self, idx: Tuple[int, ...]) -> str:
+        if self._format == 3:
+            name = "c" + "".join(f"{self._v3_sep}{i}" for i in idx) if idx else "c"
+            return f"{self._prefix}{name}"
         name = ".".join(str(i) for i in idx) if idx else "0"
         return f"{self._prefix}{name}"
 
     def _decode(self, raw: bytes) -> np.ndarray:
         if self._compressor is not None:
-            raw = zlib.decompress(raw)
+            if self._compressor.get("id") == "gzip":
+                raw = zlib.decompress(raw, wbits=47)  # gzip or zlib framing
+            else:
+                raw = zlib.decompress(raw)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
 
     def _encode(self, chunk: np.ndarray) -> bytes:
         raw = np.ascontiguousarray(chunk, dtype=self.dtype).tobytes()
         if self._compressor is not None:
-            raw = zlib.compress(raw, self._compressor.get("level", 1))
+            if self._compressor.get("id") == "gzip":
+                co = zlib.compressobj(self._compressor.get("level", 1), wbits=31)
+                raw = co.compress(raw) + co.flush()
+            else:
+                raw = zlib.compress(raw, self._compressor.get("level", 1))
         return raw
 
     def _read_chunk(self, idx: Tuple[int, ...]) -> np.ndarray:
@@ -320,13 +386,28 @@ class Array:
 # ---------------------------------------------------------------------------
 
 class Group:
-    def __init__(self, store: Store, prefix: str = ""):
+    def __init__(self, store: Store, prefix: str = "", zarr_format: Optional[int] = None):
         self._store = store
         self._prefix = prefix
-        key = f"{prefix}.zgroup" if prefix else ".zgroup"
-        if key not in store:
-            store[key] = json.dumps({"zarr_format": 2}).encode()
-        self.attrs = Attributes(store, prefix)
+        v3_key = f"{prefix}zarr.json" if prefix else "zarr.json"
+        v2_key = f"{prefix}.zgroup" if prefix else ".zgroup"
+        if zarr_format is None:
+            if v3_key in store:
+                zarr_format = 3
+            elif v2_key in store:
+                zarr_format = 2
+            else:
+                zarr_format = 2
+        self._format = zarr_format
+        if zarr_format == 3:
+            if v3_key not in store:
+                store[v3_key] = json.dumps(
+                    {"zarr_format": 3, "node_type": "group", "attributes": {}}, indent=1
+                ).encode()
+        else:
+            if v2_key not in store:
+                store[v2_key] = json.dumps({"zarr_format": 2}).encode()
+        self.attrs = Attributes(store, prefix, zarr_format)
 
     @property
     def store(self) -> Store:
@@ -338,14 +419,20 @@ class Group:
 
     def __contains__(self, name: str) -> bool:
         p = self._child_prefix(name)
-        return f"{p}.zarray" in self._store or f"{p}.zgroup" in self._store
+        return (f"{p}.zarray" in self._store or f"{p}.zgroup" in self._store
+                or f"{p}zarr.json" in self._store)
 
     def __getitem__(self, name: str) -> Union["Group", Array]:
         p = self._child_prefix(name)
         if f"{p}.zarray" in self._store:
-            return Array(self._store, p)
+            return Array(self._store, p, zarr_format=2)
         if f"{p}.zgroup" in self._store:
-            return Group(self._store, p)
+            return Group(self._store, p, zarr_format=2)
+        if f"{p}zarr.json" in self._store:
+            meta = json.loads(self._store[f"{p}zarr.json"].decode())
+            if meta.get("node_type") == "array":
+                return Array(self._store, p, zarr_format=3)
+            return Group(self._store, p, zarr_format=3)
         raise KeyError(name)
 
     def __delitem__(self, name: str) -> None:
@@ -365,12 +452,13 @@ class Group:
                 continue
             if "/" in rest and head not in seen:
                 p = f"{self._prefix}{head}/"
-                if f"{p}.zarray" in self._store or f"{p}.zgroup" in self._store:
+                if (f"{p}.zarray" in self._store or f"{p}.zgroup" in self._store
+                        or f"{p}zarr.json" in self._store):
                     seen.add(head)
         return sorted(seen)
 
     def create_group(self, name: str) -> "Group":
-        return Group(self._store, self._child_prefix(name))
+        return Group(self._store, self._child_prefix(name), zarr_format=self._format)
 
     def require_group(self, name: str) -> "Group":
         return self.create_group(name)
@@ -402,7 +490,7 @@ class Group:
             raise ValueError("shape and dtype (or data) are required")
         arr = Array.create(
             self._store, self._child_prefix(name), shape, chunks, dtype,
-            compressor=compressor,
+            compressor=compressor, zarr_format=self._format,
         )
         if data is not None:
             arr[...] = data
@@ -419,15 +507,20 @@ class Group:
         return self.create_dataset(name, shape=shape, chunks=chunks, dtype=dtype, **kwargs)
 
 
-def open(path_or_store: Union[str, Store], mode: str = "a") -> Group:
-    """Open a zarr group on a directory path or a store object."""
+def open(path_or_store: Union[str, Store], mode: str = "a",
+         zarr_format: Optional[int] = None) -> Group:
+    """Open a zarr group on a directory path or a store object.
+
+    zarr_format: 2 (default for new stores) or 3; auto-detected for existing
+    stores from the presence of ``zarr.json`` vs ``.zgroup``.
+    """
     if isinstance(path_or_store, str):
         if mode == "r" and not os.path.exists(path_or_store):
             raise FileNotFoundError(path_or_store)
         store = DirectoryStore(path_or_store)
     else:
         store = path_or_store
-    return Group(store)
+    return Group(store, zarr_format=zarr_format)
 
 
 open_group = open

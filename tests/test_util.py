@@ -155,3 +155,51 @@ def test_segmentation_to_one_hot():
     assert oh[0].sum() == 9
     oh = segmentation_to_one_hot(seg, np.array([4]))
     assert oh.shape == (1, 1, 10, 10)
+
+
+def test_zarr_lite_v3(tmp_path):
+    from micro_sam_tpu.utils import zarr_lite
+
+    path = str(tmp_path / "test_v3.zarr")
+    f = zarr_lite.open(path, zarr_format=3)
+    f.attrs["hello"] = "v3"
+    ds = f.create_dataset("x", data=np.arange(24).reshape(4, 6), chunks=(2, 3))
+    ds.attrs["meta"] = 7
+
+    # auto-detection on reopen
+    g = zarr_lite.open(path, mode="r")
+    assert g.attrs["hello"] == "v3"
+    arr = g["x"]
+    assert arr.shape == (4, 6)
+    assert np.array_equal(arr[...], np.arange(24).reshape(4, 6))
+    assert arr.attrs["meta"] == 7
+
+    # v3 layout on disk: zarr.json + c/-prefixed chunk keys
+    import os, json
+    assert os.path.exists(tmp_path / "test_v3.zarr" / "zarr.json")
+    meta = json.loads((tmp_path / "test_v3.zarr" / "x" / "zarr.json").read_text())
+    assert meta["zarr_format"] == 3 and meta["node_type"] == "array"
+    assert os.path.exists(tmp_path / "test_v3.zarr" / "x" / "c" / "0" / "0")
+
+    # nested groups + partial write
+    grp = f.require_group("features")
+    d0 = grp.create_dataset("0", data=np.ones((2, 2), dtype="float32"))
+    d0[0:1, :] = 5.0
+    assert zarr_lite.open(path)["features"]["0"][0, 0] == 5.0
+
+
+def test_embeddings_cache_v3(tiny_predictor, synthetic_image, tmp_path):
+    """The embedding cache round-trips through a v3 store too."""
+    from micro_sam_tpu.util import precompute_image_embeddings
+    from micro_sam_tpu.utils import zarr_lite
+
+    image, _ = synthetic_image
+    path = str(tmp_path / "emb_v3.zarr")
+    # pre-create the store as v3; precompute writes into it
+    zarr_lite.open(path, zarr_format=3)
+    emb = precompute_image_embeddings(tiny_predictor, image, path, verbose=False)
+    assert emb["features"].shape == (1, 256, 16, 16)
+    emb2 = precompute_image_embeddings(tiny_predictor, image, path, verbose=False)
+    assert np.allclose(emb["features"], emb2["features"])
+    import os
+    assert os.path.exists(tmp_path / "emb_v3.zarr" / "zarr.json")
