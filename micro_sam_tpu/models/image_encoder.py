@@ -211,13 +211,45 @@ def apply_image_encoder(
     x = cm.conv2d(p["patch_embed"], x, stride=patch_size, padding="VALID")
     if "pos_embed" in p:
         x = x + p["pos_embed"].astype(x.dtype)
-    for i, bp in enumerate(p["blocks"]):
-        ws = 0 if i in tuple(global_attn_indexes) else window_size
+
+    def prep_block(bp):
         if "fact_u" in p and "fact" in bp["attn"]:
             # thread the shared FacT core into the block (PEFT)
             bp = dict(bp, attn=dict(bp["attn"], fact=dict(
                 bp["attn"]["fact"], _u=p["fact_u"], _v=p["fact_v"])))
-        x = apply_block(bp, x, num_heads, ws)
+        return bp
+
+    # Runs of consecutive windowed blocks stay in window layout: LN/MLP/
+    # residuals are per-token, so only one partition/unpartition shuffle per
+    # run is needed (vit_b: 4 runs of 2 instead of 8 round trips). To stay
+    # bit-equivalent with per-block partitioning, the norm1 output is zeroed
+    # at pad positions (the reference pads *after* norm1 with zeros; a zero
+    # attention input contributes only the qkv bias, same as here).
+    glob = set(tuple(global_attn_indexes))
+    depth = len(p["blocks"])
+    H, W = x.shape[1], x.shape[2]
+    i = 0
+    while i < depth:
+        if i in glob or window_size <= 0:
+            x = apply_block(prep_block(p["blocks"][i]), x, num_heads, 0)
+            i += 1
+            continue
+        j = i
+        while j < depth and j not in glob:
+            j += 1
+        xw, pad_hw = window_partition(x, window_size)
+        needs_mask = pad_hw != (H, W)
+        if needs_mask:
+            valid, _ = window_partition(jnp.ones((x.shape[0], H, W, 1), x.dtype), window_size)
+        for k in range(i, j):
+            bp = prep_block(p["blocks"][k])
+            a = cm.layer_norm(bp["norm1"], xw)
+            if needs_mask:
+                a = a * valid
+            xw = xw + apply_attention(bp["attn"], a, num_heads)
+            xw = xw + cm.mlp_block(bp["mlp"], cm.layer_norm(bp["norm2"], xw))
+        x = window_unpartition(xw, window_size, pad_hw, (H, W))
+        i = j
     # Neck
     x = cm.conv2d(p["neck"]["conv1"], x, stride=1, padding="VALID")
     x = cm.layer_norm_2d(p["neck"]["ln1"], x)

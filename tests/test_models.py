@@ -130,3 +130,44 @@ def test_tiny_vit_vit_t():
         point_coords=np.array([[100.0, 100.0]]), point_labels=np.array([1])
     )
     assert masks.shape == (3, 200, 256)
+
+
+def test_windowed_run_layout_equivalence():
+    """The run-fused window layout must match per-block partitioning exactly."""
+    import jax
+    import jax.numpy as jnp
+    from micro_sam_tpu.models import image_encoder as ie
+    from micro_sam_tpu.models import common as cm
+
+    # grid 10, window 4 -> padding path exercised
+    key = jax.random.PRNGKey(0)
+    dim, heads, depth = 32, 2, 3
+    params = ie.init_image_encoder(
+        key, img_size=160, patch_size=16, embed_dim=dim, depth=depth,
+        num_heads=heads, window_size=4, global_attn_indexes=(2,),
+    )
+    # randomize rel-pos so the bias path is covered
+    for b in params["blocks"]:
+        for k in ("rel_pos_h", "rel_pos_w"):
+            b["attn"][k] = jax.random.normal(jax.random.fold_in(key, hash(k) % 100),
+                                             b["attn"][k].shape) * 0.1
+
+    x = jax.random.normal(jax.random.fold_in(key, 7), (1, 160, 160, 3))
+
+    out_fused = ie.apply_image_encoder(
+        params, x, num_heads=heads, window_size=4, global_attn_indexes=(2,),
+    )
+
+    # reference path: per-block partitioning
+    ref = cm.conv2d(params["patch_embed"], x, stride=16, padding="VALID")
+    ref = ref + params["pos_embed"].astype(ref.dtype)
+    for i, bp in enumerate(params["blocks"]):
+        ws = 0 if i == 2 else 4
+        ref = ie.apply_block(bp, ref, heads, ws)
+    ref = cm.conv2d(params["neck"]["conv1"], ref, stride=1, padding="VALID")
+    ref = cm.layer_norm_2d(params["neck"]["ln1"], ref)
+    ref = cm.conv2d(params["neck"]["conv2"], ref, stride=1, padding=1)
+    ref = cm.layer_norm_2d(params["neck"]["ln2"], ref)
+
+    assert np.allclose(np.asarray(out_fused), np.asarray(ref), atol=1e-5), \
+        np.abs(np.asarray(out_fused) - np.asarray(ref)).max()
