@@ -124,8 +124,20 @@ class SamTrainer:
         self._best_metric = np.inf
         self._step_cache: Dict = {}
         self.mesh = mesh
-        self.logger = logger
         self.train_metrics: list = []
+        self._tb = None
+        if logger in ("tensorboard", None):
+            # TensorBoard logging (reference SamLogger, sam_trainer.py:489);
+            # enabled by default when the tensorboard package is available.
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                import os as _os
+                self._tb = SummaryWriter(
+                    _os.path.join(self.save_root, self.name, "logs")
+                )
+            except Exception:
+                self._tb = None
+        self.logger = logger
 
         self.opt_state = self.optimizer.init(self.model.params)
 
@@ -373,6 +385,19 @@ class SamTrainer:
                 "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
                 "train_model_iou": train_iou, "val_model_iou": val_iou,
             })
+            if self._tb is not None:
+                self._tb.add_scalar("train/loss", train_loss, self._iteration)
+                self._tb.add_scalar("validation/loss", val_loss, self._iteration)
+                self._tb.add_scalar("train/model_iou", train_iou, self._iteration)
+                self._tb.add_scalar("validation/model_iou", val_iou, self._iteration)
+            # CSV metrics for offline analysis
+            try:
+                import pandas as pd
+                pd.DataFrame(self.train_metrics).to_csv(
+                    os.path.join(self.save_root, self.name, "metrics.csv"), index=False
+                )
+            except Exception:
+                pass
             if verbose:
                 print(
                     f"[{self.name}] epoch {epoch + 1}/{epochs}: "
