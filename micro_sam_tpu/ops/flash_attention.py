@@ -64,7 +64,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
 
     rw = rw_ref[:].astype(jnp.float32)           # (W, W, hd)
 
-    for h in range(hpp):  # static unroll over the heads folded into this program
+    def head_body(h, _):
+        # fori_loop (not a python unroll): keeps the Mosaic kernel body small —
+        # the unrolled 12-head variant made XLA/Mosaic compiles take minutes.
         q = q_ref[0, h].astype(jnp.float32)      # (BQ, hd)
         q_rows = q.reshape(rq, w, hd)
 
@@ -119,6 +121,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
         acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
         o_ref[0, h] = (acc / l[:, None]).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, hpp, head_body, 0)
 
 
 def _flash_forward(q, k, v, rel_h, rel_w, hw, block_q=512, block_k=512,
