@@ -15,3 +15,7 @@ from .instance_segmentation import (
 )
 from . import experiments
 from .matching import matching, mean_segmentation_accuracy
+from . import livecell
+from . import model_comparison
+from . import multi_dimensional_segmentation
+from . import benchmark_datasets
