@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import common as cm
-from ..ops.attention import attention_with_rel_pos
+from ..ops.attention import attention_qkv_with_rel_pos, attention_with_rel_pos
 
 Params = dict
 
@@ -172,16 +172,17 @@ def apply_attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
         dv = cm.linear({"w": fv}, dv)
         qkv = qkv + jnp.concatenate([dq, jnp.zeros_like(dq), dv], axis=-1)
 
-    qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim)
-    q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, nH, hd)
-
     rel_h = rel_w = None
     if "rel_pos_h" in p:
         rel_h = get_rel_pos(H, H, p["rel_pos_h"])  # (H, H, hd)
         rel_w = get_rel_pos(W, W, p["rel_pos_w"])  # (W, W, hd)
 
-    out = attention_with_rel_pos(q, k, v, (H, W), rel_h, rel_w)  # (B, N, nH, hd)
-    out = out.reshape(B, H, W, C)
+    # (B, N, 3C) -> (B, 3, nH, N, hd): head-major layout for the fused kernel
+    # (XLA folds the layout change into surrounding ops; the kernel then reads
+    # q/k/v as views with zero extra copies)
+    qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim).transpose(0, 2, 3, 1, 4)
+    out = attention_qkv_with_rel_pos(qkv, (H, W), rel_h, rel_w)  # (B, nH, N, hd)
+    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
     return cm.linear(p["proj"], out)
 
 

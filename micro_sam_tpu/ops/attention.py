@@ -54,6 +54,29 @@ def _einsum_attention_rel_pos(
     return out.astype(v.dtype)
 
 
+def attention_qkv_with_rel_pos(
+    qkv: jnp.ndarray,                       # (B, 3, nH, N, hd) fused
+    hw: Tuple[int, int],
+    rel_h: Optional[jnp.ndarray] = None, rel_w: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fused-qkv attention entry: on TPU the Pallas kernel reads q/k/v as
+    views into the fused head-major tensor (no kernel-side transposes);
+    elsewhere falls back to the einsum implementation.
+
+    Returns (B, nH, N, hd)."""
+    if _USE_PALLAS and _on_tpu():
+        try:
+            from .flash_attention import flash_attention_qkv
+            return flash_attention_qkv(qkv, hw, rel_h, rel_w, qkv.shape[2])
+        except ImportError:
+            pass
+    q = jnp.transpose(qkv[:, 0], (0, 2, 1, 3))
+    k = jnp.transpose(qkv[:, 1], (0, 2, 1, 3))
+    v = jnp.transpose(qkv[:, 2], (0, 2, 1, 3))
+    out = _einsum_attention_rel_pos(q, k, v, hw, rel_h, rel_w)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 def attention_with_rel_pos(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     hw: Tuple[int, int],

@@ -208,3 +208,171 @@ def flash_attention_rel_pos(
         rel_h = jnp.zeros((H, H, q.shape[-1]), dtype=q.dtype)
         rel_w = jnp.zeros((W, W, q.shape[-1]), dtype=q.dtype)
     return flash_attention_rel_pos_core(q, k, v, rel_h, rel_w, tuple(hw))
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy variant: read q/k/v directly from the fused qkv tensor
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
+                      w: int, scale: float):
+    """Like _flash_kernel but the refs are views into the fused qkv tensor in
+    (B, 3, nH, N, hd) layout: q_ref: (1, 1, HPP, BQ, hd); k_ref/v_ref:
+    (1, 1, HPP, N, hd); o_ref: (1, HPP, BQ, hd). No host-side transposes."""
+    _, _, hpp, bq, hd = q_ref.shape
+    n = k_ref.shape[3]
+    rq = bq // w
+    rk = block_k // w
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (rk, block_k), 1)
+    expand_rows = (kcol // w == jax.lax.broadcasted_iota(jnp.int32, (rk, block_k), 0)
+                   ).astype(jnp.float32)
+    kcol_w = jax.lax.broadcasted_iota(jnp.int32, (w, block_k), 1)
+    tile_cols = (kcol_w % w == jax.lax.broadcasted_iota(jnp.int32, (w, block_k), 0)
+                 ).astype(jnp.float32)
+
+    rw = rw_ref[:].astype(jnp.float32)
+
+    def head_body(h, _):
+        q = q_ref[0, 0, h].astype(jnp.float32)             # (BQ, hd)
+        q_rows = q.reshape(rq, w, hd)
+
+        q_rw = jax.lax.dot_general(
+            q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).transpose(1, 0, 2)
+        q_rw2d = q_rw.reshape(bq, w)
+        bias_w = jax.lax.dot_general(
+            q_rw2d, tile_cols, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        q_scaled = q * scale
+
+        def body(j, carry):
+            m_prev, l_prev, acc_prev = carry
+            k_blk = k_ref[0, 0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+            v_blk = v_ref[0, 0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+
+            logits = jax.lax.dot_general(
+                q_scaled, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rh_blk = rh_ref[:, pl.ds(j * rk, rk), :].astype(jnp.float32)
+            q_rh_blk = jax.lax.dot_general(
+                q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            q_rh2d = q_rh_blk.reshape(bq, rk)
+            bias_h = jax.lax.dot_general(
+                q_rh2d, expand_rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits_b = logits + bias_h + bias_w
+
+            m_cur = jnp.max(logits_b, axis=-1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(logits_b - m_new[:, None])
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+            acc_new = acc_prev * alpha[:, None] + jax.lax.dot_general(
+                p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
+        l0 = jnp.zeros((bq,), dtype=jnp.float32)
+        acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
+        o_ref[0, h] = (acc / l[:, None]).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, hpp, head_body, 0)
+
+
+def _flash_forward_qkv(qkv, rel_h, rel_w, hw, num_heads, block_q=512, block_k=512):
+    """qkv: (B, 3, nH, N, hd) -> (B, nH, N, hd). Heads ride inside the kernel
+    for small N; for big N the grid has a head dimension."""
+    B, three, nH, N, hd = qkv.shape
+    H, W = hw
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    assert block_q % W == 0 and block_k % W == 0 and N % block_q == 0 and N % block_k == 0
+    rq = block_q // W
+
+    per_head_grid = N > 1024
+    interpret = jax.default_backend() == "cpu"
+    kernel = functools.partial(_flash_kernel_qkv, block_k=block_k, w=W, scale=hd ** -0.5)
+
+    if per_head_grid:
+        grid = (B, nH, N // block_q)
+        in_specs = [
+            pl.BlockSpec((1, 1, 1, block_q, hd), lambda b, h, i: (b, 0, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, N, hd), lambda b, h, i: (b, 1, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, N, hd), lambda b, h, i: (b, 2, h, 0, 0)),
+            pl.BlockSpec((rq, H, hd), lambda b, h, i: (i, 0, 0)),
+            pl.BlockSpec((W, W, hd), lambda b, h, i: (0, 0, 0)),
+        ]
+        out_specs = pl.BlockSpec((1, 1, block_q, hd), lambda b, h, i: (b, h, i, 0))
+    else:
+        grid = (B, N // block_q)
+        in_specs = [
+            pl.BlockSpec((1, 1, nH, block_q, hd), lambda b, i: (b, 0, 0, i, 0)),
+            pl.BlockSpec((1, 1, nH, N, hd), lambda b, i: (b, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 1, nH, N, hd), lambda b, i: (b, 2, 0, 0, 0)),
+            pl.BlockSpec((rq, H, hd), lambda b, i: (i, 0, 0)),
+            pl.BlockSpec((W, W, hd), lambda b, i: (0, 0, 0)),
+        ]
+        out_specs = pl.BlockSpec((1, nH, block_q, hd), lambda b, i: (b, 0, i, 0))
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((B, nH, N, hd), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_qkv_core(qkv, rel_h, rel_w, hw, num_heads):
+    return _flash_forward_qkv(qkv, rel_h.astype(qkv.dtype), rel_w.astype(qkv.dtype),
+                              hw, num_heads)
+
+
+def _flash_qkv_fwd(qkv, rel_h, rel_w, hw, num_heads):
+    return flash_attention_qkv_core(qkv, rel_h, rel_w, hw, num_heads), (qkv, rel_h, rel_w)
+
+
+def _flash_qkv_bwd(hw, num_heads, res, g):
+    from .attention import _einsum_attention_rel_pos
+    qkv, rel_h, rel_w = res
+
+    def ref_fn2(qkv_, rh_, rw_):
+        q = jnp.transpose(qkv_[:, 0], (0, 2, 1, 3))
+        k = jnp.transpose(qkv_[:, 1], (0, 2, 1, 3))
+        v = jnp.transpose(qkv_[:, 2], (0, 2, 1, 3))
+        out = _einsum_attention_rel_pos(q, k, v, hw, rh_, rw_)  # (B, N, nH, hd)
+        return jnp.transpose(out, (0, 2, 1, 3))                 # (B, nH, N, hd)
+
+    _, vjp = jax.vjp(ref_fn2, qkv, rel_h, rel_w)
+    return vjp(g)
+
+
+flash_attention_qkv_core.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
+
+
+def flash_attention_qkv(qkv, hw, rel_h, rel_w, num_heads):
+    """qkv: (B, 3, nH, N, hd) fused tensor -> (B, nH, N, hd) attention output.
+
+    The kernel's BlockSpecs view q/k/v directly inside the fused tensor; the
+    producer builds the layout with a single einsum whose output layout XLA
+    can fuse into the matmul.
+    """
+    H, W = hw
+    hd = qkv.shape[-1]
+    if rel_h is None:
+        rel_h = jnp.zeros((H, H, hd), dtype=qkv.dtype)
+        rel_w = jnp.zeros((W, W, hd), dtype=qkv.dtype)
+    return flash_attention_qkv_core(qkv, rel_h, rel_w, tuple(hw), num_heads)

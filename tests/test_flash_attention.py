@@ -49,3 +49,28 @@ def test_flash_window_size():
     out = flash_attention_rel_pos(q, k, v, (H, W), rel_h, rel_w)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5), \
         np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (14, 14)])
+def test_flash_qkv_matches_einsum(hw):
+    import jax.numpy as jnp
+    from micro_sam_tpu.ops.attention import _einsum_attention_rel_pos
+    from micro_sam_tpu.ops.flash_attention import flash_attention_qkv
+
+    H, W = hw
+    N, nH, hd = H * W, 4, 32
+    rng = np.random.RandomState(2)
+    qkv = jnp.asarray(rng.randn(2, 3, nH, N, hd).astype(np.float32) * 0.4)
+    rel_h = jnp.asarray(rng.randn(H, H, hd).astype(np.float32) * 0.2)
+    rel_w = jnp.asarray(rng.randn(W, W, hd).astype(np.float32) * 0.2)
+
+    # reference on the (B, N, nH, hd) layout
+    q = jnp.transpose(qkv[:, 0], (0, 2, 1, 3))
+    k = jnp.transpose(qkv[:, 1], (0, 2, 1, 3))
+    v = jnp.transpose(qkv[:, 2], (0, 2, 1, 3))
+    ref = jnp.transpose(
+        _einsum_attention_rel_pos(q, k, v, (H, W), rel_h, rel_w), (0, 2, 1, 3)
+    )
+    out = flash_attention_qkv(qkv, (H, W), rel_h, rel_w, nH)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5), \
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
