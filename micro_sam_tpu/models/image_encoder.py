@@ -182,8 +182,12 @@ def apply_attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     # q/k/v as views with zero extra copies)
     qkv = qkv.reshape(B, H * W, 3, num_heads, head_dim).transpose(0, 2, 3, 1, 4)
     out = attention_qkv_with_rel_pos(qkv, (H, W), rel_h, rel_w)  # (B, nH, N, hd)
-    out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
-    return cm.linear(p["proj"], out)
+    # project straight from the head-major layout: the (h, d) contraction lets
+    # XLA absorb the head->token transpose into the matmul
+    wp = p["proj"]["w"].astype(out.dtype).reshape(num_heads, head_dim, C)
+    y = jnp.einsum("bhnd,hdc->bnc", out, wp, preferred_element_type=jnp.float32)
+    y = (y + p["proj"]["b"]).astype(out.dtype)
+    return y.reshape(B, H, W, C)
 
 
 def apply_block(p: Params, x: jnp.ndarray, num_heads: int, window_size: int) -> jnp.ndarray:
