@@ -1,0 +1,135 @@
+"""Integration tests for evaluation user flows: GT-prompt inference,
+iterative prompting, 3d eval, the benchmark-dataset runner, visualization."""
+import os
+from glob import glob
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    """Tiny model + a small on-disk dataset in the benchmark layout."""
+    import imageio.v3 as imageio
+    import jax
+    from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam
+    from micro_sam_tpu.predictor import SamPredictor
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    cfg = SamConfig(model_type="vit_b", embed_dim=64, depth=2, num_heads=2,
+                    global_attn_indexes=(1,), img_size=128)
+    predictor = SamPredictor(Sam(cfg, init_sam_params(jax.random.PRNGKey(0), cfg)))
+
+    root = tmp_path_factory.mktemp("bench_data")
+    img_dir = root / "tiny" / "images"
+    gt_dir = root / "tiny" / "labels"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    for i in range(3):
+        image, seg = synthetic_data(shape=(128, 128), seed=40 + i, n_objects=3)
+        imageio.imwrite(str(img_dir / f"im{i}.tif"), image)
+        imageio.imwrite(str(gt_dir / f"im{i}.tif"), seg.astype(np.uint16))
+    return predictor, str(root)
+
+
+def test_run_inference_with_prompts(tiny_env, tmp_path):
+    from micro_sam_tpu.evaluation.inference import run_inference_with_prompts
+    from micro_sam_tpu.evaluation import run_evaluation
+
+    predictor, root = tiny_env
+    images = sorted(glob(os.path.join(root, "tiny", "images", "*")))
+    gts = sorted(glob(os.path.join(root, "tiny", "labels", "*")))
+
+    pred_dir = str(tmp_path / "preds")
+    run_inference_with_prompts(
+        predictor, images, gts, embedding_dir=None, prediction_dir=pred_dir,
+        use_points=False, use_boxes=True, n_positives=0, n_negatives=0,
+    )
+    preds = sorted(glob(os.path.join(pred_dir, "*.tif")))
+    assert len(preds) == 3
+    res = run_evaluation(gts, preds)
+    assert 0.0 <= res["mSA"].iloc[0] <= 1.0
+
+
+def test_run_inference_with_iterative_prompting(tiny_env, tmp_path):
+    from micro_sam_tpu.evaluation.inference import run_inference_with_iterative_prompting
+    from micro_sam_tpu.evaluation import run_evaluation_for_iterative_prompting
+
+    predictor, root = tiny_env
+    images = sorted(glob(os.path.join(root, "tiny", "images", "*")))[:1]
+    gts = sorted(glob(os.path.join(root, "tiny", "labels", "*")))[:1]
+
+    pred_root = str(tmp_path / "iter")
+    run_inference_with_iterative_prompting(
+        predictor, images, gts, embedding_dir=None, prediction_dir=pred_root,
+        start_with_box_prompt=False, n_iterations=2, use_masks=True,
+    )
+    assert len(glob(os.path.join(pred_root, "iteration00", "*.tif"))) == 1
+    assert len(glob(os.path.join(pred_root, "iteration01", "*.tif"))) == 1
+
+    res = run_evaluation_for_iterative_prompting(
+        gts, pred_root, str(tmp_path / "exp"), start_with_box_prompt=False,
+        use_masks=True,
+    )
+    assert len(res) == 2
+
+
+def test_segment_slices_from_ground_truth(tiny_env):
+    from micro_sam_tpu.evaluation.multi_dimensional_segmentation import (
+        segment_slices_from_ground_truth,
+    )
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    predictor, _ = tiny_env
+    image2d, seg2d = synthetic_data(shape=(128, 128), seed=50, n_objects=2)
+    volume = np.stack([image2d] * 3)
+    gt = np.stack([seg2d] * 3)
+
+    scores = segment_slices_from_ground_truth(
+        volume, gt, predictor=predictor, interactive_seg_mode="box",
+        iou_threshold=0.0, projection="box",
+    )
+    assert "sa" in scores and 0.0 <= scores["sa"] <= 1.0
+
+
+def test_benchmark_runner(tiny_env, tmp_path, monkeypatch):
+    from micro_sam_tpu.evaluation import benchmark_datasets as bd
+    from micro_sam_tpu import util as sam_util
+
+    predictor, root = tiny_env
+    monkeypatch.setattr(
+        sam_util, "get_sam_model",
+        lambda **kw: (predictor, {"model_state": predictor.model.params})
+        if kw.get("return_state") else predictor,
+    )
+    df = bd.run_benchmark_evaluation(
+        root, "tiny", "vit_b", str(tmp_path / "out"),
+        run_amg=False, run_ais=False, run_interactive=True, n_val=1,
+    )
+    assert "interactive_point" in df.index
+    assert os.path.exists(tmp_path / "out" / "tiny" / "vit_b" / "benchmark_results.csv")
+
+
+def test_visualization_flows(tiny_env, tmp_path):
+    from micro_sam_tpu.util import precompute_image_embeddings
+    from micro_sam_tpu.visualization import project_embeddings_for_visualization
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    predictor, _ = tiny_env
+    image, _ = synthetic_data(shape=(128, 96), seed=60, n_objects=2)
+
+    emb = precompute_image_embeddings(predictor, image, verbose=False)
+    vis, scale = project_embeddings_for_visualization(emb)
+    assert vis.ndim == 3 and vis.shape[-1] == 3
+
+    volume = np.stack([image] * 2)
+    emb3 = precompute_image_embeddings(predictor, volume, ndim=3, verbose=False)
+    vis3, scale3 = project_embeddings_for_visualization(emb3)
+    assert vis3.shape[0] == 2
+
+    embt = precompute_image_embeddings(
+        predictor, np.tile(image, (2, 3)), tile_shape=(128, 96), halo=(16, 16),
+        verbose=False,
+    )
+    vist, scalet = project_embeddings_for_visualization(embt)
+    assert vist.ndim == 3
