@@ -190,6 +190,13 @@ def apply_attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return y.reshape(B, H, W, C)
 
 
+def _mlp_half(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x + mlp(norm2(x)). (A Pallas-fused variant exists in ops/fused_mlp.py
+    but measured no win — XLA already fuses this chain — so the plain exact
+    path stays wired.)"""
+    return x + cm.mlp_block(p["mlp"], cm.layer_norm(p["norm2"], x))
+
+
 def apply_block(p: Params, x: jnp.ndarray, num_heads: int, window_size: int) -> jnp.ndarray:
     shortcut = x
     x = cm.layer_norm(p["norm1"], x)
@@ -201,7 +208,7 @@ def apply_block(p: Params, x: jnp.ndarray, num_heads: int, window_size: int) -> 
     else:
         x = apply_attention(p["attn"], x, num_heads)
     x = shortcut + x
-    return x + cm.mlp_block(p["mlp"], cm.layer_norm(p["norm2"], x))
+    return _mlp_half(p, x)
 
 
 def apply_image_encoder(
@@ -252,7 +259,7 @@ def apply_image_encoder(
             if needs_mask:
                 a = a * valid
             xw = xw + apply_attention(bp["attn"], a, num_heads)
-            xw = xw + cm.mlp_block(bp["mlp"], cm.layer_norm(bp["norm2"], xw))
+            xw = _mlp_half(bp, xw)
         x = window_unpartition(xw, window_size, pad_hw, (H, W))
         i = j
     # Neck
