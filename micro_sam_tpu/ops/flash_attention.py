@@ -214,13 +214,16 @@ def flash_attention_rel_pos(
 # Zero-copy variant: read q/k/v directly from the fused qkv tensor
 # ---------------------------------------------------------------------------
 
-def _flash_kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: int,
-                      w: int, scale: float):
+def _flash_kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_q: int,
+                      block_k: int, w: int, scale: float):
     """Like _flash_kernel but the refs are views into the fused qkv tensor in
-    (B, 3, nH, N, hd) layout: q_ref: (1, 1, HPP, BQ, hd); k_ref/v_ref:
-    (1, 1, HPP, N, hd); o_ref: (1, HPP, BQ, hd). No host-side transposes."""
-    _, _, hpp, bq, hd = q_ref.shape
-    n = k_ref.shape[3]
+    (B, 3, nH, N, hd) layout: q_ref: (1, 1, HPP, N, hd); k_ref/v_ref:
+    (1, 1, HPP, N, hd); o_ref: (1, HPP, N, hd). The kernel loops q-blocks and
+    heads internally so k/v are fetched into VMEM exactly once per (batch,
+    head-group) — the blocked-grid variant re-fetched k/v per q-block
+    (~3 GB/image of redundant HBM traffic on the global blocks)."""
+    _, _, hpp, n, hd = q_ref.shape
+    bq = block_q
     rq = bq // w
     rk = block_k // w
 
@@ -234,57 +237,61 @@ def _flash_kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, block_k: in
     rw = rw_ref[:].astype(jnp.float32)
 
     def head_body(h, _):
-        q = q_ref[0, 0, h].astype(jnp.float32)             # (BQ, hd)
-        q_rows = q.reshape(rq, w, hd)
+        def q_block_body(qi, __):
+            q = q_ref[0, 0, h, pl.ds(qi * bq, bq), :].astype(jnp.float32)  # (BQ, hd)
+            q_rows = q.reshape(rq, w, hd)
 
-        q_rw = jax.lax.dot_general(
-            q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).transpose(1, 0, 2)
-        q_rw2d = q_rw.reshape(bq, w)
-        bias_w = jax.lax.dot_general(
-            q_rw2d, tile_cols, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        q_scaled = q * scale
-
-        def body(j, carry):
-            m_prev, l_prev, acc_prev = carry
-            k_blk = k_ref[0, 0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-            v_blk = v_ref[0, 0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-
-            logits = jax.lax.dot_general(
-                q_scaled, k_blk, (((1,), (1,)), ((), ())),
+            q_rw = jax.lax.dot_general(
+                q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).transpose(1, 0, 2)
+            q_rw2d = q_rw.reshape(bq, w)
+            bias_w = jax.lax.dot_general(
+                q_rw2d, tile_cols, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            rh_blk = rh_ref[:, pl.ds(j * rk, rk), :].astype(jnp.float32)
-            q_rh_blk = jax.lax.dot_general(
-                q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            q_rh2d = q_rh_blk.reshape(bq, rk)
-            bias_h = jax.lax.dot_general(
-                q_rh2d, expand_rows, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            logits_b = logits + bias_h + bias_w
 
-            m_cur = jnp.max(logits_b, axis=-1)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(logits_b - m_new[:, None])
-            alpha = jnp.exp(m_prev - m_new)
-            l_new = alpha * l_prev + jnp.sum(p, axis=-1)
-            acc_new = acc_prev * alpha[:, None] + jax.lax.dot_general(
-                p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc_new
+            q_scaled = q * scale
 
-        m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
-        l0 = jnp.zeros((bq,), dtype=jnp.float32)
-        acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
-        o_ref[0, h] = (acc / l[:, None]).astype(o_ref.dtype)
+            def body(j, carry):
+                m_prev, l_prev, acc_prev = carry
+                k_blk = k_ref[0, 0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+                v_blk = v_ref[0, 0, h, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+
+                logits = jax.lax.dot_general(
+                    q_scaled, k_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rh_blk = rh_ref[pl.ds(qi * rq, rq), pl.ds(j * rk, rk), :].astype(jnp.float32)
+                q_rh_blk = jax.lax.dot_general(
+                    q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                q_rh2d = q_rh_blk.reshape(bq, rk)
+                bias_h = jax.lax.dot_general(
+                    q_rh2d, expand_rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                logits_b = logits + bias_h + bias_w
+
+                m_cur = jnp.max(logits_b, axis=-1)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p = jnp.exp(logits_b - m_new[:, None])
+                alpha = jnp.exp(m_prev - m_new)
+                l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+                acc_new = acc_prev * alpha[:, None] + jax.lax.dot_general(
+                    p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+                return m_new, l_new, acc_new
+
+            m0 = jnp.full((bq,), NEG_INF, dtype=jnp.float32)
+            l0 = jnp.zeros((bq,), dtype=jnp.float32)
+            acc0 = jnp.zeros((bq, hd), dtype=jnp.float32)
+            m, l, acc = jax.lax.fori_loop(0, n // block_k, body, (m0, l0, acc0))
+            o_ref[0, h, pl.ds(qi * bq, bq), :] = (acc / l[:, None]).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n // bq, q_block_body, 0)
         return 0
 
     jax.lax.fori_loop(0, hpp, head_body, 0)
@@ -302,28 +309,29 @@ def _flash_forward_qkv(qkv, rel_h, rel_w, hw, num_heads, block_q=512, block_k=51
 
     per_head_grid = N > 1024
     interpret = jax.default_backend() == "cpu"
-    kernel = functools.partial(_flash_kernel_qkv, block_k=block_k, w=W, scale=hd ** -0.5)
+    kernel = functools.partial(_flash_kernel_qkv, block_q=block_q, block_k=block_k,
+                               w=W, scale=hd ** -0.5)
 
     if per_head_grid:
-        grid = (B, nH, N // block_q)
+        grid = (B, nH)
         in_specs = [
-            pl.BlockSpec((1, 1, 1, block_q, hd), lambda b, h, i: (b, 0, h, i, 0)),
-            pl.BlockSpec((1, 1, 1, N, hd), lambda b, h, i: (b, 1, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, N, hd), lambda b, h, i: (b, 2, h, 0, 0)),
-            pl.BlockSpec((rq, H, hd), lambda b, h, i: (i, 0, 0)),
-            pl.BlockSpec((W, W, hd), lambda b, h, i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, N, hd), lambda b, h: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, N, hd), lambda b, h: (b, 1, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, N, hd), lambda b, h: (b, 2, h, 0, 0)),
+            pl.BlockSpec((H, H, hd), lambda b, h: (0, 0, 0)),
+            pl.BlockSpec((W, W, hd), lambda b, h: (0, 0, 0)),
         ]
-        out_specs = pl.BlockSpec((1, 1, block_q, hd), lambda b, h, i: (b, h, i, 0))
+        out_specs = pl.BlockSpec((1, 1, N, hd), lambda b, h: (b, h, 0, 0))
     else:
-        grid = (B, N // block_q)
+        grid = (B,)
         in_specs = [
-            pl.BlockSpec((1, 1, nH, block_q, hd), lambda b, i: (b, 0, 0, i, 0)),
-            pl.BlockSpec((1, 1, nH, N, hd), lambda b, i: (b, 1, 0, 0, 0)),
-            pl.BlockSpec((1, 1, nH, N, hd), lambda b, i: (b, 2, 0, 0, 0)),
-            pl.BlockSpec((rq, H, hd), lambda b, i: (i, 0, 0)),
-            pl.BlockSpec((W, W, hd), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, nH, N, hd), lambda b: (b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, nH, N, hd), lambda b: (b, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 1, nH, N, hd), lambda b: (b, 2, 0, 0, 0)),
+            pl.BlockSpec((H, H, hd), lambda b: (0, 0, 0)),
+            pl.BlockSpec((W, W, hd), lambda b: (0, 0, 0)),
         ]
-        out_specs = pl.BlockSpec((1, nH, block_q, hd), lambda b, i: (b, 0, i, 0))
+        out_specs = pl.BlockSpec((1, nH, N, hd), lambda b: (b, 0, 0, 0))
 
     return pl.pallas_call(
         kernel,
