@@ -74,3 +74,37 @@ def test_flash_qkv_matches_einsum(hw):
     out = flash_attention_qkv(qkv, (H, W), rel_h, rel_w, nH)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5), \
         np.abs(np.asarray(out) - np.asarray(ref)).max()
+
+
+def test_flash_backward_matches_einsum_vjp():
+    """Pallas backward kernel vs the einsum VJP, including rel-pos table
+    grads, on both the heads-in-kernel path and the per-head-grid path
+    (N > 1024) with multiple q/k blocks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from micro_sam_tpu.ops.flash_attention import flash_attention_qkv
+    from micro_sam_tpu.ops.attention import _einsum_attention_rel_pos
+
+    rng = np.random.RandomState(7)
+    for (H, W, nH, B) in [(14, 14, 2, 2), (64, 32, 1, 1)]:
+        N, hd = H * W, 32
+        qkv = jnp.asarray(rng.randn(B, 3, nH, N, hd).astype(np.float32)) * 0.5
+        rh = jnp.asarray(rng.randn(H, H, hd).astype(np.float32)) * 0.2
+        rw = jnp.asarray(rng.randn(W, W, hd).astype(np.float32)) * 0.2
+
+        def f_flash(qkv, rh, rw):
+            return jnp.sum(jnp.sin(flash_attention_qkv(qkv, (H, W), rh, rw, nH)))
+
+        def f_ref(qkv, rh, rw):
+            q = jnp.transpose(qkv[:, 0], (0, 2, 1, 3))
+            k = jnp.transpose(qkv[:, 1], (0, 2, 1, 3))
+            v = jnp.transpose(qkv[:, 2], (0, 2, 1, 3))
+            o = _einsum_attention_rel_pos(q, k, v, (H, W), rh, rw)
+            return jnp.sum(jnp.sin(jnp.transpose(o, (0, 2, 1, 3))))
+
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(qkv, rh, rw)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(qkv, rh, rw)
+        for a, b in zip(g1, g2):
+            ref = float(jnp.max(jnp.abs(b))) + 1e-9
+            assert float(jnp.max(jnp.abs(a - b))) / ref < 2e-5
