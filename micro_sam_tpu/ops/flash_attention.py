@@ -160,6 +160,7 @@ def _flash_forward(q, k, v, rel_h, rel_w, hw, block_q=512, block_k=512,
         ],
         out_specs=pl.BlockSpec((1, HPP, block_q, hd), lambda b, i: (b, 0, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, rel_h, rel_w)
 
@@ -342,6 +343,9 @@ def _flash_forward_qkv(qkv, rel_h, rel_w, hw, num_heads, block_q=512, block_k=51
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((B, nH, N, hd), qkv.dtype),
+        # headroom above the 16M default scoped budget: f32 inputs or large
+        # batches double-buffer past it (v5e has far more physical VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(qkv, qkv, qkv, rel_h, rel_w)
 

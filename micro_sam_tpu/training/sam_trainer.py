@@ -290,8 +290,12 @@ class SamTrainer:
 
             keys = jax.random.split(key, n_sub)
             is_first_flags = jnp.arange(n_sub) == 0
+            # remat each corrective round: without it the scan saves every
+            # round's (N, 4, S1, S2) upscaled-mask intermediates for backward
+            # (~70 GB at batch 2 x 25 objects); recomputing the small decoder
+            # in backward trades that for a few extra ms
             (points, labels, mask_input, has_mask, _), (losses, ious) = jax.lax.scan(
-                sub_iteration,
+                jax.checkpoint(sub_iteration),
                 (points, labels, mask_input, has_mask, pos),
                 (keys, is_first_flags),
             )

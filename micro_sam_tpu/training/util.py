@@ -61,10 +61,14 @@ def get_trainable_sam_model(
     mask at optimizer construction (see training.py); the list is stored on
     the returned model.
     """
+    # bf16 compute on TPU (grads/optimizer state stay f32 via optax): training
+    # in f32 is ~2.5x slower on the MXU and pushes the flash kernels past the
+    # per-program VMEM budget at useful batch sizes
+    model_kwargs.setdefault(
+        "compute_dtype", "bfloat16" if util._on_accelerator() else "float32")
     predictor, state = util.get_sam_model(
         model_type=model_type, device=device, checkpoint_path=checkpoint_path,
-        return_state=True, peft_kwargs=peft_kwargs,
-        compute_dtype="float32", **model_kwargs,
+        return_state=True, peft_kwargs=peft_kwargs, **model_kwargs,
     )
     trainable = TrainableSAM(predictor.model)
     trainable.freeze = freeze or []
