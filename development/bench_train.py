@@ -51,7 +51,7 @@ def main(batch=2, steps=5):
           f"ratio={bwd_ms / fwd_ms:.2f} (theoretical ~3x fwd)")
 
 
-def full_trainer_step(batch=2, n_objects=25, steps=3):
+def full_trainer_step(batch=2, n_objects=25, steps=3, n_sub=8):
     """End-to-end SamTrainer step (encoder + 8 corrective decode rounds +
     backward + adamw) on real vit_b at 1024^2 — the reference's A100 "vit_b
     bs=2/40-object" configuration."""
@@ -74,7 +74,8 @@ def full_trainer_step(batch=2, n_objects=25, steps=3):
     labels[:, 0] = 1 + gy * 8 + gx          # 64 square objects per image
 
     trainer = SamTrainer("bench", [(image, labels)], [(image, labels)], model,
-                         n_objects_per_batch=n_objects, save_root="/tmp/bench_ckpt")
+                         n_objects_per_batch=n_objects, save_root="/tmp/bench_ckpt",
+                         n_sub_iteration=n_sub)
     batch_data = trainer._prepare_batch(image, labels, True, False)
     images_j, gt, obj_valid, points0, labels0, boxes0 = batch_data
     step = trainer._build_step(True, False, True, tuple(gt.shape[2:]))
@@ -89,13 +90,15 @@ def full_trainer_step(batch=2, n_objects=25, steps=3):
                                   points0, labels0, boxes0)
     fence(loss)
     ms = (time.perf_counter() - t0) / steps * 1e3
-    print(f"full trainer step: batch={batch} objects={n_objects} {ms:.1f} ms "
-          f"({batch / ms * 1e3:.2f} images/s)")
+    print(f"full trainer step: batch={batch} objects={n_objects} n_sub={n_sub} "
+          f"{ms:.1f} ms ({batch / ms * 1e3:.2f} images/s)")
 
 
 if __name__ == "__main__":
     import sys
     if "--full" in sys.argv:
-        full_trainer_step()
+        n_sub = 2 if "--nsub2" in sys.argv else 8
+        batch = 8 if "--batch8" in sys.argv else 2
+        full_trainer_step(batch=batch, n_sub=n_sub)
     else:
         main()

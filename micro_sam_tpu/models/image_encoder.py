@@ -218,8 +218,12 @@ def apply_image_encoder(
     window_size: int = 14,
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11),
     patch_size: int = 16,
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """x: (B, H, W, 3) preprocessed pixels -> (B, H/16, W/16, 256) embeddings."""
+    """x: (B, H, W, 3) preprocessed pixels -> (B, H/16, W/16, 256) embeddings.
+
+    remat=True checkpoints each transformer block (training: trade ~10% extra
+    forward FLOPs in backward for not storing per-block activations)."""
     x = cm.conv2d(p["patch_embed"], x, stride=patch_size, padding="VALID")
     if "pos_embed" in p:
         x = x + p["pos_embed"].astype(x.dtype)
@@ -240,10 +244,25 @@ def apply_image_encoder(
     glob = set(tuple(global_attn_indexes))
     depth = len(p["blocks"])
     H, W = x.shape[1], x.shape[2]
+
+    def global_block(bp, x):
+        return apply_block(bp, x, num_heads, 0)
+
+    def window_block_masked(bp, xw, valid):
+        a = cm.layer_norm(bp["norm1"], xw)
+        if valid is not None:
+            a = a * valid
+        xw = xw + apply_attention(bp["attn"], a, num_heads)
+        return _mlp_half(bp, xw)
+
+    if remat:
+        global_block = jax.checkpoint(global_block)
+        window_block_masked = jax.checkpoint(window_block_masked, static_argnums=())
+
     i = 0
     while i < depth:
         if i in glob or window_size <= 0:
-            x = apply_block(prep_block(p["blocks"][i]), x, num_heads, 0)
+            x = global_block(prep_block(p["blocks"][i]), x)
             i += 1
             continue
         j = i
@@ -251,15 +270,11 @@ def apply_image_encoder(
             j += 1
         xw, pad_hw = window_partition(x, window_size)
         needs_mask = pad_hw != (H, W)
+        valid = None
         if needs_mask:
             valid, _ = window_partition(jnp.ones((x.shape[0], H, W, 1), x.dtype), window_size)
         for k in range(i, j):
-            bp = prep_block(p["blocks"][k])
-            a = cm.layer_norm(bp["norm1"], xw)
-            if needs_mask:
-                a = a * valid
-            xw = xw + apply_attention(bp["attn"], a, num_heads)
-            xw = _mlp_half(bp, xw)
+            xw = window_block_masked(prep_block(p["blocks"][k]), xw, valid)
         x = window_unpartition(xw, window_size, pad_hw, (H, W))
         i = j
     # Neck

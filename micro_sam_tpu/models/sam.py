@@ -84,8 +84,11 @@ class Sam:
         self._encode_jit = None
 
     # -- functional API ----------------------------------------------------
-    def encode_image(self, params: dict, pixels: jnp.ndarray) -> jnp.ndarray:
-        """pixels: (B, 1024, 1024, 3) preprocessed -> (B, 64, 64, 256)."""
+    def encode_image(self, params: dict, pixels: jnp.ndarray,
+                     remat: bool = False) -> jnp.ndarray:
+        """pixels: (B, 1024, 1024, 3) preprocessed -> (B, 64, 64, 256).
+
+        remat=True checkpoints each encoder block (used by the trainers)."""
         cfg = self.config
         x = pixels.astype(cfg.dtype)
         if cfg.encoder == "tiny_vit":
@@ -97,6 +100,7 @@ class Sam:
             window_size=cfg.window_size,
             global_attn_indexes=cfg.global_attn_indexes,
             patch_size=cfg.patch_size,
+            remat=remat,
         )
 
     def decode_masks(

@@ -27,9 +27,12 @@ from .util import ConvertToSamInputs
 
 
 def dice_score(pred_sigmoid: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
-    """Per-sample soft dice similarity over the trailing two axes."""
-    num = 2.0 * jnp.sum(pred_sigmoid * target, axis=(-2, -1))
-    den = jnp.sum(pred_sigmoid ** 2, axis=(-2, -1)) + jnp.sum(target ** 2, axis=(-2, -1))
+    """Per-sample soft dice similarity over the trailing two axes.
+
+    Accepts bf16 inputs; the reductions always accumulate in float32."""
+    num = 2.0 * jnp.sum(pred_sigmoid * target, axis=(-2, -1), dtype=jnp.float32)
+    den = (jnp.sum(pred_sigmoid ** 2, axis=(-2, -1), dtype=jnp.float32)
+           + jnp.sum(target ** 2, axis=(-2, -1), dtype=jnp.float32))
     return num / (den + eps)
 
 
@@ -118,7 +121,15 @@ class SamTrainer:
         self.mse_loss_weight = mse_loss_weight
         self.mask_prob = mask_prob
         self.save_root = save_root or "./checkpoints"
-        self._key = jax.random.PRNGKey(seed)
+        # TPU: hardware RNG (rbg) instead of threefry — the in-graph Gumbel
+        # corrective-point sampling draws ~200M random floats per step at
+        # batch 2 x 25 objects, which is pure VPU work under threefry
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        self._key = (jax.random.key(seed, impl="rbg") if on_tpu
+                     else jax.random.PRNGKey(seed))
         self._iteration = 0
         self._epoch = 0
         self._best_metric = np.inf
@@ -219,15 +230,22 @@ class SamTrainer:
                 low_res, iou_pred = model.forward_decoder(
                     params, feats, points, labels, mask_input, has_mask
                 )  # (N, 4, s, s), (N, 4)
-                up = model.upscale_masks(low_res, (S1, S2))  # (N, 4, S1, S2)
+                # the loss path runs at the compute dtype: the (N, 4, S1, S2)
+                # upscaled logits dominate the step's HBM traffic, and 0/1
+                # targets are exact in bf16 (reductions accumulate in f32)
+                up = model.upscale_masks(low_res.astype(cfg.dtype), (S1, S2))
+                gt_c = gt_flat.astype(cfg.dtype)
 
                 # --- loss ---
                 pred_sig = jax.nn.sigmoid(up)
-                dice_all = dice_score(pred_sig, gt_flat[:, None])      # (N, 4)
+                dice_all = dice_score(pred_sig, gt_c[:, None])         # (N, 4)
                 dice_loss_all = 1.0 - dice_all
-                pred_bin = (up > 0).astype(jnp.float32)
-                inter = jnp.sum(pred_bin * gt_flat[:, None], axis=(-2, -1))
-                union = jnp.sum(jnp.maximum(pred_bin, gt_flat[:, None]), axis=(-2, -1))
+                pred_bin = up > 0
+                gt_bin = gt_c > 0.5
+                inter = jnp.sum(pred_bin & gt_bin[:, None], axis=(-2, -1),
+                                dtype=jnp.float32)
+                union = jnp.sum(pred_bin | gt_bin[:, None], axis=(-2, -1),
+                                dtype=jnp.float32)
                 actual_iou = inter / jnp.maximum(union, 1e-7)
 
                 if multimask:
@@ -252,7 +270,7 @@ class SamTrainer:
                 best_up = jax.lax.stop_gradient(up[rows, sel])          # (N, S1, S2)
                 best_low = jax.lax.stop_gradient(low_res[rows, sel])    # (N, s, s)
                 pred_mask = best_up > 0
-                gt_bool = gt_flat > 0.5
+                gt_bool = gt_bin
                 pos_region = gt_bool & ~pred_mask
                 neg_region = pred_mask & ~gt_bool
                 overlap = gt_bool & pred_mask

@@ -48,8 +48,11 @@ class TrainableSAM:
 
     def image_embeddings_oft(self, params, batched_inputs: jnp.ndarray) -> jnp.ndarray:
         """One encoder forward for the whole batch (reference
-        trainable_sam.py:49). batched_inputs: (B, h, w, 3)."""
-        return self.sam.encode_image(params, self.preprocess(batched_inputs))
+        trainable_sam.py:49). batched_inputs: (B, h, w, 3). Blocks are
+        rematerialized in backward — activation memory, not HBM capacity,
+        otherwise caps the finetuning batch."""
+        return self.sam.encode_image(params, self.preprocess(batched_inputs),
+                                     remat=True)
 
     def forward_decoder(
         self,
