@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import common as cm
-from ..ops.attention import attention_qkv_with_rel_pos, attention_with_rel_pos
+from ..ops.attention import attention_qkv_with_rel_pos, attention_with_rel_pos, _on_tpu
+
+import os
+_USE_FUSED_BLOCK = os.environ.get("MSAM_TPU_FUSED_BLOCK", "1") != "0"
 
 Params = dict
 
@@ -273,8 +276,31 @@ def apply_image_encoder(
         valid = None
         if needs_mask:
             valid, _ = window_partition(jnp.ones((x.shape[0], H, W, 1), x.dtype), window_size)
-        for k in range(i, j):
-            xw = window_block_masked(prep_block(p["blocks"][k]), xw, valid)
+        use_fused = _USE_FUSED_BLOCK and not remat and _on_tpu()
+        if use_fused:
+            # whole windowed block as ONE Pallas program per window (see
+            # ops/fused_window_block.py) — the unfused path spends more HBM
+            # bandwidth on layout copies than on the math
+            from ..ops.fused_window_block import fused_window_block
+            BWn, ws = xw.shape[0], window_size
+            xw2 = xw.reshape(BWn, ws * ws, -1)
+            valid2 = valid.reshape(BWn, ws * ws, 1) if needs_mask else None
+            for k in range(i, j):
+                bp = prep_block(p["blocks"][k])
+                if "lora" in bp["attn"] or "fact" in bp["attn"] or "rel_pos_h" not in bp["attn"]:
+                    a = cm.layer_norm(bp["norm1"], xw2)
+                    if valid2 is not None:
+                        a = a * valid2
+                    att = apply_attention(
+                        bp["attn"], a.reshape(BWn, ws, ws, -1), num_heads)
+                    xw2 = xw2 + att.reshape(BWn, ws * ws, -1)
+                    xw2 = _mlp_half(bp, xw2)
+                else:
+                    xw2 = fused_window_block(xw2, valid2, bp, (ws, ws), num_heads)
+            xw = xw2.reshape(BWn, ws, ws, -1)
+        else:
+            for k in range(i, j):
+                xw = window_block_masked(prep_block(p["blocks"][k]), xw, valid)
         x = window_unpartition(xw, window_size, pad_hw, (H, W))
         i = j
     # Neck

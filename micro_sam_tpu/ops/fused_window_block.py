@@ -1,0 +1,266 @@
+"""Fused ViT windowed transformer block as a single Pallas TPU kernel.
+
+One program per window computes the ENTIRE block in VMEM:
+
+    a  = LN1(x) * valid_mask
+    qkv = a @ Wqkv;  per-head attention with decomposed rel-pos bias
+    x1 = x + attn @ Wproj
+    out = x1 + W2 @ gelu(W1 @ LN2(x1))
+
+Motivation (see PARITY.md perf notes): left to XLA, each windowed block of
+the SAM encoder moves ~1.1 GB/batch-8 of layout copies between the window
+shuffles and the attention kernel's operand layouts, holding the encoder at
+~23% MXU utilization. Fusing the block keeps the (196, C) activations and all
+weights (Wqkv reshaped to (3*nH, C, hd) so per-head slices index the leading,
+unconstrained dimension) resident in VMEM; HBM traffic drops to x in/out.
+
+Weights ride with constant BlockSpec index maps, so Mosaic loads them once
+and they stay resident across the sequential grid. Backward falls back to the
+unfused composition via custom_vjp (inference-speed kernel; training uses the
+flash-attention backward path through the unfused block).
+
+Reference semantics: segment_anything image encoder Block/Attention (see
+SURVEY.md L0); bit-compatible with models/image_encoder.window_block_masked.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf_poly(z):
+    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7; Mosaic lowers
+    neither erf nor erfc)."""
+    sign = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return sign * (1.0 - poly * jnp.exp(-az * az))
+
+
+def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
+                        rh_ref, rw_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+                        w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
+                        num_heads: int, w: int, scale: float, eps: float,
+                        masked: bool):
+    _, n, c = x_ref.shape
+    hd = w3_ref.shape[2]
+
+    x = x_ref[0].astype(jnp.float32)                    # (N, C)
+
+    # LN1 (+ window pad mask, matching the run-fused encoder path)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    a = (x - mean) * jax.lax.rsqrt(var + eps)
+    a = a * ln1s_ref[0] + ln1b_ref[0]
+    if masked:
+        a = a * valid_ref[0].astype(jnp.float32)
+    a = a.astype(x_ref.dtype)
+
+    # rel-pos bias building blocks (single k block: BK = N)
+    rk = n // w
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (rk, n), 1)
+    expand_rows = (kcol // w == jax.lax.broadcasted_iota(jnp.int32, (rk, n), 0)
+                   ).astype(jnp.float32)
+    kcol_w = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
+    tile_cols = (kcol_w % w == jax.lax.broadcasted_iota(jnp.int32, (w, n), 0)
+                 ).astype(jnp.float32)
+    rh = rh_ref[:].astype(jnp.float32)                  # (w, w, hd) [rk == w]
+    rw = rw_ref[:].astype(jnp.float32)
+
+    def head_body(h, _):
+        q = jax.lax.dot_general(                         # (N, hd) f32
+            a, w3_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3_ref[h]
+        k = jax.lax.dot_general(
+            a, w3_ref[num_heads + h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3_ref[num_heads + h]
+        v = jax.lax.dot_general(
+            a, w3_ref[2 * num_heads + h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3_ref[2 * num_heads + h]
+
+        q_rows = q.reshape(rk, w, hd)
+        q_rh = jax.lax.dot_general(                      # (RQ, W, RK)
+            q_rows, rh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        bias_h = jax.lax.dot_general(
+            q_rh.reshape(n, rk), expand_rows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        q_rw = jax.lax.dot_general(                      # (W, RQ, W)
+            q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).transpose(1, 0, 2)
+        bias_w = jax.lax.dot_general(
+            q_rw.reshape(n, w), tile_cols, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        logits = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_h + bias_w                               # (N, N)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out_h = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        attn_scr[h] = out_h
+        return 0
+
+    jax.lax.fori_loop(0, num_heads, head_body, 0)
+
+    # proj from head-major scratch: y = sum_h out_h @ Wp[h]
+    def proj_body(h, acc):
+        return acc + jax.lax.dot_general(
+            attn_scr[h].astype(x_ref.dtype), wp_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    y = jax.lax.fori_loop(0, num_heads, proj_body,
+                          jnp.zeros((n, c), jnp.float32))
+    x1 = x + y + bp_ref[0]                                # (N, C) f32
+
+    # LN2 + MLP + residual
+    mean2 = jnp.mean(x1, axis=-1, keepdims=True)
+    var2 = jnp.var(x1, axis=-1, keepdims=True)
+    b = (x1 - mean2) * jax.lax.rsqrt(var2 + eps)
+    b = (b * ln2s_ref[0] + ln2b_ref[0]).astype(x_ref.dtype)
+    h1 = jax.lax.dot_general(
+        b, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    h1 = h1 * 0.5 * (1.0 + _erf_poly(h1 * 0.7071067811865476))
+    out = jax.lax.dot_general(
+        h1.astype(x_ref.dtype), w2_ref[...].astype(x_ref.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0]
+    o_ref[0] = (x1 + out).astype(o_ref.dtype)
+
+
+def _fused_forward(x, valid, bp_params, hw, num_heads):
+    """x: (BW, N, C) window-partitioned tokens; valid: (BW, N, 1) or None;
+    bp_params: the block's param subtree (norm1/attn/norm2/mlp)."""
+    BW, N, C = x.shape
+    H, W = hw
+    assert N == H * W and H == W, (hw, N)
+    hd = C // num_heads
+    dt = x.dtype
+    f32 = jnp.float32
+
+    att = bp_params["attn"]
+    # (C, 3C) -> (3*nH, C, hd): per-head slices index the leading dim
+    w3 = att["qkv"]["w"].astype(dt).reshape(C, 3, num_heads, hd)
+    w3 = w3.transpose(1, 2, 0, 3).reshape(3 * num_heads, C, hd)
+    b3 = att["qkv"]["b"].astype(f32).reshape(3, num_heads, 1, hd)
+    b3 = b3.reshape(3 * num_heads, 1, hd)
+    wp = att["proj"]["w"].astype(dt).reshape(num_heads, hd, C)
+    bpb = att["proj"]["b"].astype(f32).reshape(1, C)
+
+    from ..models.image_encoder import get_rel_pos
+    rh = get_rel_pos(H, H, att["rel_pos_h"]).astype(dt)
+    rw = get_rel_pos(W, W, att["rel_pos_w"]).astype(dt)
+
+    ln1s = bp_params["norm1"]["scale"].astype(f32).reshape(1, C)
+    ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
+    ln2s = bp_params["norm2"]["scale"].astype(f32).reshape(1, C)
+    ln2b = bp_params["norm2"]["bias"].astype(f32).reshape(1, C)
+    mlp = bp_params["mlp"]
+    w1 = mlp["lin1"]["w"].astype(dt)
+    b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
+    w2 = mlp["lin2"]["w"]
+    b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
+    hidden = w1.shape[1]
+
+    masked = valid is not None
+    if not masked:
+        valid = jnp.ones((1, N, 1), dt)  # placeholder operand
+
+    kernel = functools.partial(
+        _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
+        eps=1e-6, masked=masked)
+    interpret = jax.default_backend() == "cpu"
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(BW,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, N, 1), (lambda i: (i, 0, 0)) if masked
+                         else (lambda i: (0, 0, 0))),
+            const(1, C), const(1, C),
+            const(3 * num_heads, C, hd), const(3 * num_heads, 1, hd),
+            const(H, H, hd), const(W, W, hd),
+            const(num_heads, hd, C), const(1, C),
+            const(1, C), const(1, C),
+            const(C, hidden), const(1, hidden),
+            const(hidden, C), const(1, C),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW, N, C), dt),
+        scratch_shapes=[pltpu.VMEM((num_heads, N, hd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, valid, ln1s, ln1b, w3, b3, rh, rw, wp, bpb, ln2s, ln2b, w1, b1,
+      w2, b2)
+
+
+def _unfused_reference(x, valid, bp_params, hw, num_heads):
+    """The exact unfused composition (models/image_encoder.py run-fused
+    window path) — correctness oracle and custom_vjp backward."""
+    from ..models import common as cm
+    from ..models.image_encoder import apply_attention
+
+    BW, N, C = x.shape
+    H, W = hw
+    a = cm.layer_norm(bp_params["norm1"], x)
+    if valid is not None:
+        a = a * valid
+    xw = x + apply_attention(bp_params["attn"], a.reshape(BW, H, W, C),
+                             num_heads).reshape(BW, N, C)
+    return xw + cm.mlp_block(bp_params["mlp"],
+                             cm.layer_norm(bp_params["norm2"], xw))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_window_block(x, valid, bp_params, hw, num_heads):
+    """x: (BW, N, C); valid: (BW, N, 1) pad mask or None. Pallas-fused on
+    TPU; falls back to the unfused composition elsewhere and in backward."""
+    return _fused_forward(x, valid, bp_params, hw, num_heads)
+
+
+def _fwb_fwd(x, valid, bp_params, hw, num_heads):
+    return fused_window_block(x, valid, bp_params, hw, num_heads), \
+        (x, valid, bp_params)
+
+
+def _fwb_bwd(hw, num_heads, res, g):
+    x, valid, bp_params = res
+    if valid is None:
+        _, vjp = jax.vjp(
+            lambda x_, p_: _unfused_reference(x_, None, p_, hw, num_heads),
+            x, bp_params)
+        dx, dp = vjp(g)
+        return dx, None, dp
+    _, vjp = jax.vjp(
+        lambda x_, v_, p_: _unfused_reference(x_, v_, p_, hw, num_heads),
+        x, valid, bp_params)
+    return vjp(g)
+
+
+fused_window_block.defvjp(_fwb_fwd, _fwb_bwd)
