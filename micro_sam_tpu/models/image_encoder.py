@@ -265,7 +265,21 @@ def apply_image_encoder(
     i = 0
     while i < depth:
         if i in glob or window_size <= 0:
-            x = global_block(prep_block(p["blocks"][i]), x)
+            bp = prep_block(p["blocks"][i])
+            fused_ok = (_USE_FUSED_BLOCK and not remat and _on_tpu()
+                        and "lora" not in bp["attn"] and "fact" not in bp["attn"]
+                        and "rel_pos_h" in bp["attn"])
+            if fused_ok:
+                from ..ops.fused_window_block import (
+                    fused_global_block, global_block_config)
+                Bh, Hh, Wh, Ch = x.shape
+                if global_block_config(Hh, Wh) is not None:
+                    x2 = fused_global_block(
+                        x.reshape(Bh, Hh * Wh, Ch), bp, (Hh, Wh), num_heads)
+                    x = x2.reshape(Bh, Hh, Wh, Ch)
+                    i += 1
+                    continue
+            x = global_block(bp, x)
             i += 1
             continue
         j = i

@@ -49,11 +49,16 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                         rh_ref, rw_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
                         num_heads: int, w: int, scale: float, eps: float,
-                        masked: bool):
-    _, n, c = x_ref.shape
+                        masked: bool, group: int):
+    """group windows per program: LN/qkv/proj/MLP matmuls run on
+    (group * N) rows (the MXU is badly underutilized at 196 rows); only the
+    (N, N) attention cores stay per-window (statically unrolled over the
+    group, heads via fori_loop)."""
+    g_, n, c = x_ref.shape
     hd = w3_ref.shape[2]
+    gn = group * n
 
-    x = x_ref[0].astype(jnp.float32)                    # (N, C)
+    x = x_ref[...].reshape(gn, c).astype(jnp.float32)   # (G*N, C)
 
     # LN1 (+ window pad mask, matching the run-fused encoder path)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -61,7 +66,7 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     a = (x - mean) * jax.lax.rsqrt(var + eps)
     a = a * ln1s_ref[0] + ln1b_ref[0]
     if masked:
-        a = a * valid_ref[0].astype(jnp.float32)
+        a = a * valid_ref[...].reshape(gn, 1).astype(jnp.float32)
     a = a.astype(x_ref.dtype)
 
     # rel-pos bias building blocks (single k block: BK = N)
@@ -76,7 +81,7 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     rw = rw_ref[:].astype(jnp.float32)
 
     def head_body(h, _):
-        q = jax.lax.dot_general(                         # (N, hd) f32
+        q = jax.lax.dot_general(                         # (G*N, hd) f32
             a, w3_ref[h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b3_ref[h]
@@ -88,50 +93,56 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
             a, w3_ref[2 * num_heads + h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b3_ref[2 * num_heads + h]
+        q3 = q.reshape(group, n, hd)
+        k3 = k.reshape(group, n, hd)
+        v3 = v.reshape(group, n, hd)
 
-        q_rows = q.reshape(rk, w, hd)
-        q_rh = jax.lax.dot_general(                      # (RQ, W, RK)
-            q_rows, rh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        bias_h = jax.lax.dot_general(
-            q_rh.reshape(n, rk), expand_rows, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        q_rw = jax.lax.dot_general(                      # (W, RQ, W)
-            q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).transpose(1, 0, 2)
-        bias_w = jax.lax.dot_general(
-            q_rw.reshape(n, w), tile_cols, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for g in range(group):                           # static unroll
+            qg, kg, vg = q3[g], k3[g], v3[g]
+            q_rows = qg.reshape(rk, w, hd)
+            q_rh = jax.lax.dot_general(                  # (RQ, W, RK)
+                q_rows, rh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            bias_h = jax.lax.dot_general(
+                q_rh.reshape(n, rk), expand_rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            q_rw = jax.lax.dot_general(                  # (W, RQ, W)
+                q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).transpose(1, 0, 2)
+            bias_w = jax.lax.dot_general(
+                q_rw.reshape(n, w), tile_cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        logits = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias_h + bias_w                               # (N, N)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out_h = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        attn_scr[h] = out_h
+            logits = jax.lax.dot_general(
+                qg * scale, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_h + bias_w                           # (N, N)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            pr = jnp.exp(logits - m)
+            pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
+            attn_scr[h, g] = jax.lax.dot_general(
+                pr, vg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return 0
 
     jax.lax.fori_loop(0, num_heads, head_body, 0)
 
     # proj from head-major scratch: y = sum_h out_h @ Wp[h]
     def proj_body(h, acc):
+        out_h = attn_scr[h].reshape(gn, hd).astype(x_ref.dtype)
         return acc + jax.lax.dot_general(
-            attn_scr[h].astype(x_ref.dtype), wp_ref[h], (((1,), (0,)), ((), ())),
+            out_h, wp_ref[h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     y = jax.lax.fori_loop(0, num_heads, proj_body,
-                          jnp.zeros((n, c), jnp.float32))
-    x1 = x + y + bp_ref[0]                                # (N, C) f32
+                          jnp.zeros((gn, c), jnp.float32))
+    x1 = x + y + bp_ref[0]                                # (G*N, C) f32
 
     # LN2 + MLP + residual
     mean2 = jnp.mean(x1, axis=-1, keepdims=True)
@@ -144,11 +155,11 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     ) + b1_ref[0]
     h1 = h1 * 0.5 * (1.0 + _erf_poly(h1 * 0.7071067811865476))
     out = jax.lax.dot_general(
-        h1.astype(x_ref.dtype), w2_ref[...].astype(x_ref.dtype),
+        h1.astype(x_ref.dtype), w2_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0]
-    o_ref[0] = (x1 + out).astype(o_ref.dtype)
+    o_ref[...] = (x1 + out).reshape(g_, n, c).astype(o_ref.dtype)
 
 
 def _fused_forward(x, valid, bp_params, hw, num_heads):
@@ -181,26 +192,31 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     mlp = bp_params["mlp"]
     w1 = mlp["lin1"]["w"].astype(dt)
     b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
-    w2 = mlp["lin2"]["w"]
+    w2 = mlp["lin2"]["w"].astype(dt)
     b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
     hidden = w1.shape[1]
 
+    # one window per program measured FASTER than grouping 4 (58.9 vs 59.8
+    # tiles/s): the sequential grid already pipelines small programs well,
+    # and the 4x-unrolled attention bodies scheduled worse
+    group = 1  # grouping 2/4 windows measured slower (58.6/58.9 vs 59.8 t/s)
+
     masked = valid is not None
     if not masked:
-        valid = jnp.ones((1, N, 1), dt)  # placeholder operand
+        valid = jnp.ones((group, N, 1), dt)  # placeholder operand
 
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
-        eps=1e-6, masked=masked)
+        eps=1e-6, masked=masked, group=group)
     interpret = jax.default_backend() == "cpu"
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return pl.pallas_call(
         kernel,
-        grid=(BW,),
+        grid=(BW // group,),
         in_specs=[
-            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, N, 1), (lambda i: (i, 0, 0)) if masked
+            pl.BlockSpec((group, N, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, N, 1), (lambda i: (i, 0, 0)) if masked
                          else (lambda i: (0, 0, 0))),
             const(1, C), const(1, C),
             const(3 * num_heads, C, hd), const(3 * num_heads, 1, hd),
@@ -210,9 +226,9 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
             const(C, hidden), const(1, hidden),
             const(hidden, C), const(1, C),
         ],
-        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((group, N, C), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((BW, N, C), dt),
-        scratch_shapes=[pltpu.VMEM((num_heads, N, hd), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((num_heads, group, N, hd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -264,3 +280,230 @@ def _fwb_bwd(hw, num_heads, res, g):
 
 
 fused_window_block.defvjp(_fwb_fwd, _fwb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused GLOBAL transformer block: one program per image, flash-style q-block
+# loop inside (k/v for all N=4096 tokens fit in VMEM, so the softmax is a
+# single pass per q block — no online accumulation needed)
+# ---------------------------------------------------------------------------
+
+def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
+                         rh_ref, rw_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                         a_scr, attn_scr, x1_scr, q_scr, *,
+                         num_heads: int, w: int, scale: float, eps: float,
+                         block_q: int, block_m: int):
+    _, n, c = x_ref.shape
+    hd = w3_ref.shape[2]
+    rk = n // w
+
+    # LN1 over all tokens, kept in VMEM scratch (bf16)
+    x = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    a = (x - mean) * jax.lax.rsqrt(var + eps)
+    a_scr[...] = (a * ln1s_ref[0] + ln1b_ref[0]).astype(a_scr.dtype)
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (rk, n), 1)
+    expand_rows = (kcol // w == jax.lax.broadcasted_iota(jnp.int32, (rk, n), 0)
+                   ).astype(jnp.float32)
+    kcol_w = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
+    tile_cols = (kcol_w % w == jax.lax.broadcasted_iota(jnp.int32, (w, n), 0)
+                 ).astype(jnp.float32)
+    rw = rw_ref[:].astype(jnp.float32)
+
+    rq = block_q // w
+
+    def head_body(h, _):
+        av = a_scr[...]
+        # q rides in a scratch ref: Mosaic can't dynamic_slice VALUES, and
+        # the q-block loop below slices per block_q rows
+        q_scr[...] = jax.lax.dot_general(                # (N, hd) f32
+            av, w3_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3_ref[h]
+        k = jax.lax.dot_general(
+            av, w3_ref[num_heads + h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3_ref[num_heads + h]
+        v = (jax.lax.dot_general(
+            av, w3_ref[2 * num_heads + h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3_ref[2 * num_heads + h]).astype(a_scr.dtype)
+
+        def q_body(qi, __):
+            qb = q_scr[pl.ds(qi * block_q, block_q), :]
+            q_rows = qb.reshape(rq, w, hd)
+            rh_blk = rh_ref[pl.ds(qi * rq, rq), :, :].astype(jnp.float32)
+            q_rh = jax.lax.dot_general(                  # (RQ, W, RK=rk)
+                q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            bias_h = jax.lax.dot_general(
+                q_rh.reshape(block_q, rk), expand_rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            q_rw = jax.lax.dot_general(                  # (W, RQ, W)
+                q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).transpose(1, 0, 2)
+            bias_w = jax.lax.dot_general(
+                q_rw.reshape(block_q, w), tile_cols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = jax.lax.dot_general(                # (BQ, N)
+                qb * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_h + bias_w
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            pr = jnp.exp(logits - m)
+            pr = (pr / jnp.sum(pr, axis=-1, keepdims=True)).astype(a_scr.dtype)
+            attn_scr[h, pl.ds(qi * block_q, block_q), :] = jax.lax.dot_general(
+                pr, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(attn_scr.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n // block_q, q_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads, head_body, 0)
+
+    def proj_body(h, acc):
+        return acc + jax.lax.dot_general(
+            attn_scr[h], wp_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    y = jax.lax.fori_loop(0, num_heads, proj_body,
+                          jnp.zeros((n, c), jnp.float32))
+    x1_scr[...] = (x + y + bp_ref[0]).astype(x1_scr.dtype)  # (N, C)
+
+    # LN2 + MLP + residual, chunked over token rows
+    def mlp_body(mi, _):
+        x1 = x1_scr[pl.ds(mi * block_m, block_m), :].astype(jnp.float32)
+        mean2 = jnp.mean(x1, axis=-1, keepdims=True)
+        var2 = jnp.var(x1, axis=-1, keepdims=True)
+        b = (x1 - mean2) * jax.lax.rsqrt(var2 + eps)
+        b = (b * ln2s_ref[0] + ln2b_ref[0]).astype(x_ref.dtype)
+        h1 = jax.lax.dot_general(
+            b, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0]
+        h1 = h1 * 0.5 * (1.0 + _erf_poly(h1 * 0.7071067811865476))
+        out = jax.lax.dot_general(
+            h1.astype(x_ref.dtype), w2_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0]
+        o_ref[0, pl.ds(mi * block_m, block_m), :] = (x1 + out).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n // block_m, mlp_body, 0)
+
+
+def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=None):
+    """x: (B, N, C) full-image tokens (global-attention block)."""
+    B, N, C = x.shape
+    H, W = hw
+    if block_q is None:
+        block_q, block_m = global_block_config(H, W)
+    assert N == H * W
+    assert block_q % W == 0 and N % block_q == 0 and N % block_m == 0
+    assert block_q % 8 == 0
+    hd = C // num_heads
+    dt = x.dtype
+    f32 = jnp.float32
+
+    att = bp_params["attn"]
+    w3 = att["qkv"]["w"].astype(dt).reshape(C, 3, num_heads, hd)
+    w3 = w3.transpose(1, 2, 0, 3).reshape(3 * num_heads, C, hd)
+    b3 = att["qkv"]["b"].astype(f32).reshape(3, num_heads, 1, hd)
+    b3 = b3.reshape(3 * num_heads, 1, hd)
+    wp = att["proj"]["w"].astype(dt).reshape(num_heads, hd, C)
+    bpb = att["proj"]["b"].astype(f32).reshape(1, C)
+
+    from ..models.image_encoder import get_rel_pos
+    rh = get_rel_pos(H, H, att["rel_pos_h"]).astype(dt)
+    rw = get_rel_pos(W, W, att["rel_pos_w"]).astype(dt)
+
+    ln1s = bp_params["norm1"]["scale"].astype(f32).reshape(1, C)
+    ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
+    ln2s = bp_params["norm2"]["scale"].astype(f32).reshape(1, C)
+    ln2b = bp_params["norm2"]["bias"].astype(f32).reshape(1, C)
+    mlp = bp_params["mlp"]
+    w1 = mlp["lin1"]["w"].astype(dt)
+    b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
+    w2 = mlp["lin2"]["w"].astype(dt)
+    b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
+    hidden = w1.shape[1]
+
+    kernel = functools.partial(
+        _fused_global_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
+        eps=1e-6, block_q=block_q, block_m=block_m)
+    interpret = jax.default_backend() == "cpu"
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+            const(1, C), const(1, C),
+            const(3 * num_heads, C, hd), const(3 * num_heads, 1, hd),
+            const(H, H, hd), const(W, W, hd),
+            const(num_heads, hd, C), const(1, C),
+            const(1, C), const(1, C),
+            const(C, hidden), const(1, hidden),
+            const(hidden, C), const(1, C),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), dt),
+        scratch_shapes=[
+            pltpu.VMEM((N, C), dt),                      # a = LN1(x)
+            pltpu.VMEM((num_heads, N, hd), dt),          # attention out
+            pltpu.VMEM((N, C), dt),                      # x1 residual (bf16
+                                                         # like the unfused path)
+            pltpu.VMEM((N, hd), jnp.float32),            # per-head q
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=104 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln1s, ln1b, w3, b3, rh, rw, wp, bpb, ln2s, ln2b, w1, b1, w2, b2)
+
+
+def global_block_config(H: int, W: int):
+    """(block_q, block_m) for the fused global kernel, or None if the token
+    grid doesn't satisfy the kernel's tiling constraints."""
+    N = H * W
+    if N <= 1024:
+        return N, N
+    for bq in (128, 256, 512, 1024):
+        # q_scr is sliced at qi*bq rows (sublane dim): bq must be 8-aligned;
+        # the rel-table slice indexes the (unconstrained) leading dim
+        if bq % W == 0 and N % bq == 0 and bq % 8 == 0:
+            bm = 512 if N % 512 == 0 else N
+            return bq, bm
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_global_block(x, bp_params, hw, num_heads):
+    """x: (B, N, C). Pallas-fused global-attention transformer block."""
+    return _fused_global_forward(x, bp_params, hw, num_heads)
+
+
+def _fgb_fwd(x, bp_params, hw, num_heads):
+    return fused_global_block(x, bp_params, hw, num_heads), (x, bp_params)
+
+
+def _fgb_bwd(hw, num_heads, res, g):
+    x, bp_params = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _unfused_reference(x_, None, p_, hw, num_heads),
+        x, bp_params)
+    return vjp(g)
+
+
+fused_global_block.defvjp(_fgb_fwd, _fgb_bwd)
