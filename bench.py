@@ -7,25 +7,32 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): >= 5000 x 1024^2 ViT-B tiles/min on v5e-8
 => 10.42 tiles/sec/chip. vs_baseline = measured tiles/sec/chip / 10.42.
 
+Failure containment: if the fused-block path fails to compile or OOMs,
+the bench re-execs itself once with MSAM_TPU_FUSED_BLOCK=0 so a kernel
+regression degrades throughput instead of zeroing out the round.
+
 NOTE on timing: through the axon relay, block_until_ready() returns
 immediately; only fetching a value forces completion. Each jitted program
 therefore returns a small checksum that we fetch to fence the timing.
 """
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# persistent compilation cache: repeated bench/driver runs skip the remote compile
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_TILES_PER_SEC_PER_CHIP = 5000.0 / 60.0 / 8.0  # north-star on v5e-8
 
 
-def main():
+def run_bench():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # persistent compilation cache: repeated bench/driver runs skip the remote compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from micro_sam_tpu.models.build_sam import get_config
     from micro_sam_tpu.models.sam import init_sam_params, Sam, preprocess
 
@@ -49,7 +56,8 @@ def main():
 
     x = jnp.asarray(np.random.rand(batch, 1024, 1024, 3).astype(np.float32) * 255)
 
-    # warmup / compile (fetch forces completion)
+    # warmup / compile (fetch forces completion); a failure here is the fused
+    # path's to own — main() retries unfused
     feats, chk = encode(params, x)
     float(chk)
 
@@ -83,33 +91,37 @@ def main():
     float(c)
     decode_program_ms = (time.perf_counter() - t0) / 50 * 1e3
 
-    # AMG throughput: grid decode via the device-side packed pipeline
+    # AMG throughput: grid decode via the device-side packed pipeline.
+    # Contained: an AMG failure degrades this field to None, never the bench.
     amg_masks_per_sec = None
     if on_tpu:
-        from micro_sam_tpu.predictor import SamPredictor, _AmgDecoder
-        predictor = SamPredictor(sam)
-        predictor.set_features(feats[:1], (1024, 1024), (1024, 1024))
-        # threshold 2.0: random-init logits produce ~real-world mask sparsity
-        decoder_amg = _AmgDecoder(predictor, mask_threshold=2.0)
-        from micro_sam_tpu.ops.amg_utils import build_point_grid
-        from micro_sam_tpu import native
-        grid_pts = (build_point_grid(32) * 1024).astype(np.float32)
-        ppb = 256
-        # warmup one batch
-        decoder_amg(grid_pts[:ppb])
-        t0 = time.perf_counter()
-        n_masks = 0
-        for s in range(0, len(grid_pts), ppb):
-            chunk = grid_pts[s:s + ppb]
-            if len(chunk) < ppb:
-                break
-            packed, iou, stab, boxes = decoder_amg(chunk)
-            rles = native.rle_from_packed(packed, 1024, 1024)
-            n_masks += len(rles)
-        amg_dt = time.perf_counter() - t0
-        amg_masks_per_sec = n_masks / amg_dt
+        try:
+            from micro_sam_tpu.predictor import SamPredictor, _AmgDecoder
+            predictor = SamPredictor(sam)
+            predictor.set_features(feats[:1], (1024, 1024), (1024, 1024))
+            # threshold 2.0: random-init logits produce ~real-world mask sparsity
+            decoder_amg = _AmgDecoder(predictor, mask_threshold=2.0)
+            from micro_sam_tpu.ops.amg_utils import build_point_grid
+            from micro_sam_tpu import native
+            grid_pts = (build_point_grid(32) * 1024).astype(np.float32)
+            ppb = 256
+            # warmup one batch
+            decoder_amg(grid_pts[:ppb])
+            t0 = time.perf_counter()
+            n_masks = 0
+            for s in range(0, len(grid_pts), ppb):
+                chunk = grid_pts[s:s + ppb]
+                if len(chunk) < ppb:
+                    break
+                packed, iou, stab, boxes = decoder_amg(chunk)
+                rles = native.rle_from_packed(packed, 1024, 1024)
+                n_masks += len(rles)
+            amg_dt = time.perf_counter() - t0
+            amg_masks_per_sec = n_masks / amg_dt
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: AMG section failed, skipping: {e}", file=sys.stderr)
 
-    result = {
+    return {
         "metric": "vit_b_1024px_embed_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 3),
         "unit": "tiles/s/chip",
@@ -121,8 +133,25 @@ def main():
             "platform": platform,
             "batch": batch,
             "compute_dtype": cfg.compute_dtype,
+            "fused_block": os.environ.get("MSAM_TPU_FUSED_BLOCK", "1") != "0",
         },
     }
+
+
+def main():
+    try:
+        result = run_bench()
+    except Exception as e:  # noqa: BLE001
+        if os.environ.get("MSAM_TPU_FUSED_BLOCK") == "0":
+            raise  # already on the fallback path — surface the real error
+        print(
+            f"bench: fused path failed ({type(e).__name__}: {e}); "
+            "retrying with MSAM_TPU_FUSED_BLOCK=0",
+            file=sys.stderr,
+        )
+        env = dict(os.environ, MSAM_TPU_FUSED_BLOCK="0")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        sys.exit(r.returncode)
     print(json.dumps(result))
 
 

@@ -291,14 +291,16 @@ fused_window_block.defvjp(_fwb_fwd, _fwb_bwd)
 def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                          rh_ref, rw_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
                          w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                         a_scr, attn_scr, x1_scr, q_scr, *,
+                         a_scr, attn_scr, q_scr, *,
                          num_heads: int, w: int, scale: float, eps: float,
                          block_q: int, block_m: int):
     _, n, c = x_ref.shape
     hd = w3_ref.shape[2]
     rk = n // w
 
-    # LN1 over all tokens, kept in VMEM scratch (bf16)
+    # LN1 over all tokens, kept in VMEM scratch (bf16). x is re-read from
+    # x_ref at the residual below so the f32 value dies after LN1 (keeps the
+    # scoped-VMEM stack under the limit; round-1 kept it live and OOMed).
     x = x_ref[0].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
@@ -378,11 +380,14 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
 
     y = jax.lax.fori_loop(0, num_heads, proj_body,
                           jnp.zeros((n, c), jnp.float32))
-    x1_scr[...] = (x + y + bp_ref[0]).astype(x1_scr.dtype)  # (N, C)
+    # x1 residual staged in o_ref (the VMEM output block — same bf16 precision
+    # as the unfused path) instead of a dedicated scratch buffer; each MLP
+    # chunk below reads its own rows back before overwriting them
+    o_ref[0] = (x_ref[0].astype(jnp.float32) + y + bp_ref[0]).astype(o_ref.dtype)
 
     # LN2 + MLP + residual, chunked over token rows
     def mlp_body(mi, _):
-        x1 = x1_scr[pl.ds(mi * block_m, block_m), :].astype(jnp.float32)
+        x1 = o_ref[0, pl.ds(mi * block_m, block_m), :].astype(jnp.float32)
         mean2 = jnp.mean(x1, axis=-1, keepdims=True)
         var2 = jnp.var(x1, axis=-1, keepdims=True)
         b = (x1 - mean2) * jax.lax.rsqrt(var2 + eps)
@@ -463,8 +468,6 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
         scratch_shapes=[
             pltpu.VMEM((N, C), dt),                      # a = LN1(x)
             pltpu.VMEM((num_heads, N, hd), dt),          # attention out
-            pltpu.VMEM((N, C), dt),                      # x1 residual (bf16
-                                                         # like the unfused path)
             pltpu.VMEM((N, hd), jnp.float32),            # per-head q
         ],
         compiler_params=pltpu.CompilerParams(

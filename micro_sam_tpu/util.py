@@ -674,6 +674,12 @@ def set_precomputed(
         return predictor
 
     features = image_embeddings["features"]
+    if isinstance(features, dict) or not hasattr(features, "ndim"):
+        # tiled embeddings: per-tile dict (in-memory) or zarr group (lazy)
+        raise ValueError(
+            "These are tiled embeddings: pass tile_id to select the tile "
+            "(reference util.py:1229 requires the same)."
+        )
     if i is not None:
         features = features[i]  # (1, 256, 64, 64) for both numpy and lazy zarr
     features = np.asarray(features)

@@ -37,3 +37,67 @@ def test_fused_window_block_matches_unfused(masked):
     err = max(float(jnp.max(jnp.abs(a - b)))
               for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)))
     assert err < 5e-4
+
+
+def test_fused_global_block_matches_unfused():
+    """GLOBAL-attention fused kernel (the one that OOMed the round-1 bench):
+    interpret-mode numerics vs the unfused composition, fwd and bwd."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops.fused_window_block import (
+        fused_global_block, global_block_config, _unfused_reference,
+    )
+
+    # H=W=16 -> N=256 > 1024 is false, so force the blocked path via H=W=32?
+    # interpret mode is slow; use the smallest shape that exercises the
+    # q-block + mlp-block loops: N=1024 picks block_q=block_m=N (single
+    # block), so use H=W=40 -> N=1600, block_q=40? Not power-of-two...
+    # Simplest real exercise: H=W=32 (N=1024 -> single block) AND
+    # H=W=64 is the production shape but too slow interpreted. Cover the
+    # single-block path here plus an explicit blocked config below.
+    C, nH, H = 64, 2, 32
+    N = H * H
+    B = 2
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (H, H), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, N, C), jnp.float32)
+
+    assert global_block_config(H, H) is not None
+    y1 = fused_global_block(x, bp, (H, H), nH)
+    y2 = _unfused_reference(x, None, bp, (H, H), nH)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+    g1 = jax.grad(lambda x_, p_: jnp.sum(jnp.sin(
+        fused_global_block(x_, p_, (H, H), nH))), argnums=(0, 1))(x, bp)
+    g2 = jax.grad(lambda x_, p_: jnp.sum(jnp.sin(
+        _unfused_reference(x_, None, p_, (H, H), nH))), argnums=(0, 1))(x, bp)
+    err = max(float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)))
+    assert err < 5e-4
+
+
+def test_fused_global_block_blocked_loops():
+    """Exercise the q-block / mlp-block fori_loops (block_q < N) explicitly,
+    with the vit_b production geometry's loop structure at reduced C."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops.fused_window_block import (
+        _fused_global_forward, _unfused_reference,
+    )
+
+    C, nH, H = 32, 2, 16
+    N = H * H  # 256
+    B = 1
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (H, H), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, N, C), jnp.float32)
+
+    # block_q=64 (4 q blocks), block_m=128 (2 mlp chunks): same loop topology
+    # as the production N=4096 / block_q=128 / block_m=512 configuration
+    y1 = _fused_global_forward(x, bp, (H, H), nH, block_q=64, block_m=128)
+    y2 = _unfused_reference(x, None, bp, (H, H), nH)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
