@@ -86,13 +86,13 @@ class JointSamTrainer(SamTrainer):
                 distance_targets = None
 
             if train:
-                use_points, use_box, multimask = self._get_prompt_and_multimasking_choices(
-                    self._iteration)
+                use_points, use_box, multimask, n_pos, n_neg = \
+                    self._get_prompt_and_multimasking_choices(self._iteration)
             else:
-                use_points, use_box, multimask = \
+                use_points, use_box, multimask, n_pos, n_neg = \
                     self._get_prompt_and_multimasking_choices_for_val(self._iteration)
 
-            prepared = self._prepare_batch(image, labels, use_points, use_box)
+            prepared = self._prepare_batch(image, labels, use_points, use_box, n_pos, n_neg)
             if prepared is None:
                 continue
             images_j, gt, obj_valid, points0, labels0, boxes0 = prepared

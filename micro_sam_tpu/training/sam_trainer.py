@@ -155,20 +155,25 @@ class SamTrainer:
     # ------------------------------------------------------------------
     # prompt schedule (reference sam_trainer.py:70-104)
     # ------------------------------------------------------------------
-    def _get_prompt_and_multimasking_choices(self, iteration: int) -> Tuple[bool, bool, bool]:
-        """Returns (use_points, use_box, multimask)."""
+    def _get_prompt_and_multimasking_choices(self, iteration: int):
+        """Returns (use_points, use_box, multimask, n_pos, n_neg)."""
         if iteration % 2 == 0:
-            return True, False, True   # single positive point, multimask
-        return False, True, False      # box prompt
+            return True, False, True, 1, 0   # single positive point, multimask
+        return False, True, False, 0, 0      # box prompt
 
     def _get_prompt_and_multimasking_choices_for_val(self, iteration: int):
+        """Reference val schedule (sam_trainer.py:86-104): %4==0 single point,
+        %4==1 box, %4==2 multiple points WITHOUT box, %4==3 box AND points.
+        The reference samples a random point count at %4==2; here the count is
+        fixed at 2+2 because the step is jit-specialized on the prompt shape
+        and a random count would force a recompile per combination."""
         if iteration % 4 == 0:
-            return True, False, True
+            return True, False, True, 1, 0
         if iteration % 4 == 1:
-            return False, True, False
+            return False, True, False, 0, 0
         if iteration % 4 == 2:
-            return True, True, False
-        return True, False, False
+            return True, False, False, 2, 2
+        return True, True, False, 1, 0
 
     # ------------------------------------------------------------------
     # the jitted step
@@ -339,10 +344,12 @@ class SamTrainer:
     # ------------------------------------------------------------------
     # host-side batch preparation
     # ------------------------------------------------------------------
-    def _prepare_batch(self, image, labels, use_points: bool, use_box: bool):
+    def _prepare_batch(self, image, labels, use_points: bool, use_box: bool,
+                       n_pos: int = 1, n_neg: int = 0):
         """Sample objects + initial prompts for a numpy batch."""
         batched = self.convert_inputs(
             image, labels, n_objects=self.n_objects_per_batch,
+            n_pos=n_pos, n_neg=n_neg,
             get_points=use_points, get_boxes=use_box,
         )
         return batched
@@ -355,14 +362,13 @@ class SamTrainer:
         losses, ious = [], []
         for image, labels in loader:
             if train:
-                use_points, use_box, multimask = self._get_prompt_and_multimasking_choices(
-                    self._iteration
-                )
+                use_points, use_box, multimask, n_pos, n_neg = \
+                    self._get_prompt_and_multimasking_choices(self._iteration)
             else:
-                use_points, use_box, multimask = \
+                use_points, use_box, multimask, n_pos, n_neg = \
                     self._get_prompt_and_multimasking_choices_for_val(self._iteration)
 
-            batch = self._prepare_batch(image, labels, use_points, use_box)
+            batch = self._prepare_batch(image, labels, use_points, use_box, n_pos, n_neg)
             if batch is None:
                 continue
             images_j, gt, obj_valid, points0, labels0, boxes0 = batch
@@ -440,9 +446,13 @@ class SamTrainer:
         return os.path.join(self.save_root, self.name, f"{name}.pkl")
 
     def _checkpoint_state(self) -> Dict:
+        import dataclasses
         return {
             "model_state": jax.tree.map(np.asarray, self.model.params),
             "model_type": self.model.config.model_type,
+            # full config so get_sam_model can rebuild non-zoo (e.g. tiny
+            # test) geometries from the checkpoint alone
+            "model_config": dataclasses.asdict(self.model.config),
             "iteration": self._iteration,
             "epoch": self._epoch,
             "metrics": self.train_metrics,

@@ -21,18 +21,18 @@ class SimpleSamTrainer(SamTrainer):
     def _get_prompt_and_multimasking_choices(self, iteration):
         if self.use_points and self.use_box:
             if random.random() < 0.5:
-                return True, False, True
-            return False, True, False
+                return True, False, True, 1, 0
+            return False, True, False, 0, 0
         if self.use_points:
-            return True, False, True
-        return False, True, False
+            return True, False, True, 1, 0
+        return False, True, False, 0, 0
 
     def _get_prompt_and_multimasking_choices_for_val(self, iteration):
         if self.use_points and self.use_box:
-            return (True, False, True) if iteration % 2 == 0 else (False, True, False)
+            return (True, False, True, 1, 0) if iteration % 2 == 0 else (False, True, False, 0, 0)
         if self.use_points:
-            return True, False, True
-        return False, True, False
+            return True, False, True, 1, 0
+        return False, True, False, 0, 0
 
 
 class MedSAMTrainer(SimpleSamTrainer):

@@ -443,6 +443,8 @@ def export_instance_segmentation_model(checkpoint_path: str, output_path: str,
         "model_state": state["model_state"],
         "model_type": state.get("model_type", model_type),
     }
+    if "model_config" in state:
+        out["model_config"] = state["model_config"]
     if "decoder_state" in state:
         out["decoder_state"] = state["decoder_state"]
     with open(output_path, "wb") as f:

@@ -142,6 +142,17 @@ def get_sam_model(
         checkpoint_path = str(checkpoint_path)
         if checkpoint_path.endswith((".npz", ".msam")):
             cfg, params = load_native_checkpoint(checkpoint_path, model_type)
+        elif (native := _try_load_native_pickle(checkpoint_path)) is not None:
+            # framework-native training checkpoint: pickled dict with a JAX
+            # pytree under 'model_state' (SamTrainer.save_checkpoint /
+            # export_instance_segmentation_model)
+            if "model_config" in native:
+                cfg = SamConfig(**{**native["model_config"],
+                                   "compute_dtype": compute_dtype})
+            else:
+                cfg = get_config(native.get("model_type") or model_type, compute_dtype)
+            params = jax.tree.map(jnp.asarray, native["model_state"])
+            decoder_state = native.get("decoder_state")
         else:
             cfg, params, decoder_state = load_torch_checkpoint(checkpoint_path, model_type)
             from dataclasses import replace
@@ -180,6 +191,28 @@ def get_sam_model(
 
 def _on_accelerator() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
+
+
+def _try_load_native_pickle(path: str) -> Optional[Dict[str, Any]]:
+    """Load a framework-native training checkpoint (plain pickle holding a
+    nested pytree under 'model_state'), or None if the file is a torch
+    checkpoint (zip 'PK' magic / legacy tar) or anything else."""
+    import pickle
+    try:
+        with open(path, "rb") as f:
+            if f.read(2) == b"PK":  # torch.save zip container
+                return None
+            f.seek(0)
+            state = pickle.load(f)
+    except Exception:
+        return None
+    if (
+        isinstance(state, dict)
+        and isinstance(state.get("model_state"), dict)
+        and "image_encoder" in state["model_state"]
+    ):
+        return state
+    return None
 
 
 def save_native_checkpoint(path: str, params: dict, config: SamConfig) -> None:
@@ -237,8 +270,10 @@ def export_custom_sam_model(
 # -----------------------------------------------------------------------------
 
 def _to_image(input_: np.ndarray) -> np.ndarray:
-    """Normalize to (H, W, 3) uint8 (reference util.py:617-650): per-channel
-    min-max to [0, 255]; grayscale -> 3 channels, 2 channels -> pad, >3 -> first 3."""
+    """Normalize to (H, W, 3) uint8 (reference util.py:617-650): map channels
+    to 3 first, then per-channel min-max to [0, 255] for ALL dtypes — the
+    reference normalizes unconditionally, so low-dynamic-range uint8 inputs
+    are stretched identically."""
     input_ = np.asarray(input_)
     if input_.ndim == 2:
         input_ = input_[..., None]
@@ -246,23 +281,18 @@ def _to_image(input_: np.ndarray) -> np.ndarray:
         raise ValueError(f"Invalid image dimensions {input_.shape}")
     if input_.shape[-1] > 3:
         input_ = input_[..., :3]
-
-    if input_.dtype != np.uint8:
-        image = np.zeros(input_.shape, dtype=np.uint8)
-        for c in range(input_.shape[-1]):
-            ch = input_[..., c].astype(np.float64)
-            mn, mx = ch.min(), ch.max()
-            if mx > mn:
-                image[..., c] = np.round((ch - mn) / (mx - mn) * 255).astype(np.uint8)
-        input_ = image
-
     if input_.shape[-1] == 1:
         input_ = np.repeat(input_, 3, axis=-1)
     elif input_.shape[-1] == 2:
         input_ = np.concatenate(
-            [input_, np.zeros(input_.shape[:2] + (1,), dtype=np.uint8)], axis=-1
+            [input_, np.zeros(input_.shape[:2] + (1,), dtype=input_.dtype)], axis=-1
         )
-    return input_
+
+    # same math as the reference (float32, shifted-max epsilon, truncating cast)
+    x = input_.astype(np.float32)
+    x -= x.min(axis=(0, 1))[None, None]
+    x /= x.max(axis=(0, 1))[None, None] + 1e-7
+    return np.array((x * 255).astype(np.uint8))
 
 
 # -----------------------------------------------------------------------------
@@ -722,13 +752,21 @@ def get_centers_and_bounding_boxes(
 
 
 def load_image_data(path: str, key: Optional[str] = None, lazy_loading: bool = False):
-    """Helper to load image data from file (util.py:1313)."""
+    """Helper to load image data from file (util.py:1313).
+
+    With ``lazy_loading=True`` the h5py dataset handle is returned (the file
+    stays open, as in the reference) so large volumes are not pulled into
+    memory up front.
+    """
     if key is None:
         import imageio.v3 as imageio
         return imageio.imread(path)
     import h5py
+    if lazy_loading:
+        fh = h5py.File(path, "r")
+        return fh[key]
     with h5py.File(path, "r") as fh:
-        data = fh[key][...] if not lazy_loading else fh[key][...]
+        data = fh[key][...]
     return data
 
 

@@ -277,10 +277,28 @@ class Array:
 
     def _decode(self, raw: bytes) -> np.ndarray:
         if self._compressor is not None:
-            if self._compressor.get("id") == "gzip":
+            cid = self._compressor.get("id")
+            if cid == "gzip":
                 raw = zlib.decompress(raw, wbits=47)  # gzip or zlib framing
-            else:
+            elif cid == "zlib":
                 raw = zlib.decompress(raw)
+            elif cid == "blosc":
+                # real zarr-python's default compressor; decode via numcodecs
+                # when present (not baked into this environment)
+                try:
+                    import numcodecs
+                except ImportError as e:
+                    raise ValueError(
+                        "This zarr array uses the 'blosc' compressor, which "
+                        "needs numcodecs. Re-write the cache with a gzip/zlib "
+                        "compressor, or install numcodecs."
+                    ) from e
+                raw = numcodecs.get_codec(self._compressor).decode(raw)
+            else:
+                raise ValueError(
+                    f"Unsupported zarr compressor {cid!r}; zarr_lite decodes "
+                    "raw, zlib and gzip chunks (and blosc via numcodecs)."
+                )
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
 
     def _encode(self, chunk: np.ndarray) -> bytes:

@@ -14,11 +14,18 @@ def test_to_image():
     img = _to_image(x)
     assert img.shape == (64, 64, 3)
     assert img.dtype == np.uint8
-    assert img.max() == 255
+    # reference truncates after /(max+1e-7), so the top lands on 254
+    assert img.max() in (254, 255)
 
     x8 = (x * 255).astype(np.uint8)
     img = _to_image(x8)
     assert img.shape == (64, 64, 3)
+
+    # uint8 inputs are min-max stretched too (reference util.py:642-646):
+    # a low-dynamic-range image must use the full range after normalization
+    xlow = ((x * 50) + 100).astype(np.uint8)  # values in [100, 150]
+    img = _to_image(xlow)
+    assert img.min() == 0 and img.max() in (254, 255)
 
     x2 = np.random.RandomState(0).rand(64, 64, 2)
     assert _to_image(x2).shape == (64, 64, 3)
