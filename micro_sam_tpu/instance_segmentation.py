@@ -522,8 +522,9 @@ class DecoderAdapter:
         features = jnp.asarray(features)
         if features.ndim == 3:
             features = features[None]
-        if features.shape[-1] != self.params["out_conv"]["w"].shape[-2] and \
-                features.shape[1] in (256,):
+        up = self.params["deconv1"]["up"]
+        emb_ch = up["conv"]["w"].shape[-2] if "conv" in up else up["w"].shape[-1]
+        if features.shape[-1] != emb_ch and features.shape[1] == emb_ch:
             features = jnp.transpose(features, (0, 2, 3, 1))
         return self._apply(self.params, features)
 
@@ -539,28 +540,41 @@ def get_unetr(image_encoder=None, decoder_state=None, device=None, out_channels:
               embed_dim: int = 256, seed: int = 0):
     """Build UNETR decoder params (reference instance_segmentation.py:741).
 
-    decoder_state: either this framework's pytree (dict of arrays) or None for
-    random init. Torch torch_em state dicts are not convertible offline; pass
-    pytrees exported by this framework's training instead.
+    decoder_state: this framework's pytree, a torch_em UNETR state dict (the
+    published ``*_decoder`` zoo checkpoints — converted via
+    models.unetr.convert_torch_em_decoder), or None for random init.
     """
     from .models import unetr as unetr_mod
+    if decoder_state is not None:
+        return _merge_decoder_state(None, decoder_state, flexible_load_checkpoint)
     params = unetr_mod.init_unetr_decoder(
         jax.random.PRNGKey(seed), embed_dim=embed_dim, out_channels=out_channels
     )
-    if decoder_state is not None:
-        params = _merge_decoder_state(params, decoder_state, flexible_load_checkpoint)
     return params
 
 
 def _merge_decoder_state(params, decoder_state, flexible: bool):
-    """Overlay a saved decoder state onto freshly initialized params."""
+    """Resolve a saved decoder state into this framework's UNETR pytree."""
+    from .models import unetr as unetr_mod
+    if unetr_mod.is_torch_decoder_state(decoder_state):
+        # torch_em UNETR state dict (zoo decoder checkpoints, reference
+        # instance_segmentation.py:786-811 does the equivalent surgery)
+        try:
+            return unetr_mod.convert_torch_em_decoder(decoder_state)
+        except Exception as e:
+            if flexible:
+                warnings.warn(f"Decoder state conversion failed ({e}); "
+                              "keeping random initialization.")
+                return unetr_mod.init_unetr_decoder(jax.random.PRNGKey(0))
+            raise
     if isinstance(decoder_state, dict) and "deconv1" in decoder_state:
-        return jax.tree.map(lambda a, b: jnp.asarray(np.asarray(b)), params, decoder_state)
+        return jax.tree.map(lambda b: jnp.asarray(np.asarray(b)), decoder_state)
     if flexible:
         warnings.warn("Unrecognized decoder state format; keeping random initialization.")
-        return params
+        return unetr_mod.init_unetr_decoder(jax.random.PRNGKey(0))
     raise ValueError(
-        "Unrecognized decoder state format. Expected a micro_sam_tpu UNETR pytree."
+        "Unrecognized decoder state format. Expected a micro_sam_tpu UNETR "
+        "pytree or a torch_em UNETR state dict."
     )
 
 

@@ -107,9 +107,12 @@ def batch_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     Training in this framework treats BN statistics as frozen (the microscopy
     finetuning regime uses small batches where frozen BN is standard).
     """
-    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    # running stats are statistics, not parameters: no gradients ever
+    mean = jax.lax.stop_gradient(p["mean"])
+    var = jax.lax.stop_gradient(p["var"])
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     scale = (p["scale"] * inv).astype(x.dtype)
-    bias = (p["bias"] - p["mean"] * p["scale"] * inv).astype(x.dtype)
+    bias = (p["bias"] - mean * p["scale"] * inv).astype(x.dtype)
     return x * scale + bias
 
 
