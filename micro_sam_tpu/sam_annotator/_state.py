@@ -50,6 +50,7 @@ class AnnotatorState(metaclass=Singleton):
     # widget references (populated by the GUI layer)
     widgets: Dict[str, Any] = field(default_factory=dict)
     z_range: Optional[Tuple[int, int]] = None
+    skip_recomputing_embeddings: bool = False
 
     # object classifier state
     object_features: Optional[np.ndarray] = None

@@ -50,17 +50,21 @@ def annotator_2d(
             prefer_decoder=prefer_decoder,
         )
 
-    _require_napari()
-    import napari
     from ._annotator import Annotator2d
 
-    viewer = napari.Viewer() if viewer is None else viewer
+    if viewer is None:
+        _require_napari()
+        import napari
+        viewer = napari.Viewer()
     viewer.add_image(image, name="image")
     annotator = Annotator2d(viewer)
     annotator._update_image(segmentation_result=segmentation_result)
-    viewer.window.add_dock_widget(annotator)
+    if hasattr(viewer, "window"):
+        viewer.window.add_dock_widget(annotator)
     if return_viewer:
         return viewer
+    _require_napari()
+    import napari
     napari.run()
 
 

@@ -76,16 +76,20 @@ def annotator_tracking(
     )
     _init_tracking_state(state)
 
-    _require_napari()
-    import napari
     from ._annotator import AnnotatorTracking
 
-    viewer = napari.Viewer() if viewer is None else viewer
+    if viewer is None:
+        _require_napari()
+        import napari
+        viewer = napari.Viewer()
     viewer.add_image(image, name="image")
     annotator = AnnotatorTracking(viewer)
-    viewer.window.add_dock_widget(annotator)
+    if hasattr(viewer, "window"):
+        viewer.window.add_dock_widget(annotator)
     if return_viewer:
         return viewer
+    _require_napari()
+    import napari
     napari.run()
 
 

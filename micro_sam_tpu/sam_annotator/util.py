@@ -416,3 +416,61 @@ def track_from_prompts(
             break
 
     return seg, has_division
+
+
+# -----------------------------------------------------------------------------
+# AMG / AIS state cache loading (reference sam_annotator/util.py:762-796)
+# -----------------------------------------------------------------------------
+
+def _load_amg_state(embedding_path) -> Dict:
+    """Load cached per-slice AMG states (pickles under <emb>/amg_state)."""
+    import os
+    import pickle
+    from glob import glob
+    from pathlib import Path
+
+    if embedding_path is None or not os.path.exists(str(embedding_path)):
+        return {"cache_folder": None}
+    cache_folder = os.path.join(str(embedding_path), "amg_state")
+    os.makedirs(cache_folder, exist_ok=True)
+    amg_state: Dict = {"cache_folder": cache_folder}
+    for path in glob(os.path.join(cache_folder, "*.pkl")):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        amg_state[int(Path(path).stem.split("-")[-1])] = state
+    return amg_state
+
+
+def _load_is_state(embedding_path) -> Dict:
+    """Load cached per-slice AIS decoder maps (<emb>/is_state.h5)."""
+    import os
+
+    if embedding_path is None or not os.path.exists(str(embedding_path)):
+        return {"cache_path": None}
+    import h5py
+    cache_path = os.path.join(str(embedding_path), "is_state.h5")
+    is_state: Dict = {"cache_path": cache_path}
+    with h5py.File(cache_path, "a") as f:
+        for name, g in f.items():
+            is_state[int(name.split("-")[-1])] = {
+                "foreground": g["foreground"][:],
+                "boundary_distances": g["boundary_distances"][:],
+                "center_distances": g["center_distances"][:],
+            }
+    return is_state
+
+
+def toggle_label(prompt_layer) -> None:
+    """Toggle the point-prompt label between positive and negative
+    (reference sam_annotator/util.py 'toggle_label')."""
+    labels = prompt_layer.properties.get("label")
+    if labels is None or len(labels) == 0:
+        return
+    labels = np.asarray(labels, dtype=object).copy()
+    labels[-1] = "negative" if labels[-1] == "positive" else "positive"
+    prompt_layer.properties["label"] = labels
+    if hasattr(prompt_layer, "refresh_colors"):
+        prompt_layer.refresh_colors()
+
+
+LABEL_COLOR_CYCLE = ["#00FF00", "#FF0000"]

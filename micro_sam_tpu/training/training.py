@@ -107,6 +107,14 @@ def _load_stack(paths, key):
     if isinstance(paths, (list, tuple)) and isinstance(paths[0], np.ndarray):
         return list(paths)
     if isinstance(paths, (str, os.PathLike)):
+        # directory + glob key (torch_em convention: raw_paths=<dir>, raw_key="*.tif")
+        if os.path.isdir(str(paths)):
+            from glob import glob
+            pattern = key if key else "*"
+            files = sorted(glob(os.path.join(str(paths), pattern)))
+            if not files:
+                raise ValueError(f"No files matching {pattern!r} in {paths}.")
+            return [sam_util.load_image_data(p) for p in files]
         paths = [paths]
     return [sam_util.load_image_data(str(p), key) for p in paths]
 
@@ -173,6 +181,18 @@ class SamDataset:
             targets = self.label_transform(labels)
             return raw, labels, targets
         return raw, labels
+
+    def split(self, n_val: int):
+        """Random split into (train, val) datasets sharing the image arrays
+        (the torch.random_split equivalent used by the training UI)."""
+        import copy
+        n_val = max(1, min(n_val, len(self) - 1))
+        train = copy.copy(self)
+        val = copy.copy(self)
+        train.n_samples = len(self) - n_val
+        val.n_samples = n_val
+        val._rng = np.random.RandomState(1)
+        return train, val
 
 
 def _relabel(labels):
