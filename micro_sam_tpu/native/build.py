@@ -8,7 +8,7 @@ def build(verbose: bool = True) -> str:
     src_dir = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(src_dir, "src", "postprocess.cpp")
     out = os.path.join(src_dir, "_postprocess.so")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread", src, "-o", out]
     if verbose:
         print(" ".join(cmd))
     subprocess.check_call(cmd)

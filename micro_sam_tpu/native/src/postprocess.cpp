@@ -316,3 +316,392 @@ int64_t rle_encode_packed(const uint8_t* bits, int64_t n_bits, int64_t* counts) 
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multithreaded ops (std::thread). The watershed here is the classic
+// union-find-on-sorted-pixels algorithm (vigra-style): pixels are processed
+// in ascending (height, index) order and joined to already-processed
+// neighbors; differently-seeded regions never merge. The order is fully
+// deterministic, so the output is IDENTICAL for any thread count — the
+// parallelism is in the radix sort and the scatter passes.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <atomic>
+
+namespace {
+
+inline uint32_t float_sortable(float f) {
+    uint32_t b;
+    std::memcpy(&b, &f, 4);
+    return (b & 0x80000000u) ? ~b : (b | 0x80000000u);
+}
+
+inline int32_t uf_find32(int32_t* parent, int32_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];
+        x = parent[x];
+    }
+    return x;
+}
+
+inline int64_t clamp_threads(int64_t n_threads) {
+    int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (hw <= 0) hw = 1;
+    if (n_threads <= 0 || n_threads > hw) n_threads = hw;
+    return n_threads;
+}
+
+template <typename F>
+void parallel_for_chunks(int64_t n, int64_t n_threads, F&& body) {
+    // body(thread_id, begin, end)
+    if (n_threads <= 1 || n < (1 << 14)) {
+        body(0, 0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+        const int64_t b = t * chunk, e = std::min(n, b + chunk);
+        if (b >= e) break;
+        threads.emplace_back([&body, t, b, e]() { body(t, b, e); });
+    }
+    for (auto& th : threads) th.join();
+}
+
+// parallel stable LSD radix sort of 64-bit keys, 4 passes x 16 bits
+void radix_sort_u64_parallel(std::vector<uint64_t>& keys, int64_t n_threads) {
+    const int64_t n = static_cast<int64_t>(keys.size());
+    if (n < 2) return;
+    std::vector<uint64_t> tmp(n);
+    const int64_t kRadix = 1 << 16;
+    const int64_t chunk = (n + n_threads - 1) / n_threads;
+
+    uint64_t* src = keys.data();
+    uint64_t* dst = tmp.data();
+    std::vector<int64_t> hist(n_threads * kRadix);
+
+    // only the height bits (63..32) need sorting: the array starts in index
+    // order and LSD stability keeps that order within equal heights
+    for (int pass = 2; pass < 4; ++pass) {
+        const int shift = pass * 16;
+        std::fill(hist.begin(), hist.end(), 0);
+        parallel_for_chunks(n, n_threads, [&](int64_t t, int64_t b, int64_t e) {
+            int64_t* h = hist.data() + t * kRadix;
+            for (int64_t i = b; i < e; ++i)
+                ++h[(src[i] >> shift) & 0xffff];
+        });
+        // exclusive scan: digit-major over threads preserves stability
+        int64_t total = 0;
+        for (int64_t d = 0; d < kRadix; ++d) {
+            for (int64_t t = 0; t < n_threads; ++t) {
+                int64_t& c = hist[t * kRadix + d];
+                const int64_t cnt = c;
+                c = total;
+                total += cnt;
+            }
+        }
+        parallel_for_chunks(n, n_threads, [&](int64_t t, int64_t b, int64_t e) {
+            int64_t* h = hist.data() + t * kRadix;
+            for (int64_t i = b; i < e; ++i)
+                dst[h[(src[i] >> shift) & 0xffff]++] = src[i];
+        });
+        std::swap(src, dst);
+    }
+    // 2 passes of even count: data ends up back in keys
+    (void)chunk;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Union-find watershed on sorted pixels. labels holds the seeds on input
+// (0 = unlabeled) and the watershed result on output. mask: 0 = excluded.
+// Deterministic for any n_threads (pass 0/negative for all cores).
+void watershed_unionfind_2d(const float* height, uint32_t* labels,
+                            const uint8_t* mask, int64_t h, int64_t w,
+                            int64_t n_threads) {
+    const int64_t n = h * w;
+    n_threads = clamp_threads(n_threads);
+
+    // collect masked, unseeded pixels as sortable (height, index) keys
+    std::vector<int64_t> counts(n_threads + 1, 0);
+    parallel_for_chunks(n, n_threads, [&](int64_t t, int64_t b, int64_t e) {
+        int64_t c = 0;
+        for (int64_t i = b; i < e; ++i)
+            c += (mask[i] && labels[i] == 0);
+        counts[t + 1] = c;
+    });
+    for (int64_t t = 0; t < n_threads; ++t) counts[t + 1] += counts[t];
+    std::vector<uint64_t> keys(counts[n_threads]);
+    parallel_for_chunks(n, n_threads, [&](int64_t t, int64_t b, int64_t e) {
+        int64_t pos = counts[t];
+        for (int64_t i = b; i < e; ++i) {
+            if (mask[i] && labels[i] == 0)
+                keys[pos++] = (static_cast<uint64_t>(float_sortable(height[i])) << 32)
+                              | static_cast<uint64_t>(i);
+        }
+    });
+
+    radix_sort_u64_parallel(keys, n_threads);
+
+    // union-find pass: sequential by construction (the order IS the result)
+    std::vector<int32_t> parent(n);
+    std::vector<uint8_t> active(n, 0);
+    std::vector<uint32_t> root_label(n, 0);
+    parallel_for_chunks(n, n_threads, [&](int64_t, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            parent[i] = static_cast<int32_t>(i);
+            if (labels[i] != 0) {
+                active[i] = 1;
+                root_label[i] = labels[i];
+            }
+        }
+    });
+
+    // Labeled components never union (same label: no-op; different: boundary),
+    // so union-find work only happens for unlabeled pools: the common case is
+    // a direct labels[] read + write, no find.
+    for (uint64_t key : keys) {
+        const int64_t p = static_cast<int64_t>(key & 0xffffffffULL);
+        const int64_t y = p / w, x = p % w;
+        active[p] = 1;
+        const int64_t nbs[4] = {
+            (y > 0) ? p - w : -1,
+            (x > 0) ? p - 1 : -1,
+            (x + 1 < w) ? p + 1 : -1,
+            (y + 1 < h) ? p + w : -1,
+        };
+        uint32_t cur = 0;
+        int32_t joined_root = -1;
+        for (int k = 0; k < 4; ++k) {
+            const int64_t q = nbs[k];
+            if (q < 0 || !active[q] || !mask[q]) continue;
+            uint32_t qlab = labels[q];
+            if (qlab == 0) {
+                const int32_t rq = uf_find32(parent.data(), static_cast<int32_t>(q));
+                qlab = root_label[rq];
+                if (qlab == 0) {  // truly unlabeled pool
+                    if (cur != 0) {
+                        root_label[rq] = cur;  // pool adopts p's label
+                    } else if (joined_root == -1) {
+                        joined_root = rq;
+                    } else {
+                        const int32_t jr = uf_find32(parent.data(), joined_root);
+                        if (jr != rq) {
+                            const int32_t keep = std::min(jr, rq);
+                            parent[std::max(jr, rq)] = keep;
+                            joined_root = keep;
+                        }
+                    }
+                    continue;
+                }
+            }
+            if (cur == 0) {
+                cur = qlab;  // first labeled neighbor wins (fixed order)
+                if (joined_root != -1) {
+                    root_label[uf_find32(parent.data(), joined_root)] = cur;
+                    joined_root = -1;
+                }
+            }
+            // else: second label -> watershed boundary, skip
+        }
+        if (cur != 0) {
+            labels[p] = cur;
+            root_label[p] = cur;  // p stays a labeled singleton
+        } else if (joined_root != -1) {
+            parent[p] = joined_root;  // p joins the unlabeled pool
+        }
+    }
+
+    parallel_for_chunks(n, n_threads, [&](int64_t, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            if (mask[i] && labels[i] == 0) {
+                int32_t r = static_cast<int32_t>(i);
+                while (parent[r] != r) r = parent[r];  // read-only find
+                labels[i] = root_label[r];
+            }
+        }
+    });
+}
+
+// 3d variant (6-adjacency), same algorithm.
+void watershed_unionfind_3d(const float* height, uint32_t* labels,
+                            const uint8_t* mask, int64_t d, int64_t h, int64_t w,
+                            int64_t n_threads) {
+    const int64_t hw = h * w;
+    const int64_t n = d * hw;
+    n_threads = clamp_threads(n_threads);
+
+    std::vector<int64_t> counts(n_threads + 1, 0);
+    parallel_for_chunks(n, n_threads, [&](int64_t t, int64_t b, int64_t e) {
+        int64_t c = 0;
+        for (int64_t i = b; i < e; ++i)
+            c += (mask[i] && labels[i] == 0);
+        counts[t + 1] = c;
+    });
+    for (int64_t t = 0; t < n_threads; ++t) counts[t + 1] += counts[t];
+    std::vector<uint64_t> keys(counts[n_threads]);
+    parallel_for_chunks(n, n_threads, [&](int64_t t, int64_t b, int64_t e) {
+        int64_t pos = counts[t];
+        for (int64_t i = b; i < e; ++i) {
+            if (mask[i] && labels[i] == 0)
+                keys[pos++] = (static_cast<uint64_t>(float_sortable(height[i])) << 32)
+                              | static_cast<uint64_t>(i);
+        }
+    });
+    radix_sort_u64_parallel(keys, n_threads);
+
+    // union-find pass (see 2d)
+    std::vector<int32_t> parent(n);
+    std::vector<uint8_t> active(n, 0);
+    std::vector<uint32_t> root_label(n, 0);
+    parallel_for_chunks(n, n_threads, [&](int64_t, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            parent[i] = static_cast<int32_t>(i);
+            if (labels[i] != 0) {
+                active[i] = 1;
+                root_label[i] = labels[i];
+            }
+        }
+    });
+
+    // Labeled components never union (same label: no-op; different: boundary),
+    // so union-find work only happens for unlabeled pools: the common case is
+    // a direct labels[] read + write, no find.
+    for (uint64_t key : keys) {
+        const int64_t p = static_cast<int64_t>(key & 0xffffffffULL);
+        const int64_t z = p / hw, rem = p % hw;
+        const int64_t y = rem / w, x = rem % w;
+        active[p] = 1;
+        const int64_t nbs[6] = {
+            (z > 0) ? p - hw : -1,
+            (y > 0) ? p - w : -1,
+            (x > 0) ? p - 1 : -1,
+            (x + 1 < w) ? p + 1 : -1,
+            (y + 1 < h) ? p + w : -1,
+            (z + 1 < d) ? p + hw : -1,
+        };
+        uint32_t cur = 0;
+        int32_t joined_root = -1;
+        for (int k = 0; k < 6; ++k) {
+            const int64_t q = nbs[k];
+            if (q < 0 || !active[q] || !mask[q]) continue;
+            uint32_t qlab = labels[q];
+            if (qlab == 0) {
+                const int32_t rq = uf_find32(parent.data(), static_cast<int32_t>(q));
+                qlab = root_label[rq];
+                if (qlab == 0) {  // truly unlabeled pool
+                    if (cur != 0) {
+                        root_label[rq] = cur;  // pool adopts p's label
+                    } else if (joined_root == -1) {
+                        joined_root = rq;
+                    } else {
+                        const int32_t jr = uf_find32(parent.data(), joined_root);
+                        if (jr != rq) {
+                            const int32_t keep = std::min(jr, rq);
+                            parent[std::max(jr, rq)] = keep;
+                            joined_root = keep;
+                        }
+                    }
+                    continue;
+                }
+            }
+            if (cur == 0) {
+                cur = qlab;  // first labeled neighbor wins (fixed order)
+                if (joined_root != -1) {
+                    root_label[uf_find32(parent.data(), joined_root)] = cur;
+                    joined_root = -1;
+                }
+            }
+            // else: second label -> watershed boundary, skip
+        }
+        if (cur != 0) {
+            labels[p] = cur;
+            root_label[p] = cur;  // p stays a labeled singleton
+        } else if (joined_root != -1) {
+            parent[p] = joined_root;  // p joins the unlabeled pool
+        }
+    }
+
+    parallel_for_chunks(n, n_threads, [&](int64_t, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            if (mask[i] && labels[i] == 0) {
+                int32_t r = static_cast<int32_t>(i);
+                while (parent[r] != r) r = parent[r];
+                labels[i] = root_label[r];
+            }
+        }
+    });
+}
+
+// Strip-parallel connected components over (label, 4-adjacency): each thread
+// unions edges fully inside its row strip (disjoint index ranges -> safe),
+// then the strip-boundary rows are merged serially. Output matches the
+// single-threaded label_multilabel_2d exactly (ids relabeled in scan order).
+int64_t label_multilabel_2d_par(const uint32_t* seg, uint32_t* out,
+                                int64_t h, int64_t w, int64_t n_threads) {
+    const int64_t n = h * w;
+    n_threads = clamp_threads(n_threads);
+    std::vector<int64_t> parent(n);
+    parallel_for_chunks(n, n_threads, [&](int64_t, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) parent[i] = i;
+    });
+
+    const int64_t rows_per = (h + n_threads - 1) / n_threads;
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+        const int64_t y0 = t * rows_per, y1 = std::min(h, y0 + rows_per);
+        if (y0 >= y1) break;
+        threads.emplace_back([&, y0, y1]() {
+            for (int64_t y = y0; y < y1; ++y) {
+                for (int64_t x = 0; x < w; ++x) {
+                    const int64_t i = y * w + x;
+                    const uint32_t v = seg[i];
+                    if (v == 0) continue;
+                    if (x + 1 < w && seg[i + 1] == v) {
+                        int64_t a = uf_find(parent, i), b = uf_find(parent, i + 1);
+                        if (a != b) parent[std::max(a, b)] = std::min(a, b);
+                    }
+                    if (y + 1 < y1 && seg[i + w] == v) {
+                        int64_t a = uf_find(parent, i), b = uf_find(parent, i + w);
+                        if (a != b) parent[std::max(a, b)] = std::min(a, b);
+                    }
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+
+    // serial pass over strip-boundary rows
+    for (int64_t t = 1; t < n_threads; ++t) {
+        const int64_t y = t * rows_per;
+        if (y <= 0 || y >= h) continue;
+        for (int64_t x = 0; x < w; ++x) {
+            const int64_t i = (y - 1) * w + x;
+            const uint32_t v = seg[i];
+            if (v == 0 || seg[i + w] != v) continue;
+            int64_t a = uf_find(parent, i), b = uf_find(parent, i + w);
+            if (a != b) parent[std::max(a, b)] = std::min(a, b);
+        }
+    }
+
+    std::unordered_map<int64_t, uint32_t> remap;
+    remap.reserve(1024);
+    uint32_t next_id = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        if (seg[i] == 0) { out[i] = 0; continue; }
+        int64_t root = uf_find(parent, i);
+        auto it = remap.find(root);
+        if (it == remap.end()) {
+            remap.emplace(root, next_id);
+            out[i] = next_id++;
+        } else {
+            out[i] = it->second;
+        }
+    }
+    return static_cast<int64_t>(next_id - 1);
+}
+
+}  // extern "C"

@@ -84,3 +84,66 @@ def test_size_filter_and_relabel():
     ids = np.unique(out)
     assert set(ids) == {0, 1}
     assert (out[seg == 7] == 1).all()
+
+
+def test_watershed_unionfind_parallel():
+    """Multithreaded union-find watershed: identical output for any thread
+    count, full labeling, close agreement with the priority-flood variant
+    (they differ only in boundary/tie policy)."""
+    import scipy.ndimage as ndi
+    from micro_sam_tpu import native
+
+    rng = np.random.RandomState(0)
+    h = ndi.gaussian_filter(rng.rand(256, 256).astype(np.float32), 8)
+    seeds = np.zeros((256, 256), np.uint32)
+    for i, (y, x) in enumerate(rng.randint(0, 256, (12, 2))):
+        seeds[y, x] = i + 1
+    mask = np.ones((256, 256), np.uint8)
+    mask[:8] = 0  # excluded region stays 0
+
+    a1 = native.seeded_watershed(h, seeds, mask, method="unionfind", n_threads=1)
+    a8 = native.seeded_watershed(h, seeds, mask, method="unionfind", n_threads=8)
+    pf = native.seeded_watershed(h, seeds, mask, method="priority")
+    np.testing.assert_array_equal(a1, a8)
+    assert (a1[8:] != 0).all() and (a1[:8] == 0).all()
+    assert (a1 == pf).mean() > 0.9
+    # seeds keep their labels
+    ys, xs = np.nonzero(seeds)
+    np.testing.assert_array_equal(a1[ys, xs], seeds[ys, xs])
+
+    # 3d
+    h3 = ndi.gaussian_filter(rng.rand(8, 64, 64).astype(np.float32), 4)
+    seeds3 = np.zeros((8, 64, 64), np.uint32)
+    seeds3[2, 16, 16] = 1
+    seeds3[5, 48, 48] = 2
+    b1 = native.seeded_watershed(h3, seeds3, method="unionfind", n_threads=1)
+    b8 = native.seeded_watershed(h3, seeds3, method="unionfind", n_threads=8)
+    np.testing.assert_array_equal(b1, b8)
+    assert (b1 != 0).all()
+
+
+def test_label_multilabel_parallel():
+    """Strip-parallel CC matches the single-threaded implementation exactly."""
+    import ctypes
+    from micro_sam_tpu import native
+
+    lib = native._load_lib()
+    if not lib or not hasattr(lib, "label_multilabel_2d_par"):
+        import pytest
+        pytest.skip("native backend not built")
+
+    rng = np.random.RandomState(1)
+    seg = (rng.rand(333, 257) * 4).astype(np.uint32)  # touching multi-label regions
+    out_serial = np.zeros(seg.shape, np.uint32)
+    out_par = np.zeros(seg.shape, np.uint32)
+    seg_c = np.ascontiguousarray(seg)
+    lib.label_multilabel_2d(
+        seg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_serial.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(seg.shape[0]), ctypes.c_int64(seg.shape[1]))
+    lib.label_multilabel_2d_par(
+        seg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_par.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(seg.shape[0]), ctypes.c_int64(seg.shape[1]),
+        ctypes.c_int64(4))
+    np.testing.assert_array_equal(out_serial, out_par)

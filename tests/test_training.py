@@ -2,6 +2,8 @@
 
 Mirrors the reference test strategy: tiny model + synthetic data.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -182,6 +184,94 @@ def test_train_sam_end_to_end(tmp_path):
         n_sub_iteration=2, n_objects_per_batch=2, save_root=str(tmp_path),
     )
     trainer.fit(epochs=1, verbose=False)
+
+
+@pytest.mark.slow
+def test_training_quality_threshold(tmp_path):
+    """Quality bar (reference test/test_training.py:197-226): finetune a small
+    SAM on synthetic data, export, reload through get_sam_model, run
+    iterative-prompting eval, and require SA50 above a threshold.
+
+    The reference finetunes a *pretrained* vit_t one epoch and asserts
+    SA50 > 0.8 on iteration02. No pretrained checkpoints exist in this
+    zero-egress environment, so this trains a tiny SAM from random init
+    (60 epochs, ~15 min CPU) — measured SA50 at iteration00 is ~0.83; the
+    0.7 bar fails on any silent quality regression in the trainer or the
+    prompt loop (convention bugs measure ~0.05)."""
+    import glob
+    import imageio.v3 as imageio
+    import jax
+    import optax
+    from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam
+    from micro_sam_tpu.training.trainable_sam import TrainableSAM
+    from micro_sam_tpu.training.sam_trainer import SamTrainer
+    from micro_sam_tpu.training.training import (
+        default_sam_loader, export_instance_segmentation_model,
+    )
+    from micro_sam_tpu.sample_data import synthetic_data
+    from micro_sam_tpu.util import get_sam_model
+    from micro_sam_tpu.evaluation.inference import run_inference_with_iterative_prompting
+    from micro_sam_tpu.evaluation.evaluation import run_evaluation
+
+    S = 128
+    cfg = SamConfig(model_type="vit_b", embed_dim=96, depth=2, num_heads=2,
+                    global_attn_indexes=(1,), img_size=S, window_size=8)
+    model = TrainableSAM(Sam(cfg, init_sam_params(jax.random.PRNGKey(0), cfg)))
+
+    train_images, train_labels = [], []
+    for i in range(8):
+        im, seg = synthetic_data(shape=(S, S), seed=i, n_objects=6)
+        train_images.append(im)
+        train_labels.append(seg)
+    loader = default_sam_loader(
+        raw_paths=train_images, raw_key=None, label_paths=train_labels, label_key=None,
+        patch_shape=(S, S), with_segmentation_decoder=False, batch_size=1, n_samples=24,
+    )
+    val_im, val_seg = synthetic_data(shape=(S, S), seed=100, n_objects=6)
+    val_loader = default_sam_loader(
+        raw_paths=[val_im], raw_key=None, label_paths=[val_seg], label_key=None,
+        patch_shape=(S, S), with_segmentation_decoder=False, batch_size=1, n_samples=2,
+    )
+
+    trainer = SamTrainer(
+        name="quality", train_loader=loader, val_loader=val_loader, model=model,
+        optimizer=optax.adamw(
+            optax.warmup_cosine_decay_schedule(0.0, 6e-4, 100, 1500, 1e-5)),
+        n_sub_iteration=3, n_objects_per_batch=4, save_root=str(tmp_path),
+        mask_prob=0.5,
+    )
+    trainer.fit(epochs=60, verbose=False)
+
+    # export + reload round trip
+    exported = tmp_path / "exported.pkl"
+    export_instance_segmentation_model(
+        str(tmp_path / "quality" / "best.pkl"), str(exported))
+    predictor = get_sam_model(checkpoint_path=str(exported))
+
+    # iterative-prompting eval on held-out synthetic images
+    data_dir = tmp_path / "test-data"
+    data_dir.mkdir()
+    image_paths, label_paths = [], []
+    for i in range(2):
+        im, seg = synthetic_data(shape=(S, S), seed=200 + i, n_objects=6)
+        ip, lp = str(data_dir / f"im{i}.tif"), str(data_dir / f"gt{i}.tif")
+        imageio.imwrite(ip, im)
+        imageio.imwrite(lp, seg)
+        image_paths.append(ip)
+        label_paths.append(lp)
+
+    pred_dir = str(tmp_path / "predictions")
+    run_inference_with_iterative_prompting(
+        predictor, image_paths, label_paths, embedding_dir=None,
+        prediction_dir=pred_dir, start_with_box_prompt=False, n_iterations=3,
+    )
+    sa50 = []
+    for it in range(3):
+        preds = sorted(glob.glob(os.path.join(pred_dir, f"iteration{it:02}", "*.tif")))
+        assert len(preds) == len(label_paths)
+        res = run_evaluation(label_paths, preds, verbose=False)
+        sa50.append(res["SA50"].values.item())
+    assert max(sa50) > 0.7, f"SA50 per iteration: {sa50}"
 
 
 def test_peft_lora_forward(tiny_trainable):
