@@ -47,29 +47,90 @@ def microsam_cachedir() -> str:
     return cache_dir
 
 
+# Known xxh128 content hashes of the zoo checkpoints (same artifacts the
+# reference distributes; values from micro_sam/util.py:102-141). Used to
+# validate locally cached model files before loading.
+_MODEL_HASHES: Dict[str, str] = {
+    "vit_l": "xxh128:a82beb3c660661e3dd38d999cc860e9a",
+    "vit_h": "xxh128:97698fac30bd929c2e6d8d8cc15933c2",
+    "vit_b": "xxh128:6923c33df3637b6a922d7682bfc9a86b",
+    "vit_t": "xxh128:8eadbc88aeb9d8c7e0b4b60c3db48bd0",
+    "vit_l_lm": "xxh128:017f20677997d628426dec80a8018f9d",
+    "vit_b_lm": "xxh128:fe9252a29f3f4ea53c15a06de471e186",
+    "vit_t_lm": "xxh128:72ec5074774761a6e5c05a08942f981e",
+    "vit_l_em_organelles": "xxh128:810b084b6e51acdbf760a993d8619f2d",
+    "vit_b_em_organelles": "xxh128:f3bf2ed83d691456bae2c3f9a05fb438",
+    "vit_t_em_organelles": "xxh128:253474720c497cce605e57c9b1d18fd9",
+    "vit_b_histopathology": "xxh128:ffd1a2cd84570458b257bd95fdd8f974",
+    "vit_l_histopathology": "xxh128:b591833c89754271023e901281dee3f2",
+    "vit_h_histopathology": "xxh128:bd1856dafc156a43fb3aa705f1a6e92e",
+    "vit_b_medical_imaging": "xxh128:40169f1e3c03a4b67bff58249c176d92",
+    "vit_l_lm_decoder": "xxh128:2faeafa03819dfe03e7c46a44aaac64a",
+    "vit_b_lm_decoder": "xxh128:708b15ac620e235f90bb38612c4929ba",
+    "vit_t_lm_decoder": "xxh128:3e914a5f397b0312cdd36813031f8823",
+    "vit_l_em_organelles_decoder": "xxh128:334877640bfdaaabce533e3252a17294",
+    "vit_b_em_organelles_decoder": "xxh128:bb6398956a6b0132c26b631c14f95ce2",
+    "vit_t_em_organelles_decoder": "xxh128:8f897c7bb93174a4d1638827c4dd6f44",
+    "vit_b_histopathology_decoder": "xxh128:6a66194dcb6e36199cbee2214ecf7213",
+    "vit_l_histopathology_decoder": "xxh128:46aab7765d4400e039772d5a50b55c04",
+    "vit_h_histopathology_decoder": "xxh128:3ed9f87e46ad5e16935bd8d722c8dc47",
+    "vit_b_medical_imaging_decoder": "xxh128:9e498b12f526f119b96c88be76e3b2ed",
+}
+
+_SAM_BASE = "https://dl.fbaipublicfiles.com/segment_anything/"
+_BIOIMAGEIO = "https://uk1s3.embassy.ebi.ac.uk/public-datasets/bioimage.io/"
+_MODEL_URLS: Dict[str, str] = {
+    "vit_h": _SAM_BASE + "sam_vit_h_4b8939.pth",
+    "vit_l": _SAM_BASE + "sam_vit_l_0b3195.pth",
+    "vit_b": _SAM_BASE + "sam_vit_b_01ec64.pth",
+    "vit_t": "https://owncloud.gwdg.de/index.php/s/TuDzuwVDHd1ZDnQ/download",
+    "vit_l_lm": _BIOIMAGEIO + "idealistic-rat/1.2/files/vit_l.pt",
+    "vit_b_lm": _BIOIMAGEIO + "diplomatic-bug/1.2/files/vit_b.pt",
+    "vit_t_lm": _BIOIMAGEIO + "faithful-chicken/1.1/files/vit_t.pt",
+    "vit_l_em_organelles": _BIOIMAGEIO + "humorous-crab/1.2/files/vit_l.pt",
+    "vit_b_em_organelles": _BIOIMAGEIO + "noisy-ox/1.2/files/vit_b.pt",
+    "vit_t_em_organelles": _BIOIMAGEIO + "greedy-whale/1/files/vit_t.pt",
+    "vit_l_lm_decoder": _BIOIMAGEIO + "idealistic-rat/1.2/files/vit_l_decoder.pt",
+    "vit_b_lm_decoder": _BIOIMAGEIO + "diplomatic-bug/1.2/files/vit_b_decoder.pt",
+    "vit_t_lm_decoder": _BIOIMAGEIO + "faithful-chicken/1.1/files/vit_t_decoder.pt",
+    "vit_l_em_organelles_decoder": _BIOIMAGEIO + "humorous-crab/1.2/files/vit_l_decoder.pt",
+    "vit_b_em_organelles_decoder": _BIOIMAGEIO + "noisy-ox/1.2/files/vit_b_decoder.pt",
+    "vit_t_em_organelles_decoder": _BIOIMAGEIO + "greedy-whale/1/files/vit_t_decoder.pt",
+}
+
+
 def models() -> Dict[str, Dict[str, Optional[str]]]:
-    """Model registry: the reference zoo names (micro_sam/util.py:89-181).
+    """Model registry: the reference zoo names (micro_sam/util.py:89-181),
+    each entry carrying the download url (unusable offline) and the known
+    xxh128 hash for local-file validation.
 
     Checkpoints are torch ``.pt`` files converted on load (models/convert.py).
-    In offline environments entries without a local file raise on download.
     """
-    base = "https://dl.fbaipublicfiles.com/segment_anything/"
-    registry: Dict[str, Dict[str, Optional[str]]] = {
-        "vit_h": {"url": base + "sam_vit_h_4b8939.pth"},
-        "vit_l": {"url": base + "sam_vit_l_0b3195.pth"},
-        "vit_b": {"url": base + "sam_vit_b_01ec64.pth"},
-        "vit_t": {"url": "https://owncloud.gwdg.de/index.php/s/TuDzuwVDHd1ZDnQ/download"},
-    }
-    finetuned = [
-        "vit_l_lm", "vit_b_lm", "vit_t_lm",
-        "vit_l_em_organelles", "vit_b_em_organelles", "vit_t_em_organelles",
-        "vit_b_histopathology", "vit_l_histopathology", "vit_h_histopathology",
-        "vit_b_medical_imaging",
-    ]
-    for name in finetuned:
-        registry[name] = {"url": None}  # resolved via bioimage.io zenodo records
-        registry[f"{name}_decoder"] = {"url": None}
+    registry: Dict[str, Dict[str, Optional[str]]] = {}
+    for name in _MODEL_HASHES:
+        registry[name] = {
+            "url": _MODEL_URLS.get(name), "hash": _MODEL_HASHES[name],
+        }
     return registry
+
+
+def _resolve_cached_model(model_type: str) -> Optional[str]:
+    """Locate a pre-seeded zoo checkpoint under <cachedir>/models/<name> and
+    validate its content hash (reference downloads via pooch, which validates
+    the same xxh128 registry at fetch time)."""
+    path = os.path.join(microsam_cachedir(), "models", model_type)
+    if not os.path.exists(path):
+        return None
+    expected = _MODEL_HASHES.get(model_type)
+    if expected is not None:
+        got = f"xxh128:{_compute_hash(path)}"
+        if got != expected:
+            raise RuntimeError(
+                f"Cached model file {path} is corrupt: hash {got} does not "
+                f"match the registry entry {expected}. Delete the file and "
+                "re-seed the cache."
+            )
+    return path
 
 
 def get_model_names() -> List[str]:
@@ -136,6 +197,14 @@ def get_sam_model(
     if compute_dtype is None:
         compute_dtype = "bfloat16" if _on_accelerator() else "float32"
 
+    model_hash = None
+    if checkpoint_path is None:
+        # pre-seeded zoo cache: <cachedir>/models/<model_type>, hash-validated
+        cached = _resolve_cached_model(model_type)
+        if cached is not None:
+            checkpoint_path = cached
+            model_hash = _MODEL_HASHES.get(model_type)
+
     state: Dict[str, Any] = {}
     decoder_state = None
     if checkpoint_path is not None and os.path.exists(str(checkpoint_path)):
@@ -175,6 +244,10 @@ def get_sam_model(
     predictor = SamPredictor(sam)
     predictor.model_type = model_type
     predictor.model_name = model_type
+    if model_hash is None and checkpoint_path is not None \
+            and os.path.exists(str(checkpoint_path)):
+        model_hash = f"xxh128:{_compute_hash(str(checkpoint_path))}"
+    predictor._hash = model_hash  # rides the embedding-cache signature
 
     state["model_state"] = params
     if decoder_state is not None:
@@ -356,6 +429,7 @@ def _embedding_signature(predictor: SamPredictor, input_: np.ndarray,
         "model_type": predictor.model_type,
         "model_name": predictor.model_name or predictor.model_type,
         "micro_sam_version": __version__,
+        "model_hash": getattr(predictor, "_hash", None),
         "backend": "jax",
     }
     if tile_shape is not None:
@@ -365,20 +439,28 @@ def _embedding_signature(predictor: SamPredictor, input_: np.ndarray,
 
 
 def _check_saved_embeddings(f, signature: Dict[str, Any]) -> bool:
-    """True if cache holds matching, complete embeddings (util.py:1069-1093)."""
+    """True if cache holds matching, complete embeddings (util.py:1069-1093).
+
+    Completeness follows the reference's contract: a cache is complete once
+    ``input_size`` is present in the root attrs (reference util.py:1069-1072
+    checks exactly this), so caches written by the upstream framework load
+    as-is. Caches written by this framework additionally carry ``done``.
+    """
     if "features" not in f:
         return False
-    if not f.attrs.get("done", False):
+    if not (f.attrs.get("done", False) or "input_size" in f.attrs):
         return False
     hard_keys = ("data_signature", "tile_shape", "halo")
-    soft_keys = ("model_type", "model_name", "micro_sam_version")
+    soft_keys = ("model_type", "model_name", "micro_sam_version", "model_hash")
     for key, val in signature.items():
         saved = f.attrs.get(key)
-        if key in hard_keys and saved is not None and saved != val:
+        if saved is None or val is None:
+            continue
+        if key in hard_keys and saved != val:
             raise RuntimeError(
                 f"Embedding cache mismatch for '{key}': got {saved}, expected {val}."
             )
-        if key in soft_keys and saved is not None and saved != val:
+        if key in soft_keys and saved != val:
             warnings.warn(
                 f"Embedding cache '{key}' mismatch: {saved} (saved) vs {val} (current)."
             )

@@ -210,3 +210,49 @@ def test_embeddings_cache_v3(tiny_predictor, synthetic_image, tmp_path):
     assert np.allclose(emb["features"], emb2["features"])
     import os
     assert os.path.exists(tmp_path / "emb_v3.zarr" / "zarr.json")
+
+
+# ---------------------------------------------------------------------------
+# Model zoo cache + hash validation (reference util.py:97-141, 258-266)
+# ---------------------------------------------------------------------------
+
+def test_model_registry_has_hashes_and_urls():
+    from micro_sam_tpu.util import models
+
+    registry = models()
+    assert "vit_b" in registry and "vit_b_lm_decoder" in registry
+    for name, entry in registry.items():
+        assert entry["hash"].startswith("xxh128:"), name
+    assert registry["vit_b"]["url"].endswith("sam_vit_b_01ec64.pth")
+
+
+def test_cached_model_hash_validation(tmp_path, monkeypatch):
+    import xxhash
+    from micro_sam_tpu import util as sam_util
+
+    monkeypatch.setenv("MICROSAM_CACHEDIR", str(tmp_path))
+    model_dir = tmp_path / "models"
+    model_dir.mkdir()
+
+    # no cached file -> None
+    assert sam_util._resolve_cached_model("vit_b") is None
+
+    # corrupt cached file -> hard error naming the hash mismatch
+    (model_dir / "vit_b").write_bytes(b"not a real checkpoint")
+    with pytest.raises(RuntimeError, match="hash"):
+        sam_util._resolve_cached_model("vit_b")
+
+    # matching hash -> resolved path
+    payload = b"pretend checkpoint bytes"
+    (model_dir / "vit_b").write_bytes(payload)
+    good = f"xxh128:{xxhash.xxh128(payload).hexdigest()}"
+    monkeypatch.setitem(sam_util._MODEL_HASHES, "vit_b", good)
+    assert sam_util._resolve_cached_model("vit_b").endswith("vit_b")
+
+
+def test_embedding_signature_carries_model_hash(tiny_predictor):
+    from micro_sam_tpu.util import _embedding_signature
+
+    tiny_predictor._hash = "xxh128:deadbeef"
+    sig = _embedding_signature(tiny_predictor, np.zeros((8, 8), "uint8"), None, None)
+    assert sig["model_hash"] == "xxh128:deadbeef"
