@@ -187,7 +187,7 @@ def apply_attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     out = attention_qkv_with_rel_pos(qkv, (H, W), rel_h, rel_w)  # (B, nH, N, hd)
     # project straight from the head-major layout: the (h, d) contraction lets
     # XLA absorb the head->token transpose into the matmul
-    wp = p["proj"]["w"].astype(out.dtype).reshape(num_heads, head_dim, C)
+    wp = cm.dense_weight(p["proj"]).astype(out.dtype).reshape(num_heads, head_dim, C)
     y = jnp.einsum("bhnd,hdc->bnc", out, wp, preferred_element_type=jnp.float32)
     y = (y + p["proj"]["b"]).astype(out.dtype)
     return y.reshape(B, H, W, C)
@@ -268,12 +268,13 @@ def apply_image_encoder(
             bp = prep_block(p["blocks"][i])
             fused_ok = (_USE_FUSED_BLOCK and not remat and _on_tpu()
                         and "lora" not in bp["attn"] and "fact" not in bp["attn"]
-                        and "rel_pos_h" in bp["attn"])
+                        and "rel_pos_h" in bp["attn"]
+                        and "w" in bp["attn"]["qkv"])  # int4 layers stay unfused
             if fused_ok:
                 from ..ops.fused_window_block import (
                     fused_global_block, global_block_config)
                 Bh, Hh, Wh, Ch = x.shape
-                if global_block_config(Hh, Wh) is not None:
+                if global_block_config(Hh, Wh, x.dtype) is not None:
                     x2 = fused_global_block(
                         x.reshape(Bh, Hh * Wh, Ch), bp, (Hh, Wh), num_heads)
                     x = x2.reshape(Bh, Hh, Wh, Ch)
@@ -301,7 +302,9 @@ def apply_image_encoder(
             valid2 = valid.reshape(BWn, ws * ws, 1) if needs_mask else None
             for k in range(i, j):
                 bp = prep_block(p["blocks"][k])
-                if "lora" in bp["attn"] or "fact" in bp["attn"] or "rel_pos_h" not in bp["attn"]:
+                if "lora" in bp["attn"] or "fact" in bp["attn"] \
+                        or "rel_pos_h" not in bp["attn"] \
+                        or "w" not in bp["attn"]["qkv"]:
                     a = cm.layer_norm(bp["norm1"], xw2)
                     if valid2 is not None:
                         a = a * valid2

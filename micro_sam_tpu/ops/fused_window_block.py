@@ -46,14 +46,19 @@ def _erf_poly(z):
 
 
 def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
-                        rh_ref, rw_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+                        rhx_ref, rwx_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
                         num_heads: int, w: int, scale: float, eps: float,
                         masked: bool, group: int):
     """group windows per program: LN/qkv/proj/MLP matmuls run on
     (group * N) rows (the MXU is badly underutilized at 196 rows); only the
     (N, N) attention cores stay per-window (statically unrolled over the
-    group, heads via fori_loop)."""
+    group, heads via fori_loop).
+
+    Rel-pos bias comes from key-expanded tables rhx/rwx (w, hd, n) built
+    outside the kernel: bias_h[q, k] = q[q] . Rh[qy(q), ky(k)] is then TWO
+    qy-/qx-batched matmuls per head instead of four expansion matmuls
+    (measured 9.89 -> 9.31 ms per batch-8 windowed block on v5e)."""
     g_, n, c = x_ref.shape
     hd = w3_ref.shape[2]
     gn = group * n
@@ -69,16 +74,8 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
         a = a * valid_ref[...].reshape(gn, 1).astype(jnp.float32)
     a = a.astype(x_ref.dtype)
 
-    # rel-pos bias building blocks (single k block: BK = N)
-    rk = n // w
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (rk, n), 1)
-    expand_rows = (kcol // w == jax.lax.broadcasted_iota(jnp.int32, (rk, n), 0)
-                   ).astype(jnp.float32)
-    kcol_w = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
-    tile_cols = (kcol_w % w == jax.lax.broadcasted_iota(jnp.int32, (w, n), 0)
-                 ).astype(jnp.float32)
-    rh = rh_ref[:].astype(jnp.float32)                  # (w, w, hd) [rk == w]
-    rw = rw_ref[:].astype(jnp.float32)
+    rhx = rhx_ref[:].astype(jnp.float32)                # (w, hd, n)
+    rwx = rwx_ref[:].astype(jnp.float32)                # (w, hd, n)
 
     def head_body(h, _):
         q = jax.lax.dot_general(                         # (G*N, hd) f32
@@ -99,23 +96,15 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
 
         for g in range(group):                           # static unroll
             qg, kg, vg = q3[g], k3[g], v3[g]
-            q_rows = qg.reshape(rk, w, hd)
-            q_rh = jax.lax.dot_general(                  # (RQ, W, RK)
-                q_rows, rh, (((2,), (2,)), ((0,), (0,))),
+            q_rows = qg.reshape(w, w, hd)                # (qy, qx, hd)
+            bias_h = jax.lax.dot_general(                # qy-batched -> (qy, qx, n)
+                q_rows, rhx, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
-            bias_h = jax.lax.dot_general(
-                q_rh.reshape(n, rk), expand_rows, (((1,), (0,)), ((), ())),
+            ).reshape(n, n)
+            bias_w = jax.lax.dot_general(                # qx-batched -> (qx, qy, n)
+                q_rows.transpose(1, 0, 2), rwx, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
-            q_rw = jax.lax.dot_general(                  # (W, RQ, W)
-                q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).transpose(1, 0, 2)
-            bias_w = jax.lax.dot_general(
-                q_rw.reshape(n, w), tile_cols, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            ).transpose(1, 0, 2).reshape(n, n)
 
             logits = jax.lax.dot_general(
                 qg * scale, kg, (((1,), (1,)), ((), ())),
@@ -182,8 +171,14 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     bpb = att["proj"]["b"].astype(f32).reshape(1, C)
 
     from ..models.image_encoder import get_rel_pos
-    rh = get_rel_pos(H, H, att["rel_pos_h"]).astype(dt)
-    rw = get_rel_pos(W, W, att["rel_pos_w"]).astype(dt)
+    rh = get_rel_pos(H, H, att["rel_pos_h"])             # (w, w, hd) [qy, ky, hd]
+    rw = get_rel_pos(W, W, att["rel_pos_w"])
+    # expand over the flattened key index k = ky*W + kx, laid out (q_axis, hd, n)
+    # so the kernel's bias is a batched (w, w, hd) @ (w, hd, n) matmul
+    ky = jnp.arange(N) // W
+    kx = jnp.arange(N) % W
+    rhx = rh[:, ky, :].transpose(0, 2, 1).astype(dt)     # (qy, hd, n)
+    rwx = rw[:, kx, :].transpose(0, 2, 1).astype(dt)     # (qx, hd, n)
 
     ln1s = bp_params["norm1"]["scale"].astype(f32).reshape(1, C)
     ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
@@ -220,7 +215,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
                          else (lambda i: (0, 0, 0))),
             const(1, C), const(1, C),
             const(3 * num_heads, C, hd), const(3 * num_heads, 1, hd),
-            const(H, H, hd), const(W, W, hd),
+            const(H, hd, N), const(W, hd, N),
             const(num_heads, hd, C), const(1, C),
             const(1, C), const(1, C),
             const(C, hidden), const(1, hidden),
@@ -232,7 +227,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, valid, ln1s, ln1b, w3, b3, rh, rw, wp, bpb, ln2s, ln2b, w1, b1,
+    )(x, valid, ln1s, ln1b, w3, b3, rhx, rwx, wp, bpb, ln2s, ln2b, w1, b1,
       w2, b2)
 
 
@@ -413,7 +408,11 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     B, N, C = x.shape
     H, W = hw
     if block_q is None:
-        block_q, block_m = global_block_config(H, W)
+        cfg = global_block_config(H, W, x.dtype)
+        assert cfg is not None, (
+            f"fused global block does not fit VMEM for {x.dtype} at N={H*W}; "
+            "gate on global_block_config before calling")
+        block_q, block_m = cfg
     assert N == H * W
     assert block_q % W == 0 and N % block_q == 0 and N % block_m == 0
     assert block_q % 8 == 0
@@ -476,10 +475,20 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     )(x, ln1s, ln1b, w3, b3, rh, rw, wp, bpb, ln2s, ln2b, w1, b1, w2, b2)
 
 
-def global_block_config(H: int, W: int):
+def global_block_config(H: int, W: int, dtype=None):
     """(block_q, block_m) for the fused global kernel, or None if the token
-    grid doesn't satisfy the kernel's tiling constraints."""
+    grid doesn't satisfy the kernel's tiling constraints or the scratch
+    working set cannot fit scoped VMEM.
+
+    The f32 working set at N=4096 (a/attn/q scratches + MLP weights + the
+    staged residual) needs ~108 MB of scoped VMEM vs the ~106 MB ceiling —
+    only the bf16 variant fits at full vit resolution (found by driving the
+    float32 path end-to-end; the bf16-only round-1 validation missed it).
+    f32 callers fall back to the unfused composition, which measured at
+    parity with the fused kernel anyway."""
     N = H * W
+    if dtype is not None and jnp.dtype(dtype).itemsize > 2 and N > 1024:
+        return None
     if N <= 1024:
         return N, N
     for bq in (128, 256, 512, 1024):
