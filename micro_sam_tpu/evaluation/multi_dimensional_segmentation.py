@@ -59,6 +59,16 @@ def segment_slices_from_ground_truth(
         predictor = util.get_sam_model(
             model_type=model_type, checkpoint_path=checkpoint_path, device=device
         )
+
+    # resume: a stored segmentation means only the evaluation needs to run
+    # (reference evaluation/multi_dimensional_segmentation.py:177-180,256-260)
+    if save_path is not None and os.path.exists(save_path):
+        import imageio.v3 as imageio
+        final_segmentation = imageio.imread(save_path)
+        return _evaluate_volume_segmentation(
+            final_segmentation, ground_truth, evaluation_metric,
+            return_segmentation)
+
     embeddings = util.precompute_image_embeddings(
         predictor, volume, save_path=embedding_path, ndim=3, verbose=verbose
     )
@@ -98,7 +108,17 @@ def segment_slices_from_ground_truth(
         )
         final_segmentation[seg > 0] = int(gt_id)
 
-    # evaluate
+    if save_path is not None:
+        import imageio.v3 as imageio
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        imageio.imwrite(save_path, final_segmentation)
+
+    return _evaluate_volume_segmentation(
+        final_segmentation, ground_truth, evaluation_metric, return_segmentation)
+
+
+def _evaluate_volume_segmentation(final_segmentation, ground_truth,
+                                  evaluation_metric, return_segmentation):
     if evaluation_metric == "sa":
         result = matching(final_segmentation, ground_truth)
         scores = {"sa": result["segmentation_accuracy"], **result}

@@ -133,3 +133,113 @@ def test_visualization_flows(tiny_env, tmp_path):
     )
     vist, scalet = project_embeddings_for_visualization(embt)
     assert vist.ndim == 3
+
+
+# ---------------------------------------------------------------------------
+# Full benchmark series (reference benchmark_datasets.py:259-828)
+# ---------------------------------------------------------------------------
+
+def _make_pair_dataset(root, name, n=2, shape=(128, 128), volumetric=False):
+    import imageio.v3 as imageio
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    img_dir = os.path.join(root, name, "images")
+    gt_dir = os.path.join(root, name, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    for i in range(n):
+        image, seg = synthetic_data(shape=shape, seed=70 + i, n_objects=3)
+        if volumetric:
+            image, seg = np.stack([image] * 3), np.stack([seg] * 3)
+        imageio.imwrite(os.path.join(img_dir, f"im{i}.tif"), image)
+        imageio.imwrite(os.path.join(gt_dir, f"im{i}.tif"), seg.astype(np.uint16))
+
+
+def test_benchmark_crop_extraction_2d(tmp_path):
+    from micro_sam_tpu.evaluation import benchmark_datasets as bd
+
+    _make_pair_dataset(str(tmp_path), "livecell", n=2)
+    ndim = bd._extract_slices_from_dataset(str(tmp_path / "livecell"), "livecell")
+    assert ndim == 2
+    images, gts = bd._get_image_label_paths(str(tmp_path / "livecell"), 2)
+    assert len(images) == len(gts) > 0
+    import imageio.v3 as imageio
+    gt = imageio.imread(gts[0])
+    assert len(np.unique(gt)) > 1  # most-instances-first selection kept objects
+    # idempotent: re-running detects existing crops
+    assert bd._extract_slices_from_dataset(str(tmp_path / "livecell"), "livecell") == 2
+
+
+def test_benchmark_crop_extraction_3d_extracts_2d_too(tmp_path):
+    from micro_sam_tpu.evaluation import benchmark_datasets as bd
+
+    _make_pair_dataset(str(tmp_path), "lucchi", n=1, volumetric=True)
+    ndim = bd._extract_slices_from_dataset(str(tmp_path / "lucchi"), "lucchi")
+    assert ndim == 3
+    images3, gts3 = bd._get_image_label_paths(str(tmp_path / "lucchi"), 3)
+    images2, gts2 = bd._get_image_label_paths(str(tmp_path / "lucchi"), 2)
+    assert len(images3) > 0 and len(images2) > 0
+    import imageio.v3 as imageio
+    assert imageio.imread(images3[0]).ndim == 3
+    assert imageio.imread(images2[0]).ndim == 2
+
+
+def test_benchmark_automatic_series(tiny_env, tmp_path, monkeypatch):
+    from micro_sam_tpu.evaluation import benchmark_datasets as bd
+    from micro_sam_tpu.automatic_segmentation import get_predictor_and_segmenter
+
+    predictor, root = tiny_env
+    state = {"model_state": predictor.model.params}
+    monkeypatch.setattr(
+        bd, "get_predictor_and_segmenter",
+        lambda model_type, checkpoint=None, segmentation_mode=None, is_tiled=False:
+        get_predictor_and_segmenter(
+            model_type, predictor=predictor, state=state,
+            segmentation_mode=segmentation_mode, is_tiled=is_tiled,
+            points_per_side=4, points_per_batch=16,
+        ))
+
+    images = sorted(glob(os.path.join(root, "tiny", "images", "*")))[:1]
+    gts = sorted(glob(os.path.join(root, "tiny", "labels", "*")))[:1]
+    out = str(tmp_path / "out")
+    bd._run_automatic_segmentation_per_dataset(
+        images, gts, "vit_b", out, ndim=2, segmentation_mode="amg")
+    assert os.path.exists(os.path.join(out, "results", "amg_2d.csv"))
+    import pandas as pd
+    res = pd.read_csv(os.path.join(out, "results", "amg_2d.csv"))
+    assert "mSA" in res.columns
+
+
+def test_benchmark_interactive_3d_series(tiny_env, tmp_path, monkeypatch):
+    from micro_sam_tpu.evaluation import benchmark_datasets as bd
+    from micro_sam_tpu.evaluation import multi_dimensional_segmentation as mds
+    from micro_sam_tpu import util as sam_util
+
+    predictor, _ = tiny_env
+    monkeypatch.setattr(
+        sam_util, "get_sam_model",
+        lambda **kw: (predictor, {"model_state": predictor.model.params})
+        if kw.get("return_state") else predictor)
+
+    root = str(tmp_path / "data")
+    _make_pair_dataset(root, "vol", n=1, volumetric=True)
+    images = sorted(glob(os.path.join(root, "vol", "images", "*")))
+    gts = sorted(glob(os.path.join(root, "vol", "labels", "*")))
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "results"), exist_ok=True)
+
+    bd._run_interactive_segmentation_per_dataset(
+        images, gts, out, "vit_b", prompt_choice="box", ndim=3)
+    csv = os.path.join(out, "results", "interactive_segmentation_3d_with_box.csv")
+    assert os.path.exists(csv)
+    # the per-volume segmentation is persisted and resuming skips recompute
+    saved = glob(os.path.join(out, "interactive_segmentation_3d", "box", "*"))
+    assert len(saved) == 1
+
+    def _boom(*a, **k):
+        raise AssertionError("resume must not resegment")
+    monkeypatch.setattr(mds, "segment_mask_in_volume", _boom)
+    os.remove(csv)
+    bd._run_interactive_segmentation_per_dataset(
+        images, gts, out, "vit_b", prompt_choice="box", ndim=3)
+    assert os.path.exists(csv)
