@@ -1,11 +1,12 @@
 """Prompt-based segmentation: point / box / mask prompts -> binary masks.
 
-TPU-native counterpart of micro_sam/prompt_based_segmentation.py. Prompt
-derivation (distance-transform point sampling, inverse-sigmoid mask logits,
-box extension) runs on host numpy; the decode is the predictor's jitted path.
-Tiled embeddings are routed by prompt centroid (reference
-prompt_based_segmentation.py:157-218), prompts are clipped into the tile and
-the result is pasted back into the full frame.
+TPU-native counterpart of micro_sam/prompt_based_segmentation.py (behavioral
+parity with its four entry points at :258/:315/:417/:459; re-derived
+implementation). Prompt derivation (distance-transform point sampling,
+inverse-sigmoid mask logits, box extension) runs on host numpy; the decode is
+the predictor's jitted path. Tiled embeddings are routed by prompt centroid
+(reference :157-218): the prompt is shifted into its tile and the predicted
+mask pasted back into the full frame.
 
 Coordinate conventions match the reference: the public functions take points
 and boxes in (y, x) / (y0, x0, y1, x1) image order; the predictor consumes
@@ -27,194 +28,165 @@ from .utils.blocking import Blocking
 from .utils.transforms import ResizeLongestSide
 
 
-#
-# helpers translating mask inputs into other prompts
-#
+# -----------------------------------------------------------------------------
+# mask -> derived prompts
+# -----------------------------------------------------------------------------
 
-def _compute_box_from_mask(mask, original_size=None, box_extension=0):
-    coords = np.where(mask == 1)
-    min_y, min_x = coords[0].min(), coords[1].min()
-    max_y, max_x = coords[0].max(), coords[1].max()
-    box = np.array([min_y, min_x, max_y + 1, max_x + 1])
-    return _process_box(box, mask.shape, original_size=original_size, box_extension=box_extension)
+def _mask_bbox_yx(mask) -> np.ndarray:
+    """Tight (y0, x0, y1, x1) bounds of the foreground, end-exclusive."""
+    ys, xs = np.nonzero(mask == 1)
+    return np.array([ys.min(), xs.min(), ys.max() + 1, xs.max() + 1])
 
 
-def _compute_points_from_mask(mask, original_size, box_extension, use_single_point=False):
-    """Sample positive points at inner distance maxima and negative points at
-    outer (background ring) distance maxima."""
-    box = _compute_box_from_mask(mask, box_extension=box_extension)
+def _process_box(box, shape, original_size=None, box_extension=0):
+    """(y0, x0, y1, x1) -> extended, clipped, rounded XYXY box.
 
-    bb = (slice(box[1], box[3]), slice(box[0], box[2]))
-    offset = np.array([box[1], box[0]])
+    box_extension semantics follow the reference: 0 = none, >=1 = absolute
+    pixels, <1 = fraction of the box side length (per axis)."""
+    box = np.asarray(box, dtype="float64")
+    if box_extension == 0:
+        ext = np.zeros(2)
+    elif box_extension >= 1:
+        ext = np.array([box_extension, box_extension], dtype="float64")
+    else:
+        ext = box_extension * (box[2:] - box[:2])  # (len_y, len_x) scaled
 
-    cropped_mask = mask[bb]
-    object_boundaries = find_boundaries_outer(cropped_mask)
-    distances = gaussian_smooth(distance_transform_edt(object_boundaries == 0))
-    inner_distances = distances.copy()
-    cropped_mask = cropped_mask.astype(bool)
-    inner_distances[~cropped_mask] = 0.0
-    if use_single_point:
-        center = np.unravel_index(inner_distances.argmax(), inner_distances.shape)
-        point_coords = (np.asarray(center) + offset)[None]
-        point_labels = np.ones(1, dtype="uint8")
-        return point_coords[:, ::-1], point_labels
-
-    outer_distances = distances.copy()
-    outer_distances[cropped_mask] = 0.0
-
-    inner_maxima = peak_local_max(inner_distances, exclude_border=False, min_distance=3)
-    outer_maxima = peak_local_max(outer_distances, exclude_border=False, min_distance=5)
-    if len(inner_maxima) == 0:
-        # degenerate tiny mask: fall back to the mask centroid
-        coords = np.column_stack(np.nonzero(cropped_mask))
-        inner_maxima = coords.mean(axis=0).round()[None].astype("int64")
-
-    point_coords = np.concatenate(
-        [inner_maxima, outer_maxima] if len(outer_maxima) else [inner_maxima]
-    ).astype("float64")
-    point_coords += offset
+    lo = np.maximum(box[:2] - ext, 0)
+    hi = np.minimum(box[2:] + ext, np.asarray(shape[:2], dtype="float64"))
+    xyxy = np.array([lo[1], lo[0], hi[1], hi[0]])
 
     if original_size is not None:
-        scale_factor = np.array([
-            original_size[0] / float(mask.shape[0]), original_size[1] / float(mask.shape[1])
-        ])[None]
-        point_coords *= scale_factor
+        trafo = ResizeLongestSide(max(original_size))
+        xyxy = trafo.apply_boxes(xyxy[None], (256, 256)).squeeze()
+    return np.round(xyxy).astype(int)
 
-    point_labels = np.concatenate(
-        [np.ones(len(inner_maxima), dtype="uint8"), np.zeros(len(outer_maxima), dtype="uint8")]
-    )
-    return point_coords[:, ::-1], point_labels
+
+def _compute_box_from_mask(mask, original_size=None, box_extension=0):
+    return _process_box(
+        _mask_bbox_yx(mask), mask.shape,
+        original_size=original_size, box_extension=box_extension)
+
+
+def _compute_points_from_mask(mask, original_size, box_extension,
+                              use_single_point=False):
+    """Derive point prompts from a mask: positives at the smoothed inner
+    distance maxima, negatives at outer (background-ring) maxima."""
+    # work inside the mask's (possibly extended) bbox crop
+    y0, x0, y1, x1 = _mask_bbox_yx(mask)
+    if box_extension:
+        box = _compute_box_from_mask(mask, box_extension=box_extension)
+        x0, y0, x1, y1 = box  # XYXY back to crop bounds
+    crop = mask[y0:y1, x0:x1].astype(bool)
+    offset = np.array([y0, x0])
+
+    boundaries = find_boundaries_outer(crop)
+    distances = gaussian_smooth(distance_transform_edt(boundaries == 0))
+
+    inner = np.where(crop, distances, 0.0)
+    if use_single_point:
+        center = np.unravel_index(inner.argmax(), inner.shape)
+        yx = (np.asarray(center) + offset)[None].astype("float64")
+        return yx[:, ::-1], np.ones(1, dtype="uint8")
+
+    outer = np.where(crop, 0.0, distances)
+    pos = peak_local_max(inner, exclude_border=False, min_distance=3)
+    neg = peak_local_max(outer, exclude_border=False, min_distance=5)
+    if len(pos) == 0:
+        # degenerate tiny mask: fall back to the mask centroid
+        pos = np.column_stack(np.nonzero(crop)).mean(axis=0).round()[None].astype("int64")
+
+    coords = np.concatenate([pos, neg] if len(neg) else [pos]).astype("float64")
+    coords += offset
+    if original_size is not None:
+        coords *= (np.asarray(original_size, dtype="float64")
+                   / np.asarray(mask.shape, dtype="float64"))[None]
+
+    labels = np.concatenate([
+        np.ones(len(pos), dtype="uint8"), np.zeros(len(neg), dtype="uint8")])
+    return coords[:, ::-1], labels
 
 
 def _compute_logits_from_mask(mask, eps=1e-3, expected_shape=(256, 256)):
-    """Binary mask -> low-res logit prompt via inverse sigmoid, resized/padded
-    to SAM's expected (256, 256) mask-input shape."""
-
-    def inv_sigmoid(x):
-        return np.log(x / (1 - x))
-
-    logits = np.zeros(mask.shape, dtype="float32")
-    logits[mask == 1] = 1 - eps
-    logits[mask == 0] = eps
-    logits = inv_sigmoid(logits)
-
+    """Binary mask -> low-res logit prompt via inverse sigmoid, resized and
+    zero-padded to SAM's (256, 256) mask-input shape (zero = "unknown")."""
+    p = np.where(mask == 1, 1.0 - eps, eps).astype("float32")
+    logits = np.log(p / (1.0 - p))
     assert logits.ndim == 2
+
     if logits.shape != expected_shape:
         import jax
         import jax.numpy as jnp
-        trafo = ResizeLongestSide(expected_shape[0])
         from .utils.transforms import get_preprocess_shape
-        new_shape = get_preprocess_shape(logits.shape[0], logits.shape[1], expected_shape[0])
+        new_shape = get_preprocess_shape(
+            logits.shape[0], logits.shape[1], expected_shape[0])
         logits = np.asarray(jax.image.resize(
-            jnp.asarray(logits), new_shape, method="bilinear"
-        ))
-        h, w = logits.shape
-        if (h, w) != expected_shape:
-            # IMPORTANT: zero padding, which SAM interprets as "unknown"
-            logits = np.pad(
-                logits, ((0, expected_shape[0] - h), (0, expected_shape[1] - w)),
-                mode="constant", constant_values=0,
-            )
+            jnp.asarray(logits), new_shape, method="bilinear"))
+        pad = (expected_shape[0] - logits.shape[0],
+               expected_shape[1] - logits.shape[1])
+        if pad != (0, 0):
+            logits = np.pad(logits, ((0, pad[0]), (0, pad[1])))
 
     logits = logits[None]
     assert logits.shape == (1,) + expected_shape, f"{logits.shape}"
     return logits
 
 
-#
-# other helpers
-#
+# -----------------------------------------------------------------------------
+# tile routing for tiled embeddings
+# -----------------------------------------------------------------------------
 
-def _process_box(box, shape, original_size=None, box_extension=0):
-    """(y0, x0, y1, x1) -> extended, clipped XYXY int box."""
-    if box_extension == 0:
-        extension_y, extension_x = 0, 0
-    elif box_extension >= 1:
-        extension_y, extension_x = box_extension, box_extension
-    else:
-        len_y, len_x = box[2] - box[0], box[3] - box[1]
-        extension_y, extension_x = box_extension * len_y, box_extension * len_x
-
-    box = np.array([
-        max(box[1] - extension_x, 0), max(box[0] - extension_y, 0),
-        min(box[3] + extension_x, shape[1]), min(box[2] + extension_y, shape[0]),
-    ])
-
-    if original_size is not None:
-        trafo = ResizeLongestSide(max(original_size))
-        box = trafo.apply_boxes(box[None], (256, 256)).squeeze()
-    return np.round(box).astype(int)
+def _tile_at(shape, tile_shape, halo, center_yx):
+    """The (tile_id, outer tile block) whose inner block holds center_yx."""
+    tiling = Blocking([0, 0], shape, tile_shape)
+    center = np.asarray(center_yx).round().astype("int").tolist()
+    tile_id = tiling.coordinates_to_block_id(center)
+    return tile_id, tiling.get_block_with_halo(tile_id, list(halo)).outer_block
 
 
 def _points_to_tile(prompts, shape, tile_shape, halo):
-    """Pick the tile containing the point centroid; shift prompts into it."""
-    points, labels = prompts
-    points = np.asarray(points)
-    labels = np.asarray(labels)
+    points, labels = (np.asarray(p) for p in prompts)
+    tile_id, tile = _tile_at(shape, tile_shape, halo, points.mean(axis=0))
 
-    tiling = Blocking([0, 0], shape, tile_shape)
-    center = np.mean(points, axis=0).round().astype("int").tolist()
-    tile_id = tiling.coordinates_to_block_id(center)
-
-    tile = tiling.get_block_with_halo(tile_id, list(halo)).outer_block
-    offset = tile.begin
-    this_tile_shape = tile.shape
-
-    points_in_tile = points - np.array(offset)
-    labels_in_tile = labels
-
-    valid = (points_in_tile >= 0).all(axis=1)
-    valid &= (points_in_tile[:, 0] < this_tile_shape[0]) & (points_in_tile[:, 1] < this_tile_shape[1])
-    if not valid.all():
-        points_in_tile = points_in_tile[valid]
-        labels_in_tile = labels_in_tile[valid]
-        warnings.warn(f"{(~valid).sum()} points were not in the tile and are dropped")
-
-    return tile_id, tile, (points_in_tile, labels_in_tile)
+    shifted = points - np.asarray(tile.begin)
+    inside = ((shifted >= 0) & (shifted < np.asarray(tile.shape))).all(axis=1)
+    if not inside.all():
+        warnings.warn(f"{(~inside).sum()} points were not in the tile and are dropped")
+        shifted, labels = shifted[inside], labels[inside]
+    return tile_id, tile, (shifted, labels)
 
 
 def _box_to_tile(box, shape, tile_shape, halo):
-    tiling = Blocking([0, 0], shape, tile_shape)
-    center = np.array([(box[0] + box[2]) / 2, (box[1] + box[3]) / 2]).round().astype("int").tolist()
-    tile_id = tiling.coordinates_to_block_id(center)
-
-    tile = tiling.get_block_with_halo(tile_id, list(halo)).outer_block
-    offset = tile.begin
-    this_tile_shape = tile.shape
-
-    box_in_tile = np.array([
-        max(box[0] - offset[0], 0), max(box[1] - offset[1], 0),
-        min(box[2] - offset[0], this_tile_shape[0]), min(box[3] - offset[1], this_tile_shape[1]),
-    ])
-    return tile_id, tile, box_in_tile
+    box = np.asarray(box)
+    tile_id, tile = _tile_at(shape, tile_shape, halo, (box[:2] + box[2:]) / 2)
+    begin = np.asarray(tile.begin)
+    lo = np.maximum(box[:2] - begin, 0)
+    hi = np.minimum(box[2:] - begin, np.asarray(tile.shape))
+    return tile_id, tile, np.concatenate([lo, hi])
 
 
 def _mask_to_tile(mask, shape, tile_shape, halo):
-    tiling = Blocking([0, 0], shape, tile_shape)
-    coords = np.where(mask)
-    center = np.array([np.mean(coords[0]), np.mean(coords[1])]).round().astype("int").tolist()
-    tile_id = tiling.coordinates_to_block_id(center)
-
-    tile = tiling.get_block_with_halo(tile_id, list(halo)).outer_block
-    mask_in_tile = mask[tile.slicing]
-    return tile_id, tile, mask_in_tile
+    coords = np.nonzero(mask)
+    center = [np.mean(c) for c in coords]
+    tile_id, tile = _tile_at(shape, tile_shape, halo, center)
+    return tile_id, tile, mask[tile.slicing]
 
 
 def _initialize_predictor(predictor, image_embeddings, i, prompts, to_tile):
-    tile = None
-    if image_embeddings is not None and image_embeddings.get("input_size") is None:
-        # tiled embeddings
-        shape = tuple(image_embeddings["shape"])
-        if len(shape) == 3:
-            shape = shape[1:]
-        tile_shape, halo = image_embeddings["tile_shape"], image_embeddings["halo"]
-        tile_id, tile, prompts = to_tile(prompts, shape, tile_shape, halo)
-        util.set_precomputed(predictor, image_embeddings, i, tile_id=tile_id)
-    elif image_embeddings is not None:
-        shape = image_embeddings["original_size"]
+    """Bind embeddings to the predictor; under tiled embeddings route the
+    prompts into their tile. Returns (predictor, tile|None, prompts, shape)."""
+    if image_embeddings is None:
+        return predictor, None, prompts, predictor.original_size
+
+    if image_embeddings.get("input_size") is not None:  # untiled
         util.set_precomputed(predictor, image_embeddings, i)
-    else:
-        shape = predictor.original_size
+        return predictor, None, prompts, image_embeddings["original_size"]
+
+    shape = tuple(image_embeddings["shape"])
+    if len(shape) == 3:
+        shape = shape[1:]
+    tile_id, tile, prompts = to_tile(
+        prompts, shape, image_embeddings["tile_shape"], image_embeddings["halo"])
+    util.set_precomputed(predictor, image_embeddings, i, tile_id=tile_id)
     return predictor, tile, prompts, shape
 
 
@@ -224,9 +196,15 @@ def _tile_to_full_mask(mask, shape, tile):
     return full_mask
 
 
-#
+def _finalize(mask, scores, logits, tile, shape, return_all):
+    if tile is not None:
+        mask = _tile_to_full_mask(mask, shape, tile)
+    return (mask, scores, logits) if return_all else mask
+
+
+# -----------------------------------------------------------------------------
 # prompted segmentation API
-#
+# -----------------------------------------------------------------------------
 
 def segment_from_points(
     predictor: SamPredictor,
@@ -241,31 +219,25 @@ def segment_from_points(
     """Segmentation from point prompts given in (y, x) image coordinates.
 
     Returns the binary mask (1, H, W); with ``return_all`` also scores and
-    low-res logits (reference prompt_based_segmentation.py:258).
+    low-res logits (reference prompt_based_segmentation.py:258). For a single
+    positive point the best of the three multimask outputs is selected.
     """
-    predictor, tile, prompts, shape = _initialize_predictor(
-        predictor, image_embeddings, i, (np.asarray(points), np.asarray(labels)), _points_to_tile
-    )
-    points, labels = prompts
+    predictor, tile, (points, labels), shape = _initialize_predictor(
+        predictor, image_embeddings, i,
+        (np.asarray(points), np.asarray(labels)), _points_to_tile)
 
     if use_best_multimask is None:
         use_best_multimask = len(points) == 1 and labels[0] == 1
-    multimask_output_ = multimask_output or use_best_multimask
 
     mask, scores, logits = predictor.predict(
-        point_coords=np.asarray(points)[:, ::-1],  # SAM has reversed XY conventions
+        point_coords=np.asarray(points)[:, ::-1],  # SAM wants (x, y)
         point_labels=np.asarray(labels),
-        multimask_output=multimask_output_,
+        multimask_output=multimask_output or use_best_multimask,
     )
-
     if use_best_multimask:
-        best_mask_id = np.argmax(scores)
-        mask = mask[best_mask_id][None]
+        mask = mask[np.argmax(scores)][None]
 
-    if tile is not None:
-        mask = _tile_to_full_mask(mask, shape, tile)
-
-    return (mask, scores, logits) if return_all else mask
+    return _finalize(mask, scores, logits, tile, shape, return_all)
 
 
 def segment_from_mask(
@@ -287,31 +259,27 @@ def segment_from_mask(
     use_single_point: bool = False,
 ):
     """Segmentation from a mask prompt, optionally converted into box / point /
-    logit prompts (reference prompt_based_segmentation.py:315)."""
-    prompts = (mask, box, points, labels)
+    logit prompts (reference prompt_based_segmentation.py:315). Explicitly
+    passed box/points override the derived ones."""
 
     def _to_tile(prompts, shape, tile_shape, halo):
         mask, box, points, labels = prompts
         tile_id, tile, mask = _mask_to_tile(mask, shape, tile_shape, halo)
         if points is not None:
-            tile_id_points, tile, point_prompts = _points_to_tile((points, labels), shape, tile_shape, halo)
-            if tile_id_points != tile_id:
+            pt_tile_id, tile, (points, labels) = _points_to_tile(
+                (points, labels), shape, tile_shape, halo)
+            if pt_tile_id != tile_id:
                 raise RuntimeError(
-                    f"Inconsistent tile ids for mask and point prompts: {tile_id_points} != {tile_id}."
-                )
-            points, labels = point_prompts
+                    f"Inconsistent tile ids for mask and point prompts: {pt_tile_id} != {tile_id}.")
         if box is not None:
-            tile_id_box, tile, box = _box_to_tile(box, shape, tile_shape, halo)
-            if tile_id_box != tile_id:
+            box_tile_id, tile, box = _box_to_tile(box, shape, tile_shape, halo)
+            if box_tile_id != tile_id:
                 raise RuntimeError(
-                    f"Inconsistent tile ids for mask and box prompts: {tile_id_box} != {tile_id}."
-                )
+                    f"Inconsistent tile ids for mask and box prompts: {box_tile_id} != {tile_id}.")
         return tile_id, tile, (mask, box, points, labels)
 
-    predictor, tile, prompts, shape = _initialize_predictor(
-        predictor, image_embeddings, i, prompts, _to_tile
-    )
-    mask, box, points, labels = prompts
+    predictor, tile, (mask, box, points, labels), shape = _initialize_predictor(
+        predictor, image_embeddings, i, (mask, box, points, labels), _to_tile)
 
     if points is not None:
         if labels is None:
@@ -320,32 +288,28 @@ def segment_from_mask(
     elif use_points and mask.sum() != 0:
         point_coords, point_labels = _compute_points_from_mask(
             mask, original_size=original_size, box_extension=box_extension,
-            use_single_point=use_single_point,
-        )
+            use_single_point=use_single_point)
     else:
-        point_coords, point_labels = None, None
+        point_coords = point_labels = None
 
-    if box is None:
+    if box is not None:
+        box = _process_box(box, mask.shape, original_size=original_size,
+                           box_extension=box_extension)
+    elif use_box and mask.sum() != 0:
         box = _compute_box_from_mask(
-            mask, original_size=original_size, box_extension=box_extension
-        ) if use_box and mask.sum() != 0 else None
-    else:
-        box = _process_box(box, mask.shape, original_size=original_size, box_extension=box_extension)
+            mask, original_size=original_size, box_extension=box_extension)
 
-    logits = _compute_logits_from_mask(
-        mask, expected_shape=(predictor.model.config.embedding_size * 4,) * 2
-    ) if use_mask else None
+    logits = None
+    if use_mask:
+        logits = _compute_logits_from_mask(
+            mask, expected_shape=(predictor.model.config.embedding_size * 4,) * 2)
 
     mask, scores, logits = predictor.predict(
         point_coords=point_coords, point_labels=point_labels,
         mask_input=logits, box=box,
         multimask_output=multimask_output, return_logits=return_logits,
     )
-
-    if tile is not None:
-        mask = _tile_to_full_mask(mask, shape, tile)
-
-    return (mask, scores, logits) if return_all else mask
+    return _finalize(mask, scores, logits, tile, shape, return_all)
 
 
 def segment_from_box(
@@ -360,15 +324,13 @@ def segment_from_box(
     """Segmentation from a (y0, x0, y1, x1) box prompt
     (reference prompt_based_segmentation.py:417)."""
     predictor, tile, box, shape = _initialize_predictor(
-        predictor, image_embeddings, i, np.asarray(box), _box_to_tile
-    )
+        predictor, image_embeddings, i, np.asarray(box), _box_to_tile)
+
     mask, scores, logits = predictor.predict(
         box=_process_box(box, shape, box_extension=box_extension),
         multimask_output=multimask_output,
     )
-    if tile is not None:
-        mask = _tile_to_full_mask(mask, shape, tile)
-    return (mask, scores, logits) if return_all else mask
+    return _finalize(mask, scores, logits, tile, shape, return_all)
 
 
 def segment_from_box_and_points(
@@ -381,25 +343,22 @@ def segment_from_box_and_points(
     multimask_output: bool = False,
     return_all: bool = False,
 ):
-    """Segmentation from a box and point prompts
+    """Segmentation from a box plus point prompts
     (reference prompt_based_segmentation.py:459)."""
 
-    def box_and_points_to_tile(prompts, shape, tile_shape, halo):
+    def _to_tile(prompts, shape, tile_shape, halo):
         box, points, labels = prompts
-        tile_id, tile, point_prompts = _points_to_tile((points, labels), shape, tile_shape, halo)
-        points, labels = point_prompts
-        tile_id_box, tile, box = _box_to_tile(box, shape, tile_shape, halo)
-        if tile_id_box != tile_id:
+        tile_id, tile, (points, labels) = _points_to_tile(
+            (points, labels), shape, tile_shape, halo)
+        box_tile_id, tile, box = _box_to_tile(box, shape, tile_shape, halo)
+        if box_tile_id != tile_id:
             raise RuntimeError(
-                f"Inconsistent tile ids for box and point annotations: {tile_id_box} != {tile_id}."
-            )
+                f"Inconsistent tile ids for box and point annotations: {box_tile_id} != {tile_id}.")
         return tile_id, tile, (box, points, labels)
 
-    predictor, tile, prompts, shape = _initialize_predictor(
+    predictor, tile, (box, points, labels), shape = _initialize_predictor(
         predictor, image_embeddings, i,
-        (np.asarray(box), np.asarray(points), np.asarray(labels)), box_and_points_to_tile,
-    )
-    box, points, labels = prompts
+        (np.asarray(box), np.asarray(points), np.asarray(labels)), _to_tile)
 
     mask, scores, logits = predictor.predict(
         point_coords=np.asarray(points)[:, ::-1],
@@ -407,6 +366,4 @@ def segment_from_box_and_points(
         box=_process_box(box, shape),
         multimask_output=multimask_output,
     )
-    if tile is not None:
-        mask = _tile_to_full_mask(mask, shape, tile)
-    return (mask, scores, logits) if return_all else mask
+    return _finalize(mask, scores, logits, tile, shape, return_all)

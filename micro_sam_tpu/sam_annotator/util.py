@@ -1,5 +1,7 @@
 """Annotator core logic: layer->prompt conversion, interactive nd segmentation
-and tracking drivers (reference micro_sam/sam_annotator/util.py).
+and tracking drivers (behavioral parity with reference
+micro_sam/sam_annotator/util.py:157-796; implementation re-derived for this
+framework's duck-typed, napari-free layer model).
 
 All functions are framework-free: they accept either napari layers or the
 lightweight ``PointData`` / ``ShapeData`` stand-ins below (anything with the
@@ -9,12 +11,13 @@ from __future__ import annotations
 
 import warnings
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy.ndimage import shift as ndi_shift
 
-from .. import prompt_based_segmentation, util
+from .. import prompt_based_segmentation as pbs
+from .. import util
 from ..multi_dimensional_segmentation import _validate_projection
 
 
@@ -33,40 +36,50 @@ class ShapeData:
     properties: Dict[str, np.ndarray] = field(default_factory=dict)
 
 
+# -----------------------------------------------------------------------------
+# Layer -> prompt conversion
+# -----------------------------------------------------------------------------
+
+def _property_ints(layer, name: str) -> np.ndarray:
+    """An integer property column (napari stores them as str or int)."""
+    return np.asarray([int(v) for v in layer.properties[name]])
+
+
+def _point_rows(layer, i, track_id) -> np.ndarray:
+    """Boolean row selector for a points layer: frame ``i`` (rounded leading
+    coordinate) intersected with ``track_id`` when given."""
+    coords = np.asarray(layer.data)
+    keep = np.ones(len(coords), dtype=bool)
+    if i is not None:
+        keep &= np.round(coords[:, 0]) == i
+    if track_id is not None:
+        keep &= _property_ints(layer, "track_id") == track_id
+    return keep
+
+
 def point_layer_to_prompts(
     layer, i=None, track_id=None, with_stop_annotation=True,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Extract point prompts from a point layer (reference util.py:157).
 
-    Returns (points, labels) in (y, x); a single negative point is a stop
-    annotation and returns None.
+    Returns (points, labels) in (y, x) with labels already numeric
+    (1 positive / 0 negative). A lone negative point is the annotator's
+    "stop here" marker and yields None when ``with_stop_annotation``.
     """
-    points = np.asarray(layer.data)
-    labels = np.asarray(layer.properties["label"])
-    assert len(points) == len(labels)
-
+    coords = np.asarray(layer.data)
     if i is None:
-        assert points.shape[1] == 2, f"{points.shape}"
-        this_points, this_labels = points, labels
+        assert coords.ndim == 2 and coords.shape[1] == 2, f"{coords.shape}"
     else:
-        assert points.shape[1] == 3, f"{points.shape}"
-        mask = np.round(points[:, 0]) == i
-        this_points = points[mask][:, 1:]
-        this_labels = labels[mask]
-    assert len(this_points) == len(this_labels)
-
+        assert coords.ndim == 2 and coords.shape[1] == 3, f"{coords.shape}"
     if track_id is not None:
-        assert i is not None
-        track_ids = np.array(list(map(int, layer.properties["track_id"])))[mask]
-        track_id_mask = track_ids == track_id
-        this_labels, this_points = this_labels[track_id_mask], this_points[track_id_mask]
-    assert len(this_points) == len(this_labels)
+        assert i is not None, "track_id filtering requires a frame index"
 
-    this_labels = np.array([1 if label == "positive" else 0 for label in this_labels])
-    if with_stop_annotation and (len(this_points) == 1 and this_labels[0] == 0):
-        return None
+    keep = _point_rows(layer, i, track_id)
+    coords = coords[keep][:, 1:] if i is not None else coords[keep]
+    labels = (np.asarray(layer.properties["label"])[keep] == "positive").astype(int)
 
-    return this_points, this_labels
+    is_stop = with_stop_annotation and len(coords) == 1 and labels[0] == 0
+    return None if is_stop else (coords, labels)
 
 
 def _rasterize_polygon(vertices: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
@@ -74,135 +87,134 @@ def _rasterize_polygon(vertices: np.ndarray, shape: Tuple[int, int]) -> np.ndarr
     from matplotlib.path import Path as MplPath
     ys, xs = np.mgrid[0:shape[0], 0:shape[1]]
     pts = np.column_stack([ys.ravel(), xs.ravel()])
-    path = MplPath(vertices)
-    mask = path.contains_points(pts).reshape(shape)
-    return mask
+    return MplPath(vertices).contains_points(pts).reshape(shape)
 
 
 def _rasterize_ellipse(vertices: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
-    center = np.mean(vertices, axis=0)
+    center = vertices.mean(axis=0)
     radius_r = abs(((vertices[2] - vertices[1]) / 2)[0])
     radius_c = abs(((vertices[1] - vertices[0]) / 2)[1])
     ys, xs = np.mgrid[0:shape[0], 0:shape[1]]
-    mask = ((ys - center[0]) / max(radius_r, 1e-7)) ** 2 + \
+    return ((ys - center[0]) / max(radius_r, 1e-7)) ** 2 + \
            ((xs - center[1]) / max(radius_c, 1e-7)) ** 2 <= 1
-    return mask
+
+
+# rectangle prompts stay box-only; ellipses/polygons also carry a mask prompt
+_SHAPE_RASTERIZERS = {
+    "rectangle": None,
+    "ellipse": _rasterize_ellipse,
+    "polygon": _rasterize_polygon,
+}
 
 
 def shape_layer_to_prompts(
     layer, shape: Tuple[int, int], i=None, track_id=None,
 ) -> Tuple[List[np.ndarray], List[Optional[np.ndarray]]]:
-    """Extract box (+ mask) prompts from a shape layer (reference util.py:204)."""
+    """Extract box (+ mask) prompts from a shape layer (reference util.py:204).
 
-    def _to_prompts(shape_data, shape_types):
-        boxes, masks = [], []
-        for data, type_ in zip(shape_data, shape_types):
-            if type_ == "rectangle":
-                boxes.append(data)
-                masks.append(None)
-            elif type_ == "ellipse":
-                boxes.append(data)
-                masks.append(_rasterize_ellipse(data, shape))
-            elif type_ == "polygon":
-                boxes.append(data)
-                masks.append(_rasterize_polygon(data, shape))
-            else:
-                warnings.warn(f"Shape type {type_} is not supported and will be ignored.")
-        boxes = [
-            np.array([box[:, 0].min(), box[:, 1].min(), box[:, 0].max(), box[:, 1].max()])
-            for box in boxes
-        ]
-        return boxes, masks
-
-    shape_data, shape_types = layer.data, layer.shape_type
-    assert len(shape_data) == len(shape_types)
-    if len(shape_data) == 0:
-        return [], []
-
+    Every shape contributes its bounding box; ellipse and polygon shapes also
+    contribute their rasterized mask as a dense prompt.
+    """
+    entries = list(zip(layer.data, layer.shape_type))
     if i is not None:
+        on_frame = lambda verts: (verts[:, 0] == i).all()
         if track_id is None:
-            prompt_selection = [j for j, data in enumerate(shape_data) if (data[:, 0] == i).all()]
+            entries = [(v[:, 1:], t) for v, t in entries if on_frame(v)]
         else:
-            track_ids = np.array(list(map(int, layer.properties["track_id"])))
-            prompt_selection = [
-                j for j, (data, this_track_id) in enumerate(zip(shape_data, track_ids))
-                if ((data[:, 0] == i).all() and this_track_id == track_id)
+            tids = _property_ints(layer, "track_id")
+            entries = [
+                (v[:, 1:], t) for (v, t), tid in zip(entries, tids)
+                if on_frame(v) and tid == track_id
             ]
-        shape_data = [shape_data[j][:, 1:] for j in prompt_selection]
-        shape_types = [shape_types[j] for j in prompt_selection]
 
-    return _to_prompts(shape_data, shape_types)
+    boxes: List[np.ndarray] = []
+    masks: List[Optional[np.ndarray]] = []
+    for verts, shape_type in entries:
+        if shape_type not in _SHAPE_RASTERIZERS:
+            warnings.warn(f"Shape type {shape_type} is not supported and will be ignored.")
+            continue
+        lo, hi = verts.min(axis=0), verts.max(axis=0)
+        boxes.append(np.array([lo[0], lo[1], hi[0], hi[1]]))
+        rasterize = _SHAPE_RASTERIZERS[shape_type]
+        masks.append(None if rasterize is None else rasterize(verts, shape))
+    return boxes, masks
+
+
+# -----------------------------------------------------------------------------
+# Tracking state from layers
+# -----------------------------------------------------------------------------
+
+def _division_in(states: Sequence[str]) -> str:
+    return "division" if any(s == "division" for s in states) else "track"
 
 
 def prompt_layer_to_state(prompt_layer, i: int) -> str:
     """Track state ("division" / "track") of a frame (reference util.py:280)."""
-    state = np.asarray(prompt_layer.properties["state"])
-    points = np.asarray(prompt_layer.data)
-    assert points.shape[1] == 3, f"{points.shape}"
-    mask = points[:, 0] == i
-    this_state = state[mask]
-    if any(st == "division" for st in this_state):
-        return "division"
-    return "track"
+    coords = np.asarray(prompt_layer.data)
+    assert coords.shape[1] == 3, f"{coords.shape}"
+    states = np.asarray(prompt_layer.properties["state"])[coords[:, 0] == i]
+    return _division_in(states)
 
 
 def prompt_layers_to_state(point_layer, box_layer, i: int) -> str:
-    """Track state from point and box layers (reference util.py:308)."""
-    state = np.asarray(point_layer.properties["state"])
-    points = np.asarray(point_layer.data)
-    assert points.shape[1] == 3
-    mask = points[:, 0] == i
-    this_state = state[mask].tolist() if mask.sum() > 0 else []
+    """Track state combined over point and box layers (reference util.py:308)."""
+    coords = np.asarray(point_layer.data)
+    assert coords.shape[1] == 3
+    states = list(np.asarray(point_layer.properties["state"])[coords[:, 0] == i])
     box_states = box_layer.properties.get("state", [])
-    this_box_states = [
-        s for box, s in zip(box_layer.data, box_states) if (box[:, 0] == i).all()
-    ]
-    this_state.extend(this_box_states)
-    if any(st == "division" for st in this_state):
-        return "division"
-    return "track"
+    states += [s for verts, s in zip(box_layer.data, box_states)
+               if (verts[:, 0] == i).all()]
+    return _division_in(states)
+
+
+# -----------------------------------------------------------------------------
+# Interactive nd segmentation drivers
+# -----------------------------------------------------------------------------
+
+def _annotated_slices(point_prompts, box_prompts, track_id) -> np.ndarray:
+    """Sorted unique frame indices that carry any prompt (optionally for one
+    track)."""
+    pz = np.round(np.asarray(point_prompts.data)[:, 0]) \
+        if len(point_prompts.data) else np.zeros(0)
+    bz = np.array([verts[0, 0] for verts in box_prompts.data]) \
+        if len(box_prompts.data) else np.zeros(0)
+
+    if track_id is not None:
+        ptids = _property_ints(point_prompts, "track_id")
+        assert len(ptids) == len(pz)
+        pz = pz[ptids == track_id]
+        if len(bz) > 0:
+            btids = _property_ints(box_prompts, "track_id")
+            assert len(btids) == len(bz)
+            bz = bz[btids == track_id]
+
+    return np.unique(np.concatenate([pz, bz])).astype("int")
 
 
 def segment_slices_with_prompts(
     predictor, point_prompts, box_prompts, image_embeddings, shape,
     track_id=None, update_progress=None,
 ):
-    """Per-slice prompt segmentation of annotated slices (reference util.py:350)."""
+    """Per-slice prompt segmentation of all annotated slices (reference
+    util.py:350). Returns (seg, slices, stop_lower, stop_upper): the stop
+    flags record lone-negative-point annotations at the slice range ends."""
     assert len(shape) == 3
     image_shape = shape[1:]
     seg = np.zeros(shape, dtype="uint32")
-
-    z_values = np.round(np.asarray(point_prompts.data)[:, 0]) if len(point_prompts.data) \
-        else np.zeros(0)
-    z_values_boxes = np.concatenate([box[:1, 0] for box in box_prompts.data]) \
-        if len(box_prompts.data) else np.zeros(0, dtype="int")
-
-    if track_id is not None:
-        track_ids_points = np.array(list(map(int, point_prompts.properties["track_id"])))
-        assert len(track_ids_points) == len(z_values)
-        z_values = z_values[track_ids_points == track_id]
-        if len(z_values_boxes) > 0:
-            track_ids_boxes = np.array(list(map(int, box_prompts.properties["track_id"])))
-            assert len(track_ids_boxes) == len(z_values_boxes)
-            z_values_boxes = z_values_boxes[track_ids_boxes == track_id]
-
-    slices = np.unique(np.concatenate([z_values, z_values_boxes])).astype("int")
-    stop_lower, stop_upper = False, False
-
     if update_progress is None:
-        def update_progress(*args):
-            pass
+        update_progress = lambda *a: None
+
+    slices = _annotated_slices(point_prompts, box_prompts, track_id)
+    stop_lower = stop_upper = False
 
     for i in slices:
         points_i = point_layer_to_prompts(point_prompts, i, track_id)
 
-        if points_i is None:  # stop annotation
+        if points_i is None:  # lone negative point = stop annotation
             if i == slices[0]:
                 stop_lower = True
-                seg[i] = 0
             elif i == slices[-1]:
                 stop_upper = True
-                seg[i] = 0
             else:
                 slices = np.setdiff1d(slices, i)
                 print(f"You have provided a stop annotation (single red point) in slice {i},")
@@ -212,10 +224,8 @@ def segment_slices_with_prompts(
             continue
 
         boxes, masks = shape_layer_to_prompts(box_prompts, image_shape, i=i, track_id=track_id)
-        points, labels = points_i
-
         seg_i = prompt_segmentation(
-            predictor, points, labels, boxes, masks, image_shape,
+            predictor, *points_i, boxes, masks, image_shape,
             multiple_box_prompts=False, image_embeddings=image_embeddings, i=i,
         )
         if seg_i is None:
@@ -228,51 +238,51 @@ def segment_slices_with_prompts(
     return seg, slices, stop_lower, stop_upper
 
 
+def _segment_one(predictor, box, points, labels, mask, image_embeddings, i,
+                 box_extension=0):
+    """Single-object segmentation for whichever prompt combination is given."""
+    if mask is not None:
+        return pbs.segment_from_mask(
+            predictor, mask, box=box, points=points, labels=labels,
+            image_embeddings=image_embeddings, i=i, box_extension=box_extension,
+        ).squeeze()
+    if box is not None and points is not None:
+        return pbs.segment_from_box_and_points(
+            predictor, box, points, labels, image_embeddings=image_embeddings, i=i,
+        ).squeeze()
+    if box is not None:
+        return pbs.segment_from_box(
+            predictor, box, image_embeddings=image_embeddings, i=i,
+        ).squeeze()
+    return pbs.segment_from_points(
+        predictor, points, labels, image_embeddings=image_embeddings, i=i,
+    ).squeeze()
+
+
 def _batched_interactive_segmentation(predictor, points, labels, boxes,
                                       image_embeddings, i, previous_segmentation):
-    """One object per positive point / box, sharing negatives (reference
-    util.py:430)."""
+    """Batched mode: one object per positive point and per box, with all
+    negative points shared across the objects (reference util.py:430)."""
     prev_seg = previous_segmentation if i is None else previous_segmentation[i]
     seg = np.zeros(prev_seg.shape, dtype="uint32")
 
-    batched_points, batched_labels = [], []
-    negative_points, negative_labels = [], []
-    for j in range(len(points)):
-        if labels[j] == 1:
-            batched_points.append(points[j:j + 1])
-            batched_labels.append(labels[j:j + 1])
-        else:
-            negative_points.append(points[j:j + 1])
-            negative_labels.append(labels[j:j + 1])
+    labels = np.asarray(labels)
+    positives = [np.asarray(points)[j:j + 1] for j in np.nonzero(labels == 1)[0]]
+    neg_idx = np.nonzero(labels != 1)[0]
+    neg_points = np.asarray(points)[neg_idx]
+    neg_labels = labels[neg_idx]
 
-    batched_prompts = [(None, point, label) for point, label in zip(batched_points, batched_labels)]
-    batched_prompts.extend([(box, None, None) for box in boxes])
-    batched_prompts = {k: prompt for k, prompt in enumerate(batched_prompts, 1)}
+    # object list: positive points first, then boxes (ids start at 1)
+    objects = [(None, p, np.ones(1, dtype=labels.dtype)) for p in positives]
+    objects += [(np.asarray(box), None, None) for box in boxes]
 
-    for seg_id, prompt in batched_prompts.items():
-        box, point, label = prompt
-        if len(negative_points) > 0:
-            if point is None:
-                point = np.concatenate(negative_points)
-                label = np.concatenate(negative_labels)
-            else:
-                point = np.concatenate([point] + negative_points)
-                label = np.concatenate([label] + negative_labels)
-
-        if (box is not None) and (point is not None):
-            prediction = prompt_based_segmentation.segment_from_box_and_points(
-                predictor, box, point, label, image_embeddings=image_embeddings, i=i
-            ).squeeze()
-        elif box is not None:
-            prediction = prompt_based_segmentation.segment_from_box(
-                predictor, box, image_embeddings=image_embeddings, i=i
-            ).squeeze()
-        else:
-            prediction = prompt_based_segmentation.segment_from_points(
-                predictor, point, label, image_embeddings=image_embeddings, i=i
-            ).squeeze()
+    for seg_id, (box, point, label) in enumerate(objects, 1):
+        if len(neg_points) > 0:
+            point = neg_points if point is None else np.concatenate([point, neg_points])
+            label = neg_labels if label is None else np.concatenate([label, neg_labels])
+        prediction = _segment_one(
+            predictor, box, point, label, None, image_embeddings, i)
         seg[prediction] = seg_id
-
     return seg
 
 
@@ -281,70 +291,63 @@ def prompt_segmentation(
     image_embeddings=None, i=None, box_extension=0, batched=None,
     previous_segmentation=None,
 ):
-    """Dispatch prompt segmentation by prompt combination (reference util.py:493)."""
+    """Dispatch segmentation over the prompt combination (reference
+    util.py:493): batched per-object mode, point+single-box (+mask), points
+    only, or one object per box/mask."""
     assert len(points) == len(labels)
-    have_points = len(points) > 0
-    have_boxes = len(boxes) > 0
-
-    if not have_points and not have_boxes:
+    have_points, have_boxes = len(points) > 0, len(boxes) > 0
+    if not (have_points or have_boxes):
         return None
 
     if batched:
         assert previous_segmentation is not None
-        seg = _batched_interactive_segmentation(
-            predictor, points, labels, boxes, image_embeddings, i, previous_segmentation
-        )
-    elif have_points and have_boxes:
+        return _batched_interactive_segmentation(
+            predictor, points, labels, boxes, image_embeddings, i,
+            previous_segmentation)
+
+    if have_points and have_boxes:
         if len(boxes) > 1:
             print("You have provided point prompts and more than one box prompt.")
             print("This setting is currently not supported.")
             return None
-        mask = masks[0]
-        if mask is None:
-            seg = prompt_based_segmentation.segment_from_box_and_points(
-                predictor, boxes[0], points, labels, image_embeddings=image_embeddings, i=i
-            ).squeeze()
-        else:
-            seg = prompt_based_segmentation.segment_from_mask(
-                predictor, mask, box=boxes[0], points=points, labels=labels,
-                image_embeddings=image_embeddings, i=i
-            ).squeeze()
-    elif have_points:
-        seg = prompt_based_segmentation.segment_from_points(
-            predictor, points, labels, image_embeddings=image_embeddings, i=i
-        ).squeeze()
-    else:
-        seg = np.zeros(shape, dtype="uint32")
-        if len(boxes) > 1 and not multiple_box_prompts:
-            print("You have provided more than one box annotation. "
-                  "This is not yet supported in the 3d annotator.")
-            return None
-        for seg_id, (box, mask) in enumerate(zip(boxes, masks), 1):
-            if mask is None:
-                prediction = prompt_based_segmentation.segment_from_box(
-                    predictor, box, image_embeddings=image_embeddings, i=i
-                ).squeeze()
-            else:
-                prediction = prompt_based_segmentation.segment_from_mask(
-                    predictor, mask, box=box, image_embeddings=image_embeddings, i=i,
-                    box_extension=box_extension,
-                ).squeeze()
-            seg[prediction] = seg_id
+        return _segment_one(
+            predictor, boxes[0], points, labels, masks[0], image_embeddings, i)
 
+    if have_points:
+        return _segment_one(predictor, None, points, labels, None,
+                            image_embeddings, i)
+
+    # boxes only: one labeled object per box
+    if len(boxes) > 1 and not multiple_box_prompts:
+        print("You have provided more than one box annotation. "
+              "This is not yet supported in the 3d annotator.")
+        return None
+    seg = np.zeros(shape, dtype="uint32")
+    for seg_id, (box, mask) in enumerate(zip(boxes, masks), 1):
+        prediction = _segment_one(
+            predictor, box, None, None, mask, image_embeddings, i,
+            box_extension=box_extension)
+        seg[prediction] = seg_id
     return seg
 
 
-def _compute_movement(seg, t0, t1):
-    def compute_center(t):
-        center = np.where(seg[t] == 1)
-        return np.array([np.mean(center[0]), np.mean(center[1])])
-    return (compute_center(t1) - compute_center(t0)).astype("float64")
+# -----------------------------------------------------------------------------
+# Interactive tracking
+# -----------------------------------------------------------------------------
+
+def _object_center(frame: np.ndarray) -> np.ndarray:
+    ys, xs = np.nonzero(frame == 1)
+    return np.array([ys.mean(), xs.mean()])
+
+
+def _compute_movement(seg, t0, t1) -> np.ndarray:
+    return (_object_center(seg[t1]) - _object_center(seg[t0])).astype("float64")
 
 
 def _shift_object(mask, motion_model):
-    mask_shifted = np.zeros_like(mask)
-    ndi_shift(mask, motion_model, output=mask_shifted, order=0, prefilter=False)
-    return mask_shifted
+    shifted = np.zeros_like(mask)
+    ndi_shift(mask, motion_model, output=shifted, order=0, prefilter=False)
+    return shifted
 
 
 def track_from_prompts(
@@ -352,52 +355,47 @@ def track_from_prompts(
     stop_upper, threshold, projection, motion_smoothing=0.5, box_extension=0,
     update_progress=None,
 ):
-    """Interactive tracking loop with EMA motion model and division handling
-    (reference util.py:582)."""
+    """Interactive tracking loop: project the object frame by frame with an
+    exponentially-smoothed motion model, stopping on low IOU or a division
+    annotation (reference util.py:582)."""
     use_box, use_mask, use_points, use_single_point = _validate_projection(projection)
-
     if update_progress is None:
-        def update_progress(*args):
-            pass
+        update_progress = lambda *a: None
 
-    def _update_motion_model(seg, t, t0, motion_model):
-        if t in (t0, t0 + 1):
-            pass
-        elif t == t0 + 2:
-            motion_model = _compute_movement(seg, t - 2, t - 1)
-        else:
-            current_move = _compute_movement(seg, t - 2, t - 1)
-            alpha = motion_smoothing
-            motion_model = alpha * motion_model + (1 - alpha) * current_move
-        return motion_model
+    def next_motion_model(prev, t, t0):
+        if t < t0 + 2:
+            return prev
+        step = _compute_movement(seg, t - 2, t - 1)
+        if t == t0 + 2:
+            return step
+        return motion_smoothing * prev + (1 - motion_smoothing) * step
 
     has_division = False
     motion_model = None
-
     t0 = int(slices.min())
     t = t0 + 1
-    while True:
-        motion_model = _update_motion_model(seg, t, t0, motion_model)
+    while t < seg.shape[0]:
+        motion_model = next_motion_model(motion_model, t, t0)
 
         if t in slices:
-            seg_prev = None
-            seg_t = seg[t]
+            # annotated frame: keep its segmentation, only read the state
+            seg_prev, seg_t = None, seg[t]
             track_state = prompt_layer_to_state(point_prompts, t)
         else:
             seg_prev = seg[t - 1]
             if motion_model is not None:
                 seg_prev = _shift_object(seg_prev, motion_model)
-            seg_t = prompt_based_segmentation.segment_from_mask(
+            seg_t = pbs.segment_from_mask(
                 predictor, seg_prev, image_embeddings=image_embeddings, i=t,
                 use_mask=use_mask, use_box=use_box, use_points=use_points,
                 box_extension=box_extension, use_single_point=use_single_point,
             )
             track_state = "track"
             if t < slices[-1]:
-                seg_prev = None
+                seg_prev = None  # IOU stop only applies beyond the annotations
             update_progress(1)
 
-        if (threshold is not None) and (seg_prev is not None):
+        if threshold is not None and seg_prev is not None:
             iou = util.compute_iou(seg_prev, seg_t)
             if iou < threshold:
                 print(f"Tracking stopped at frame {t} due to IOU {iou} < {threshold}.")
@@ -409,10 +407,7 @@ def track_from_prompts(
 
         seg[t] = seg_t
         t += 1
-
         if t == slices[-1] and stop_upper:
-            break
-        if t == seg.shape[0]:
             break
 
     return seg, has_division
@@ -461,7 +456,7 @@ def _load_is_state(embedding_path) -> Dict:
 
 
 def toggle_label(prompt_layer) -> None:
-    """Toggle the point-prompt label between positive and negative
+    """Toggle the last point-prompt label between positive and negative
     (reference sam_annotator/util.py 'toggle_label')."""
     labels = prompt_layer.properties.get("label")
     if labels is None or len(labels) == 0:
