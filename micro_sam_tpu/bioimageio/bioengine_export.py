@@ -11,6 +11,7 @@ The TPU-native equivalents of the reference's torchscript/ONNX exports:
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional, Union
 
 import numpy as np
@@ -102,21 +103,77 @@ def export_onnx_model(
     checkpoint_path: Optional[Union[str, os.PathLike]] = None,
     return_path: bool = False,
     quantize_model: bool = False,
+    return_single_mask: bool = False,
 ) -> Optional[str]:
     """Export the prompt-decode path to ONNX (reference bioengine_export.py:106).
 
-    Requires the onnx toolchain, which is not part of this environment's baked
-    dependencies; raises a clear error when unavailable.
+    The decode module (bioimageio/onnx_decoder.py) is rebuilt in torch from
+    the JAX params and traced with the legacy torchscript exporter. The
+    exporter's final ``_add_onnxscript_fn`` pass — which only injects
+    onnxscript custom functions this vanilla model does not contain — needs
+    the ``onnx`` pip package, so it is bypassed with an identity patch; the
+    serialized ModelProto before that pass is already complete and valid.
     """
-    try:
-        import onnx  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "ONNX export requires the 'onnx' package which is not installed. "
-            "Use export_image_encoder (StableHLO) or export_sam_model (torch "
-            "state dict) for portable exports."
-        ) from e
-    raise NotImplementedError("ONNX export path pending onnx availability.")
+    import unittest.mock as mock
+
+    import torch
+
+    from ..models.convert import export_torch_state_dict
+    from .onnx_decoder import OnnxSamDecoder
+
+    predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint_path)
+    cfg = predictor.model.config
+    sd_np = export_torch_state_dict(predictor.model.params, cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)).float() for k, v in sd_np.items()}
+    decoder = OnnxSamDecoder(
+        sd, img_size=cfg.img_size, embedding_size=cfg.embedding_size,
+        return_single_mask=return_single_mask,
+    ).eval()
+
+    e = cfg.embedding_size
+    example = (
+        torch.randn(1, cfg.prompt_embed_dim, e, e),
+        torch.randint(0, cfg.img_size, (1, 5, 2)).float(),
+        torch.tensor([[1., 0., 2., 3., -1.]]),
+        torch.randn(1, 1, 4 * e, 4 * e),
+        torch.ones(1),
+        torch.tensor([720., 960.]),
+    )
+    dynamic_axes = {
+        "point_coords": {1: "num_points"},
+        "point_labels": {1: "num_points"},
+    }
+
+    output_root = str(output_root)
+    os.makedirs(os.path.join(output_root, export_name), exist_ok=True)
+    weight_path = os.path.join(output_root, export_name, "model.onnx")
+
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    with torch.no_grad(), warnings.catch_warnings(), mock.patch.object(
+            onnx_proto_utils, "_add_onnxscript_fn", lambda b, c: b):
+        warnings.simplefilter("ignore")
+        torch.onnx.export(
+            decoder, example, weight_path,
+            export_params=True, opset_version=opset, do_constant_folding=True,
+            input_names=["image_embeddings", "point_coords", "point_labels",
+                         "mask_input", "has_mask_input", "orig_im_size"],
+            output_names=["masks", "iou_predictions", "low_res_masks"],
+            dynamic_axes=dynamic_axes, dynamo=False,
+        )
+
+    if quantize_model:
+        try:
+            from onnxruntime.quantization import QuantType, quantize_dynamic
+            quantized_path = os.path.join(output_root, export_name, "model_quantized.onnx")
+            quantize_dynamic(
+                model_input=weight_path, model_output=quantized_path,
+                per_channel=False, reduce_range=False, weight_type=QuantType.QUInt8,
+            )
+            weight_path = quantized_path
+        except ImportError:
+            warnings.warn("onnxruntime is not available; skipping quantization.")
+
+    return weight_path if return_path else None
 
 
 def export_bioengine_model(
@@ -135,14 +192,8 @@ def export_bioengine_model(
     os.makedirs(decoder_dir, exist_ok=True)
     with open(os.path.join(output_root, decoder_name, "config.pbtxt"), "w") as f:
         f.write(DECODER_CONFIG % decoder_name)
-    try:
-        export_onnx_model(model_type, decoder_dir, opset, checkpoint_path=checkpoint_path)
-    except (RuntimeError, NotImplementedError):
-        # decoder ONNX unavailable offline; ship the native decode weights
-        from ..util import save_native_checkpoint
-        predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint_path)
-        save_native_checkpoint(
-            os.path.join(decoder_dir, "decoder.npz"),
-            predictor.model.params, predictor.model.config,
-        )
+    export_onnx_model(
+        model_type, os.path.join(output_root, decoder_name), opset,
+        export_name="1", checkpoint_path=checkpoint_path,
+    )
     return output_root

@@ -110,7 +110,16 @@ def export_sam_model(
             "pytorch_state_dict": {"source": "model.pt"},
         },
         "config": {
-            "micro_sam_tpu": {"model_type": model_type, "version": __version__},
+            "micro_sam_tpu": {
+                "model_type": model_type, "version": __version__,
+                # full architecture record so the round-trip loader rebuilds
+                # the exact config without shape inference
+                "model_config": {
+                    k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in vars(predictor.model.config).items()
+                    if isinstance(v, (int, float, str, bool, tuple, type(None)))
+                },
+            },
         },
     })
 
@@ -158,6 +167,87 @@ def export_sam_model(
                 z.write(cover_path, "cover.png")
 
     return output_path
+
+
+def load_sam_package(package_path: Union[str, os.PathLike], compute_dtype="float32"):
+    """Load an exported package back into a predictor (round-trip direction;
+    the reference delegates to bioimageio.core, unavailable offline).
+
+    Returns (predictor, rdf_metadata_dict).
+    """
+    import torch
+
+    from ..models.convert import convert_sam_state_dict
+    from ..models.sam import Sam
+    from ..predictor import SamPredictor
+
+    with tempfile.TemporaryDirectory() as tmp_dir:
+        with zipfile.ZipFile(str(package_path)) as z:
+            z.extractall(tmp_dir)
+        with open(os.path.join(tmp_dir, "rdf.yaml")) as f:
+            meta = json.load(f)
+
+        ms_meta = meta["config"]["micro_sam_tpu"]
+        model_type = ms_meta["model_type"]
+        cfg = None
+        if "model_config" in ms_meta:
+            from ..models.sam import SamConfig
+            cfg_kwargs = dict(ms_meta["model_config"])
+            for key, val in cfg_kwargs.items():
+                if isinstance(val, list):
+                    cfg_kwargs[key] = tuple(val)
+            cfg = SamConfig(**{**cfg_kwargs, "compute_dtype": compute_dtype})
+
+        weights = meta["weights"]
+        if "pytorch_state_dict" in weights:
+            src = os.path.join(tmp_dir, weights["pytorch_state_dict"]["source"])
+            sd = torch.load(src, map_location="cpu", weights_only=False)
+            if isinstance(sd, dict) and "model_state" in sd:
+                sd = sd["model_state"]
+            sd = {k: np.asarray(v) for k, v in sd.items()}
+            cfg, params = convert_sam_state_dict(sd, cfg)
+        else:
+            from ..util import load_native_checkpoint
+            src = os.path.join(tmp_dir, weights["native_npz"]["source"])
+            cfg, params = load_native_checkpoint(src, model_type)
+
+    predictor = SamPredictor(Sam(cfg, params))
+    predictor.model_type = model_type
+    predictor.model_name = meta.get("name", model_type)
+    return predictor, meta
+
+
+def test_model_package(package_path: Union[str, os.PathLike],
+                       atol: float = 1e-2) -> Dict[str, object]:
+    """Round-trip check of an exported package: reload the weights, re-run the
+    packaged test input + box prompt, and compare against the packaged test
+    outputs (offline equivalent of bioimageio.core.test_model; cf. reference
+    model_export.py:270 'run_test')."""
+    predictor, meta = load_sam_package(package_path)
+    adaptor = PredictorAdaptor(predictor)
+
+    with tempfile.TemporaryDirectory() as tmp_dir:
+        with zipfile.ZipFile(str(package_path)) as z:
+            z.extractall(tmp_dir)
+        input_ = np.load(os.path.join(tmp_dir, "test_input.npy"))
+        boxes = np.load(os.path.join(tmp_dir, "test_box.npy"))
+        ref_mask = np.load(os.path.join(tmp_dir, "test_mask.npy"))
+        ref_score = np.load(os.path.join(tmp_dir, "test_score.npy"))
+        ref_emb = np.load(os.path.join(tmp_dir, "test_embeddings.npy"))
+
+    masks, scores, embeddings = adaptor(input_, box_prompts=boxes)
+
+    mask_agree = float(np.mean(np.asarray(masks) == ref_mask))
+    emb_err = float(np.max(np.abs(np.asarray(embeddings) - ref_emb)))
+    score_err = float(np.max(np.abs(np.asarray(scores) - ref_score)))
+    passed = mask_agree > 0.999 and emb_err < atol and score_err < atol
+    return {
+        "passed": passed,
+        "name": meta.get("name"),
+        "mask_agreement": mask_agree,
+        "embedding_max_err": emb_err,
+        "score_max_err": score_err,
+    }
 
 
 def _write_cover(tmp_dir, image, masks) -> Optional[str]:

@@ -43,3 +43,26 @@ def test_export_image_encoder(tiny_predictor, tmp_path, monkeypatch):
     assert os.path.exists(out)
     assert os.path.getsize(out) > 1000
     assert os.path.exists(tmp_path / "image-encoder" / "config.pbtxt")
+
+
+def test_package_round_trip(tiny_predictor, synthetic_image, tmp_path):
+    """Export -> reload -> re-run packaged test tensors -> outputs must match
+    (offline equivalent of the reference's bioimageio.core round trip)."""
+    from micro_sam_tpu.bioimageio import export_sam_model
+    from micro_sam_tpu.bioimageio.model_export import (
+        load_sam_package, test_model_package,
+    )
+
+    image, seg = synthetic_image
+    out = export_sam_model(
+        image, seg, model_type="vit_b", name="roundtrip-test",
+        output_path=str(tmp_path / "model.zip"), predictor=tiny_predictor,
+    )
+
+    predictor, meta = load_sam_package(out)
+    assert meta["name"] == "roundtrip-test"
+    assert predictor.model.config.embed_dim == tiny_predictor.model.config.embed_dim
+
+    report = test_model_package(out)
+    assert report["passed"], report
+    assert report["mask_agreement"] > 0.999
