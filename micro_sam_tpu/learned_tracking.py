@@ -1,0 +1,368 @@
+"""Learned frame-to-frame association for tracking (Trackastra-class linking,
+reference multi_dimensional_segmentation.py:29-35,570-603 delegates to the
+external ``trackastra`` package; this module provides a TPU-native learned
+linker so tracking does not depend on an optional torch package).
+
+Design: per-object region features (centroid, size, shape, intensity) are
+paired between consecutive frames; a small MLP scores each candidate link and
+a bipartite assignment (scipy Hungarian) selects links above a threshold.
+Unmatched objects may attach to an already-matched parent as a second child,
+which records a division. The scorer is a functional JAX model — training is
+one jitted optax loop, and pretrained weights ride a plain ``.npz``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+FEATURE_DIM = 9          # per-object descriptor
+PAIR_DIM = 2 * FEATURE_DIM + 5   # both descriptors + interaction terms
+
+
+# -----------------------------------------------------------------------------
+# Region features
+# -----------------------------------------------------------------------------
+
+def extract_frame_features(frame_seg: np.ndarray,
+                           frame_image: Optional[np.ndarray] = None,
+                           ) -> Tuple[np.ndarray, np.ndarray, List[Tuple]]:
+    """Per-object descriptors of one labeled frame.
+
+    Returns (object_ids, features (n, FEATURE_DIM), bboxes). Features:
+    centroid y/x, sqrt(area), bbox height/width, fill ratio, mean/std
+    intensity, aspect ratio — scale kept in pixels so motion offsets stay
+    meaningful across frames.
+    """
+    ids = np.unique(frame_seg)
+    ids = ids[ids != 0]
+    feats = np.zeros((len(ids), FEATURE_DIM), dtype="float32")
+    bboxes = []
+    for row, oid in enumerate(ids):
+        ys, xs = np.nonzero(frame_seg == oid)
+        y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+        area = float(len(ys))
+        h, w = float(y1 - y0), float(x1 - x0)
+        if frame_image is not None:
+            vals = frame_image[ys, xs].astype("float64")
+            mean_i, std_i = float(vals.mean()), float(vals.std())
+        else:
+            mean_i = std_i = 0.0
+        feats[row] = [
+            ys.mean(), xs.mean(), np.sqrt(area), h, w,
+            area / max(h * w, 1.0), mean_i, std_i, h / max(w, 1.0),
+        ]
+        bboxes.append((y0, y1, x0, x1))
+    return ids, feats, bboxes
+
+
+def _bbox_iou(a, b) -> float:
+    y0 = max(a[0], b[0]); y1 = min(a[1], b[1])
+    x0 = max(a[2], b[2]); x1 = min(a[3], b[3])
+    inter = max(y1 - y0, 0) * max(x1 - x0, 0)
+    area_a = (a[1] - a[0]) * (a[3] - a[2])
+    area_b = (b[1] - b[0]) * (b[3] - b[2])
+    return inter / max(area_a + area_b - inter, 1)
+
+
+def pair_features(f0: np.ndarray, f1: np.ndarray, b0, b1) -> np.ndarray:
+    """Candidate-pair descriptors for all (n0, n1) pairs.
+
+    Interaction terms: centroid offset dy/dx, distance, log size ratio and
+    bbox IoU — the learned signal the greedy IoU tracker cannot express."""
+    n0, n1 = len(f0), len(f1)
+    out = np.zeros((n0, n1, PAIR_DIM), dtype="float32")
+    for i in range(n0):
+        dy = f1[:, 0] - f0[i, 0]
+        dx = f1[:, 1] - f0[i, 1]
+        dist = np.hypot(dy, dx)
+        size_ratio = np.log((f1[:, 2] + 1.0) / (f0[i, 2] + 1.0))
+        ious = np.array([_bbox_iou(b0[i], bb) for bb in b1], dtype="float32")
+        out[i, :, :FEATURE_DIM] = f0[i]
+        out[i, :, FEATURE_DIM:2 * FEATURE_DIM] = f1
+        out[i, :, 2 * FEATURE_DIM:] = np.stack(
+            [dy, dx, dist, size_ratio, ious], axis=-1)
+    return out
+
+
+# -----------------------------------------------------------------------------
+# Scorer model (functional JAX)
+# -----------------------------------------------------------------------------
+
+def init_linker_params(key, hidden: int = 64):
+    import jax
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = lambda k, fan_in, shape: jax.random.normal(k, shape) / np.sqrt(fan_in)
+    return {
+        "w1": scale(k1, PAIR_DIM, (PAIR_DIM, hidden)), "b1": np.zeros(hidden),
+        "w2": scale(k2, hidden, (hidden, hidden)), "b2": np.zeros(hidden),
+        "w3": scale(k3, hidden, (hidden, 1)), "b3": np.zeros(1),
+        # per-feature input normalization, fit from training data
+        "mu": np.zeros(PAIR_DIM), "sigma": np.ones(PAIR_DIM),
+    }
+
+
+def linker_apply(params, x):
+    """x: (..., PAIR_DIM) -> link logits (...,)."""
+    import jax.numpy as jnp
+
+    h = (x - params["mu"]) / params["sigma"]
+    h = jnp.tanh(h @ params["w1"] + params["b1"])
+    h = jnp.tanh(h @ params["w2"] + params["b2"])
+    return (h @ params["w3"] + params["b3"])[..., 0]
+
+
+def train_linker(pairs: np.ndarray, labels: np.ndarray, n_steps: int = 500,
+                 hidden: int = 64, learning_rate: float = 1e-2, seed: int = 0,
+                 verbose: bool = False):
+    """Fit the scorer on (n, PAIR_DIM) candidate pairs with binary link
+    labels. One jitted optax Adam loop; returns the params pytree."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = init_linker_params(jax.random.PRNGKey(seed), hidden)
+    params["mu"] = pairs.mean(axis=0).astype("float32")
+    params["sigma"] = (pairs.std(axis=0) + 1e-6).astype("float32")
+
+    x = jnp.asarray(pairs, jnp.float32)
+    y = jnp.asarray(labels, jnp.float32)
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = linker_apply(p, x)
+            return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads["mu"] = jnp.zeros_like(grads["mu"])       # normalization is frozen
+        grads["sigma"] = jnp.zeros_like(grads["sigma"])
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for it in range(n_steps):
+        params, opt_state, loss = step(params, opt_state)
+        if verbose and it % 100 == 0:
+            print(f"linker step {it}: loss {float(loss):.4f}")
+    return jax.tree.map(np.asarray, params)
+
+
+def save_linker(path: str, params) -> None:
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_linker(path: str):
+    data = np.load(path)
+    return {k: data[k] for k in data.files}
+
+
+# -----------------------------------------------------------------------------
+# Synthetic training data (moving objects with divisions)
+# -----------------------------------------------------------------------------
+
+def synthetic_tracking_sequence(n_frames=8, shape=(128, 128), n_objects=5,
+                                division_prob=0.05, seed=0):
+    """A labeled timeseries of drifting disks with occasional divisions.
+    Returns (images, segs, gt_links): gt_links[t] maps frame-t+1 object id ->
+    parent id in frame t."""
+    rng = np.random.RandomState(seed)
+    h, w = shape
+    objs = []  # (id, y, x, r, vy, vx, intensity)
+    next_id = 1
+    for _ in range(n_objects):
+        objs.append([next_id, rng.uniform(20, h - 20), rng.uniform(20, w - 20),
+                     rng.uniform(5, 10), rng.uniform(-3, 3), rng.uniform(-3, 3),
+                     rng.uniform(0.4, 1.0)])
+        next_id += 1
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    images = np.zeros((n_frames, h, w), dtype="float32")
+    segs = np.zeros((n_frames, h, w), dtype="uint32")
+    gt_links: List[Dict[int, int]] = []
+
+    for t in range(n_frames):
+        frame_links: Dict[int, int] = {}
+        new_objs = []
+        for obj in objs:
+            oid, y, x, r, vy, vx, inten = obj
+            mask = (yy - y) ** 2 + (xx - x) ** 2 <= r ** 2
+            segs[t][mask] = oid
+            images[t][mask] = inten
+            # advance
+            ny, nx = y + vy + rng.normal(0, 0.7), x + vx + rng.normal(0, 0.7)
+            ny = np.clip(ny, 10, h - 10)
+            nx = np.clip(nx, 10, w - 10)
+            if rng.rand() < division_prob and r > 6:
+                for dy, dx in ((-r, 0), (r, 0)):
+                    child = [next_id, np.clip(ny + dy, 10, h - 10),
+                             np.clip(nx + dx, 10, w - 10), r * 0.7,
+                             vy + rng.normal(0, 1), vx + rng.normal(0, 1), inten]
+                    frame_links[next_id] = oid
+                    next_id += 1
+                    new_objs.append(child)
+            else:
+                child = [next_id, ny, nx, r, vy, vx, inten]
+                frame_links[next_id] = oid
+                next_id += 1
+                new_objs.append(child)
+        objs = new_objs
+        gt_links.append(frame_links)
+
+    images += rng.normal(0, 0.03, images.shape).astype("float32")
+    return images, segs, gt_links[:-1]
+
+
+def build_training_pairs(images, segs, gt_links):
+    """(pairs, labels) over all consecutive frames of a synthetic sequence."""
+    all_pairs, all_labels = [], []
+    for t in range(len(segs) - 1):
+        ids0, f0, b0 = extract_frame_features(segs[t], images[t])
+        ids1, f1, b1 = extract_frame_features(segs[t + 1], images[t + 1])
+        if len(ids0) == 0 or len(ids1) == 0:
+            continue
+        pf = pair_features(f0, f1, b0, b1).reshape(-1, PAIR_DIM)
+        links = gt_links[t]
+        lab = np.array(
+            [[1.0 if links.get(int(j)) == int(i) else 0.0 for j in ids1]
+             for i in ids0], dtype="float32").reshape(-1)
+        all_pairs.append(pf)
+        all_labels.append(lab)
+    return np.concatenate(all_pairs), np.concatenate(all_labels)
+
+
+def train_default_linker(n_sequences: int = 6, seed: int = 0, n_steps: int = 600,
+                         verbose: bool = False):
+    """Train the scorer on generated synthetic motion data (the shipped
+    fallback when no user-trained weights are given)."""
+    pairs, labels = [], []
+    for s in range(n_sequences):
+        images, segs, links = synthetic_tracking_sequence(
+            seed=seed + s, n_objects=4 + s % 3, division_prob=0.08)
+        p, l = build_training_pairs(images, segs, links)
+        pairs.append(p)
+        labels.append(l)
+    return train_linker(np.concatenate(pairs), np.concatenate(labels),
+                        n_steps=n_steps, verbose=verbose)
+
+
+# -----------------------------------------------------------------------------
+# Tracker
+# -----------------------------------------------------------------------------
+
+class LearnedTracker:
+    """Frame-to-frame tracker with a learned association scorer.
+
+    API mirrors the Trackastra surface used by the reference
+    (``.track(timeseries, segmentation)``), returning the same
+    (node_to_track, parent_graph) contract as the native greedy linker so it
+    drops into ``track_across_frames``.
+    """
+
+    def __init__(self, params, link_threshold: float = 0.0,
+                 division_threshold: float = 1.0):
+        self.params = params
+        self.link_threshold = link_threshold        # logit threshold for links
+        self.division_threshold = division_threshold  # stricter bar for 2nd child
+
+    @classmethod
+    def from_pretrained(cls, path_or_name: str = "default", **kwargs):
+        if os.path.exists(str(path_or_name)):
+            return cls(load_linker(str(path_or_name)), **kwargs)
+        if path_or_name == "default":
+            return cls(train_default_linker(), **kwargs)
+        raise ValueError(f"Unknown pretrained linker: {path_or_name}")
+
+    def score_frames(self, seg0, seg1, img0=None, img1=None):
+        """(ids0, ids1, logits (n0, n1)) for one frame transition."""
+        ids0, f0, b0 = extract_frame_features(seg0, img0)
+        ids1, f1, b1 = extract_frame_features(seg1, img1)
+        if len(ids0) == 0 or len(ids1) == 0:
+            return ids0, ids1, np.zeros((len(ids0), len(ids1)), "float32")
+        pf = pair_features(f0, f1, b0, b1)
+        logits = np.asarray(linker_apply(self.params, pf))
+        return ids0, ids1, logits
+
+    def link(self, segmentation: np.ndarray,
+             timeseries: Optional[np.ndarray] = None,
+             ) -> Tuple[Dict[Tuple[int, int], int], Dict[int, int]]:
+        """Assign track ids over a labeled timeseries.
+
+        Returns (node_to_track {(frame, object_id): track_id},
+        parent_graph {child_track: parent_track})."""
+        from scipy.optimize import linear_sum_assignment
+
+        n_frames = segmentation.shape[0]
+        node_to_track: Dict[Tuple[int, int], int] = {}
+        parent_graph: Dict[int, int] = {}
+        next_track = 1
+
+        prev_ids: np.ndarray = np.zeros(0, "int64")
+        prev_tracks: Dict[int, int] = {}
+        for t in range(n_frames):
+            img_prev = None if timeseries is None else timeseries[t - 1]
+            img_curr = None if timeseries is None else timeseries[t]
+            if t == 0:
+                ids, _, _ = extract_frame_features(segmentation[0], img_curr)
+                logits = np.zeros((0, len(ids)), "float32")
+                prev = np.zeros(0, "int64")
+            else:
+                prev, ids, logits = self.score_frames(
+                    segmentation[t - 1], segmentation[t], img_prev, img_curr)
+
+            assigned: Dict[int, int] = {}
+            if logits.size:
+                # maximize total link score over one-to-one assignments
+                rows, cols = linear_sum_assignment(-logits)
+                taken_parents: Dict[int, int] = {}
+                for r, c in zip(rows, cols):
+                    if logits[r, c] > self.link_threshold:
+                        assigned[int(ids[c])] = int(prev[r])
+                        taken_parents[int(prev[r])] = 1
+                # second children: unmatched current objects may join an
+                # already-linked parent above the (stricter) division bar
+                for c, oid in enumerate(ids):
+                    if int(oid) in assigned:
+                        continue
+                    if logits.shape[0] == 0:
+                        continue
+                    r = int(np.argmax(logits[:, c]))
+                    if logits[r, c] > self.division_threshold \
+                            and taken_parents.get(int(prev[r]), 0) == 1:
+                        assigned[int(oid)] = -int(prev[r])  # division marker
+
+            curr_tracks: Dict[int, int] = {}
+            for oid in ids:
+                oid = int(oid)
+                parent = assigned.get(oid)
+                if parent is None:
+                    track = next_track
+                    next_track += 1
+                elif parent < 0:  # division: new track with recorded parent
+                    track = next_track
+                    next_track += 1
+                    parent_graph[track] = prev_tracks[-parent]
+                else:
+                    track = prev_tracks[parent]
+                node_to_track[(t, oid)] = track
+                curr_tracks[oid] = track
+            prev_tracks = curr_tracks
+
+        return node_to_track, parent_graph
+
+    def track(self, timeseries, segmentation, mode: str = "greedy"):
+        """Trackastra-style entry: relabel the segmentation by track id.
+
+        Returns (tracked_segmentation, parent_graph)."""
+        node_to_track, parent_graph = self.link(segmentation, timeseries)
+        out = np.zeros_like(segmentation, dtype="uint32")
+        for t in range(segmentation.shape[0]):
+            frame = segmentation[t]
+            lut = np.zeros(int(frame.max()) + 1, dtype="uint32")
+            for (tt, oid), track in node_to_track.items():
+                if tt == t:
+                    lut[oid] = track
+            out[t] = lut[frame]
+        return out, parent_graph

@@ -461,14 +461,44 @@ def track_across_frames(
     pbar_init=None,
     pbar_update=None,
     output_folder=None,
+    tracker=None,
 ) -> Tuple[np.ndarray, List[Dict]]:
     """Track segmented objects over time (reference
-    multi_dimensional_segmentation.py:605). Uses the native greedy overlap
-    linker; if the external Trackastra package is installed it is used instead."""
+    multi_dimensional_segmentation.py:605).
+
+    Linker precedence: an explicit ``tracker`` (a
+    ``learned_tracking.LearnedTracker`` instance or the string "learned"),
+    then the external Trackastra package if installed, then the native greedy
+    overlap linker."""
     pbar_init, pbar_update, pbar_close = util.handle_pbar(verbose, pbar_init, pbar_update)
 
     if gap_closing is not None and gap_closing > 0:
         segmentation = _preprocess_closing(segmentation, gap_closing, pbar_update)
+
+    if tracker is not None:
+        if isinstance(tracker, str):
+            from .learned_tracking import LearnedTracker
+            tracker = LearnedTracker.from_pretrained(tracker)
+        node_to_track_pairs, parent_graph = tracker.link(segmentation, timeseries)
+        # flatten the (frame, object) keyed mapping into the per-node contract
+        # used by _recolor_segmentation (object labels are unique per frame in
+        # tracker output, so recolor frame by frame)
+        tracking_result = np.zeros_like(segmentation, dtype="uint32")
+        for t in range(segmentation.shape[0]):
+            frame = segmentation[t]
+            lut = np.zeros(int(frame.max()) + 1, dtype="uint32")
+            for (tt, oid), track in node_to_track_pairs.items():
+                if tt == t:
+                    lut[oid] = track
+            tracking_result[t] = lut[frame]
+        lineages = _lineages_from_parent_graph(parent_graph, tracking_result)
+        if min_time_extent is not None and min_time_extent > 0:
+            tracking_result = _filter_tracks(tracking_result, min_time_extent)
+            lineages = _filter_lineages(lineages, tracking_result)
+        if output_folder is not None:
+            _export_ctc(tracking_result, lineages, output_folder)
+        pbar_close()
+        return tracking_result, lineages
 
     try:
         from trackastra.model import Trackastra  # noqa: F401

@@ -1,0 +1,110 @@
+"""Learned frame-to-frame association (Trackastra-class linking;
+reference multi_dimensional_segmentation.py:29-35,570-603)."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_linker():
+    from micro_sam_tpu.learned_tracking import train_default_linker
+
+    return train_default_linker(n_sequences=4, n_steps=400, seed=7)
+
+
+def _link_accuracy(tracker, images, segs, gt_links):
+    """Fraction of ground-truth links the tracker recovers."""
+    node_to_track, _ = tracker.link(segs, images)
+    correct = total = 0
+    for t, links in enumerate(gt_links):
+        for child, parent in links.items():
+            if (t + 1, child) not in node_to_track or (t, parent) not in node_to_track:
+                continue
+            total += 1
+            if node_to_track[(t + 1, child)] == node_to_track[(t, parent)]:
+                correct += 1
+    assert total > 0
+    return correct / total
+
+
+def test_linker_learns_association(trained_linker):
+    from micro_sam_tpu.learned_tracking import (
+        LearnedTracker, synthetic_tracking_sequence,
+    )
+
+    # held-out sequence (seed outside the training range)
+    images, segs, gt_links = synthetic_tracking_sequence(
+        n_frames=8, n_objects=6, division_prob=0.0, seed=100)
+    tracker = LearnedTracker(trained_linker)
+    acc = _link_accuracy(tracker, images, segs, gt_links)
+    assert acc > 0.9, f"learned linking accuracy {acc}"
+
+
+def test_track_returns_consistent_ids(trained_linker):
+    from micro_sam_tpu.learned_tracking import (
+        LearnedTracker, synthetic_tracking_sequence,
+    )
+
+    images, segs, _ = synthetic_tracking_sequence(
+        n_frames=6, n_objects=4, division_prob=0.0, seed=55)
+    tracker = LearnedTracker(trained_linker)
+    tracked, parent_graph = tracker.track(images, segs)
+    assert tracked.shape == segs.shape
+    # no divisions: every frame carries the same number of track ids, and the
+    # set of ids is stable over time
+    ids0 = set(np.unique(tracked[0])) - {0}
+    for t in range(1, 6):
+        assert (set(np.unique(tracked[t])) - {0}) == ids0
+
+
+def test_division_recorded_in_parent_graph(trained_linker):
+    from micro_sam_tpu.learned_tracking import (
+        LearnedTracker, synthetic_tracking_sequence,
+    )
+
+    # high division probability guarantees at least one division event
+    images, segs, gt_links = synthetic_tracking_sequence(
+        n_frames=8, n_objects=5, division_prob=0.35, seed=11)
+    n_divisions = sum(
+        1 for links in gt_links
+        for p in set(links.values()) if list(links.values()).count(p) > 1)
+    assert n_divisions > 0, "synthetic seed produced no divisions"
+
+    tracker = LearnedTracker(trained_linker, division_threshold=0.0)
+    _, parent_graph = tracker.link(segs, images)
+    assert len(parent_graph) > 0, "no divisions recovered"
+
+
+def test_save_load_round_trip(trained_linker, tmp_path):
+    from micro_sam_tpu.learned_tracking import (
+        LearnedTracker, load_linker, save_linker, synthetic_tracking_sequence,
+    )
+
+    path = str(tmp_path / "linker.npz")
+    save_linker(path, trained_linker)
+    reloaded = load_linker(path)
+    images, segs, _ = synthetic_tracking_sequence(n_frames=4, seed=3)
+    a = LearnedTracker(trained_linker).link(segs, images)
+    b = LearnedTracker(reloaded).link(segs, images)
+    assert a == b
+
+    # from_pretrained with a file path
+    t = LearnedTracker.from_pretrained(path)
+    assert t.link(segs, images) == a
+
+
+def test_track_across_frames_with_learned_tracker(trained_linker):
+    from micro_sam_tpu.learned_tracking import (
+        LearnedTracker, synthetic_tracking_sequence,
+    )
+    from micro_sam_tpu.multi_dimensional_segmentation import track_across_frames
+
+    images, segs, _ = synthetic_tracking_sequence(
+        n_frames=5, n_objects=4, division_prob=0.0, seed=21)
+    tracked, lineages = track_across_frames(
+        images, segs, verbose=False, tracker=LearnedTracker(trained_linker))
+    assert tracked.shape == segs.shape
+    assert len(lineages) > 0
+    # tracks persist across all frames
+    for t in range(1, 5):
+        assert len(set(np.unique(tracked[t])) - {0}) == \
+            len(set(np.unique(tracked[0])) - {0})
