@@ -72,8 +72,22 @@ def init_batch_norm(dim: int) -> Params:
 # Apply functions
 # ---------------------------------------------------------------------------
 
+def dense_weight(p: Params) -> jnp.ndarray:
+    """A layer's dense weight; dequantizes int4 block storage when present.
+
+    Quantized layers (models/peft_sam.py quantize_int4) hold ``w_q4``
+    (in, out) int4 + ``w_scale`` (in//block, out) bf16 instead of ``w``; the
+    dequant is elementwise and fuses into the consuming matmul under XLA."""
+    if "w" in p:
+        return p["w"]
+    q, s = p["w_q4"], p["w_scale"]
+    nb = s.shape[0]
+    block = q.shape[0] // nb
+    return (q.astype(s.dtype).reshape(nb, block, -1) * s[:, None, :]).reshape(q.shape)
+
+
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = jnp.dot(x, dense_weight(p).astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
     if "lora" in p:  # PEFT low-rank update (models/peft_sam.py)

@@ -121,11 +121,64 @@ def apply_peft(
     enc["blocks"] = blocks
     params["image_encoder"] = enc
     if quantize:
-        # QLoRA-style: store the frozen base encoder weights in bfloat16
-        def q(x):
-            return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x
-        params["image_encoder"] = jax.tree.map(q, params["image_encoder"])
+        params["image_encoder"] = quantize_encoder_int4(params["image_encoder"])
     return params
+
+
+# -----------------------------------------------------------------------------
+# int4 weight quantization (QLoRA-style; reference peft_sam.py:432-462 swaps
+# linears for bitsandbytes Linear4bit — here the frozen base weights become
+# native jnp.int4 block storage that the forward dequantizes on the fly)
+# -----------------------------------------------------------------------------
+
+QUANT_BLOCK = 64
+
+
+def quantize_int4(w, block: int = QUANT_BLOCK) -> dict:
+    """Symmetric blockwise int4 quantization of a (in, out) weight.
+
+    Per (input-block, output-column) absmax scales; values land in [-7, 7].
+    Returns {"w_q4": int4 (in, out), "w_scale": bf16 (in//block, out)}.
+    """
+    w = jnp.asarray(w)
+    in_dim, out_dim = w.shape
+    assert in_dim % block == 0, (in_dim, block)
+    wb = w.astype(jnp.float32).reshape(in_dim // block, block, out_dim)
+    scale = jnp.max(jnp.abs(wb), axis=1) / 7.0 + 1e-12       # (nb, out)
+    q = jnp.clip(jnp.round(wb / scale[:, None, :]), -7, 7)
+    return {
+        "w_q4": q.astype(jnp.int4).reshape(in_dim, out_dim),
+        "w_scale": scale.astype(jnp.bfloat16),
+    }
+
+
+def dequantize_int4(qd: dict) -> jnp.ndarray:
+    from . import common as cm
+    return cm.dense_weight(qd)
+
+
+def quantize_encoder_int4(enc: dict) -> dict:
+    """Quantize the frozen base linear weights of every encoder block
+    (qkv / proj / mlp.lin1 / mlp.lin2); biases, norms, rel-pos tables,
+    patch embed, neck convs and all PEFT parameters stay full precision."""
+    import copy
+    enc = copy.copy(enc)
+    blocks = []
+    for block in enc["blocks"]:
+        block = copy.copy(block)
+        attn = copy.copy(block["attn"])
+        mlp = copy.copy(block["mlp"])
+        for layer_parent, name in ((attn, "qkv"), (attn, "proj"),
+                                   (mlp, "lin1"), (mlp, "lin2")):
+            layer = dict(layer_parent[name])
+            w = layer.pop("w")
+            layer.update(quantize_int4(w))
+            layer_parent[name] = layer
+        block["attn"] = attn
+        block["mlp"] = mlp
+        blocks.append(block)
+    enc["blocks"] = blocks
+    return enc
 
 
 def get_peft_mask(params: dict, peft_module: str = "lora",

@@ -19,6 +19,7 @@ import numpy as np
 import optax
 
 from .sam_trainer import SamTrainer, dice_score
+from .util import value_and_grad_allow_int
 from ..models import unetr as unetr_mod
 
 
@@ -58,7 +59,7 @@ class JointSamTrainer(SamTrainer):
             return jnp.mean(1.0 - d)
 
         def step(dec_params, opt_state, sam_params, images, targets):
-            loss, grads = jax.value_and_grad(loss_fn)(dec_params, sam_params, images, targets)
+            loss, grads = value_and_grad_allow_int(loss_fn)(dec_params, sam_params, images, targets)
             updates, opt_state = self.unetr_optimizer.update(grads, opt_state, dec_params)
             dec_params = optax.apply_updates(dec_params, updates)
             return dec_params, opt_state, loss

@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from .trainable_sam import TrainableSAM
-from .util import ConvertToSamInputs
+from .util import ConvertToSamInputs, value_and_grad_allow_int
 
 
 def dice_score(pred_sigmoid: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
@@ -326,7 +326,7 @@ class SamTrainer:
             return loss, (loss, jnp.mean(ious))
 
         def train_step(params, opt_state, key, images, gt, obj_valid, points0, labels0, boxes0):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, aux), grads = value_and_grad_allow_int(loss_fn, has_aux=True)(
                 params, images, gt, obj_valid, points0, labels0, boxes0, key
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)

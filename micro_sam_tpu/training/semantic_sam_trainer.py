@@ -10,7 +10,7 @@ import numpy as np
 import optax
 
 from .sam_trainer import SamTrainer, dice_score
-from .util import ConvertToSemanticSamInputs
+from .util import ConvertToSemanticSamInputs, value_and_grad_allow_int
 
 
 class SemanticSamTrainer(SamTrainer):
@@ -53,7 +53,7 @@ class SemanticSamTrainer(SamTrainer):
             return dice_weight * dice + (1.0 - dice_weight) * ce, (dice, ce)
 
         def train_step(params, opt_state, images, targets):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, aux), grads = value_and_grad_allow_int(loss_fn, has_aux=True)(
                 params, images, targets)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -110,7 +110,7 @@ class SemanticMapsSamTrainer(SemanticSamTrainer):
             return jnp.mean(1.0 - dice_score(pred, targets_))
 
         def train_step(params, opt_state, images, targets):
-            loss, grads = jax.value_and_grad(loss_fn)(params, images, targets)
+            loss, grads = value_and_grad_allow_int(loss_fn)(params, images, targets)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss

@@ -233,3 +233,23 @@ class ConvertToSemanticSamInputs:
         if x.shape[-1] == 1:
             x = np.repeat(x, 3, axis=-1)
         return jnp.asarray(x.astype(np.float32)), jnp.asarray(y)
+
+
+def value_and_grad_allow_int(fn, has_aux: bool = False):
+    """jax.value_and_grad that tolerates integer (e.g. int4-quantized, see
+    models/peft_sam.quantize_encoder_int4) leaves in the param pytree:
+    their float0 gradients become same-dtype zeros, so masked optax chains
+    and optax.apply_updates pass them through unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    vg = jax.value_and_grad(fn, has_aux=has_aux, allow_int=True)
+
+    def wrapped(params, *args, **kwargs):
+        out, grads = vg(params, *args, **kwargs)
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros_like(p) if g.dtype == jax.dtypes.float0 else g,
+            grads, params)
+        return out, grads
+
+    return wrapped

@@ -308,3 +308,55 @@ def test_peft_variants(tiny_trainable, module):
     emb = sam.encode_image(params, preprocess(x, sam.config.img_size))
     assert np.isfinite(np.asarray(emb)).all()
     get_peft_mask(params, module)
+
+
+def test_peft_int4_quantization(tiny_trainable):
+    """Real int4 blockwise quantization of the frozen base (reference
+    peft_sam.py:432-462 uses bitsandbytes Linear4bit): storage is jnp.int4,
+    the dequantized forward tracks the full-precision one, and the LoRA
+    gradient path stays intact."""
+    import jax
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.peft_sam import (
+        apply_peft, dequantize_int4, get_peft_mask, quantize_int4,
+    )
+    from micro_sam_tpu.models.sam import preprocess
+
+    sam = tiny_trainable.sam
+
+    # unit: quantize/dequantize round trip within int4 step size
+    w = np.asarray(sam.params["image_encoder"]["blocks"][0]["attn"]["qkv"]["w"])
+    qd = quantize_int4(w)
+    assert qd["w_q4"].dtype == jnp.int4
+    deq = np.asarray(dequantize_int4(qd), dtype="float32")
+    step = np.abs(w).max() / 7.0
+    assert np.abs(deq - w).max() <= step + 1e-6
+
+    params = apply_peft(sam.params, sam.config, rank=2, peft_module="lora",
+                        quantize=True)
+    attn0 = params["image_encoder"]["blocks"][0]["attn"]
+    assert "w" not in attn0["qkv"] and attn0["qkv"]["w_q4"].dtype == jnp.int4
+
+    x = jnp.zeros((1, 128, 128, 3)) + 0.5
+    px = preprocess(x, sam.config.img_size)
+    emb_fp = np.asarray(sam.encode_image(sam.params, px), dtype="float32")
+    emb_q4 = np.asarray(sam.encode_image(params, px), dtype="float32")
+    rel = np.abs(emb_q4 - emb_fp).max() / (np.abs(emb_fp).max() + 1e-9)
+    assert rel < 0.35, f"int4 forward drift {rel}"
+    assert np.isfinite(emb_q4).all()
+
+    # gradients flow into LoRA params, not into the quantized storage
+    from micro_sam_tpu.training.util import value_and_grad_allow_int
+
+    def loss_fn(p):
+        return jnp.sum(jnp.abs(sam.encode_image(p, px).astype(jnp.float32)))
+
+    _, grads = value_and_grad_allow_int(loss_fn)(params)
+    q_grad = grads["image_encoder"]["blocks"][0]["attn"]["qkv"]["w_q4"]
+    assert q_grad.dtype == jnp.int4  # float0 replaced by same-dtype zeros
+    la = grads["image_encoder"]["blocks"][0]["attn"]["lora"]["q"]
+    assert float(jnp.abs(la["b"]).sum()) >= 0.0  # structure intact
+    assert np.isfinite(np.asarray(la["a"], dtype="float32")).all()
+    mask = get_peft_mask(params, "lora")
+    q_mask = mask["image_encoder"]["blocks"][0]["attn"]["qkv"]
+    assert q_mask["w_q4"] is False and q_mask["w_scale"] is False
