@@ -96,6 +96,7 @@ def image_series_annotator(
     output_folder: str,
     model_type: str = util._DEFAULT_MODEL,
     embedding_path: Optional[str] = None,
+    initial_segmentations: Optional[List] = None,
     tile_shape: Optional[Tuple[int, int]] = None,
     halo: Optional[Tuple[int, int]] = None,
     viewer=None,
@@ -108,13 +109,137 @@ def image_series_annotator(
 ):
     """Annotate a series of images (reference image_series_annotator.py:133).
 
-    GUI path requires napari; the ImageSeriesWorkflow class provides the
-    headless equivalent.
+    Works against any napari-duck-typed viewer (pass ``viewer=``); with
+    ``return_viewer=True`` the configured viewer is returned instead of
+    entering the napari event loop. A "Next Image [N]" action saves the
+    committed segmentation and steps to the next unsegmented image.
     """
-    _require_napari()
-    raise NotImplementedError(
-        "The napari series-annotation GUI is pending; use ImageSeriesWorkflow headless."
+    import imageio.v3 as imageio
+
+    from . import _widgets as widgets
+    from ._annotator import Annotator2d, Annotator3d
+
+    if initial_segmentations is not None and len(initial_segmentations) != len(images):
+        raise ValueError(
+            "The number of images and initial segmentations must match: "
+            f"{len(images)} != {len(initial_segmentations)}."
+        )
+    os.makedirs(output_folder, exist_ok=True)
+    ndim = 3 if is_volumetric else 2
+
+    predictor, embedding_paths = _precompute(
+        images, model_type, embedding_path, tile_shape, halo,
+        precompute_amg_state, checkpoint_path=checkpoint_path, ndim=ndim,
     )
+
+    have_arrays = isinstance(images[0], np.ndarray)
+
+    def _save_path(idx: int) -> str:
+        if have_arrays:
+            return os.path.join(output_folder, f"seg_{idx:05}.tif")
+        stem = os.path.splitext(os.path.basename(str(images[idx])))[0]
+        return os.path.join(output_folder, stem + ".tif")
+
+    def _load(idx: int):
+        image = images[idx] if have_arrays else imageio.imread(str(images[idx]))
+        return image, embedding_paths[idx]
+
+    image_id = 0
+    if skip_segmented:
+        while image_id < len(images) and os.path.exists(_save_path(image_id)):
+            image_id += 1
+        if image_id == len(images):
+            print("All images have already been annotated and 'skip_segmented' "
+                  "is set. Nothing to do.")
+            return None
+    image, image_embedding_path = _load(image_id)
+
+    state = AnnotatorState()
+    state.initialize_predictor(
+        image, model_type=model_type, ndim=ndim, save_path=image_embedding_path,
+        predictor=predictor, tile_shape=tile_shape, halo=halo,
+        precompute_amg_state=precompute_amg_state, skip_load=False,
+    )
+    state.image_shape = image.shape[:ndim]
+
+    if viewer is None:
+        _require_napari()
+        import napari
+        viewer = napari.Viewer()
+    viewer.add_image(image, name="image")
+    annotator = (Annotator3d if is_volumetric else Annotator2d)(viewer)
+    initial = None if initial_segmentations is None else initial_segmentations[image_id]
+    if initial is not None and not isinstance(initial, np.ndarray):
+        initial = imageio.imread(str(initial))
+    annotator._update_image(segmentation_result=initial)
+
+    def next_image(*args):
+        nonlocal image_id, image
+        segmentation = np.asarray(viewer.layers["committed_objects"].data)
+        _write_segmentation(_save_path(image_id), segmentation)
+
+        # advance (optionally past already-segmented files)
+        image_id += 1
+        segmentation_result = None
+        while skip_segmented and image_id < len(images) \
+                and os.path.exists(_save_path(image_id)):
+            image_id += 1
+        if image_id >= len(images):
+            print("You have annotated the last image.")
+            if hasattr(viewer, "close"):
+                viewer.close()
+            return None
+        if not skip_segmented and os.path.exists(_save_path(image_id)):
+            segmentation_result = imageio.imread(_save_path(image_id))
+        if initial_segmentations is not None and segmentation_result is None:
+            init = initial_segmentations[image_id]
+            segmentation_result = init if isinstance(init, np.ndarray) or init is None \
+                else imageio.imread(str(init))
+
+        image, image_embedding_path = _load(image_id)
+        viewer.layers["image"].data = image
+        viewer.layers["committed_objects"].data = np.zeros(
+            image.shape[:ndim], dtype="uint32")
+        if state.amg is not None and hasattr(state.amg, "clear_state"):
+            state.amg.clear_state()
+        state.initialize_predictor(
+            image, model_type=model_type, ndim=ndim,
+            save_path=image_embedding_path, predictor=predictor,
+            tile_shape=tile_shape, halo=halo,
+            precompute_amg_state=precompute_amg_state, skip_load=False,
+        )
+        state.image_shape = image.shape[:ndim]
+        annotator._update_image(segmentation_result=segmentation_result)
+        return image_id
+
+    from ._compat import FormWidget
+
+    class _NextImageWidget(FormWidget):
+        def __init__(self):
+            super().__init__()
+            self.run_button = self._add_button(
+                "run", "Next Image [N]", next_image)
+
+        __call__ = staticmethod(next_image)
+
+    next_widget = _NextImageWidget()
+    if hasattr(viewer, "window") and hasattr(viewer.window, "add_dock_widget"):
+        viewer.window.add_dock_widget(next_widget)
+    viewer.bind_key("n", overwrite=True)(lambda v=None: next_image())
+
+    if return_viewer:
+        return viewer
+    _require_napari()
+    import napari
+    napari.run()
+
+
+def _write_segmentation(path: str, segmentation: np.ndarray) -> None:
+    import imageio.v3 as imageio
+    try:
+        imageio.imwrite(path, segmentation, compression="zlib")
+    except TypeError:
+        imageio.imwrite(path, segmentation)
 
 
 def image_folder_annotator(

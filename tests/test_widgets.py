@@ -326,3 +326,117 @@ def test_tracking_annotator_stack(fresh_state, tiny_sam, monkeypatch):
     # switching the track id through the menu updates the state
     state.widgets["tracking"].set_param("track_id", "2")
     assert state.current_track_id == 2
+
+
+def test_image_series_annotator_gui(fresh_state, monkeypatch, tiny_sam, tmp_path):
+    """Series annotation flow on a FakeViewer: annotate, press Next, the
+    committed segmentation is saved and the next image loads (reference
+    image_series_annotator.py:133-345)."""
+    import imageio.v3 as imageio
+    from micro_sam_tpu.sam_annotator.image_series_annotator import image_series_annotator
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    _tiny_get_sam_model(monkeypatch, tiny_sam)
+    images = [synthetic_data(shape=(128, 128), seed=80 + i, n_objects=2)[0]
+              for i in range(3)]
+    out = str(tmp_path / "series_out")
+
+    viewer = FakeViewer()
+    ret = image_series_annotator(
+        images, out, model_type="vit_b", viewer=viewer, return_viewer=True)
+    assert ret is viewer
+    assert "committed_objects" in viewer.layers
+
+    # simulate an annotation commit, then go to the next image
+    seg = np.zeros((128, 128), dtype="uint32")
+    seg[10:30, 10:30] = 1
+    viewer.layers["committed_objects"].data = seg
+    viewer.press("n")
+    saved = imageio.imread(os.path.join(out, "seg_00000.tif"))
+    np.testing.assert_array_equal(saved, seg)
+    # next image loaded, committed layer reset
+    assert viewer.layers["committed_objects"].data.max() == 0
+
+    viewer.press("n")  # second image saved (empty)
+    assert os.path.exists(os.path.join(out, "seg_00001.tif"))
+
+    # restart with skip_segmented: first two are done -> starts at index 2
+    from micro_sam_tpu.sam_annotator._state import AnnotatorState
+    AnnotatorState().reset_state()
+    viewer2 = FakeViewer()
+    ret2 = image_series_annotator(
+        images, out, model_type="vit_b", viewer=viewer2, return_viewer=True,
+        skip_segmented=True)
+    assert ret2 is viewer2
+
+
+def test_object_classifier_gui(fresh_state, monkeypatch, tiny_sam, tmp_path):
+    """Object-classifier flow on a FakeViewer: paint labels, train, predict,
+    export (reference object_classifier.py:312-390)."""
+    import pickle
+    from micro_sam_tpu.sam_annotator.object_classifier import object_classifier
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    _tiny_get_sam_model(monkeypatch, tiny_sam)
+    image, seg = synthetic_data(shape=(128, 128), seed=90, n_objects=4)
+    seg = seg.astype("uint32")
+
+    viewer = FakeViewer()
+    ret = object_classifier(
+        image, seg, model_type="vit_b", viewer=viewer, return_viewer=True)
+    assert ret is viewer
+    assert "annotations" in viewer.layers and "prediction" in viewer.layers
+
+    # paint class labels over two objects
+    state = fresh_state
+    ann = np.zeros_like(seg)
+    ids = np.unique(seg)[1:]
+    ys, xs = np.nonzero(seg == ids[0])
+    ann[ys[0], xs[0]] = 1
+    ys, xs = np.nonzero(seg == ids[1])
+    ann[ys[0], xs[0]] = 2
+    viewer.layers["annotations"].data = ann
+
+    annotator = state.annotator
+    pred = annotator.train_and_predict()
+    assert pred is not None and pred.shape == seg.shape
+    assert set(np.unique(pred)) - {0} <= {1, 2}
+    assert viewer.layers["prediction"].data.max() >= 1
+
+    # export through the widget
+    rf_path = str(tmp_path / "rf.pkl")
+    annotator._widgets["export"].set_param("export_path", rf_path)
+    annotator.export_rf()
+    with open(rf_path, "rb") as f:
+        rf = pickle.load(f)
+    assert hasattr(rf, "predict")
+
+
+def test_image_series_object_classifier_gui(fresh_state, monkeypatch, tiny_sam, tmp_path):
+    from micro_sam_tpu.sam_annotator.object_classifier import (
+        image_series_object_classifier,
+    )
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    _tiny_get_sam_model(monkeypatch, tiny_sam)
+    pairs = [synthetic_data(shape=(128, 128), seed=95 + i, n_objects=3)
+             for i in range(2)]
+    images = [p[0] for p in pairs]
+    segs = [p[1].astype("uint32") for p in pairs]
+    out = str(tmp_path / "clf_out")
+
+    viewer = FakeViewer()
+    ret = image_series_object_classifier(
+        images, segs, out, model_type="vit_b", viewer=viewer, return_viewer=True)
+    assert ret is viewer
+
+    # label one object on the first image, then advance
+    ann = np.zeros_like(segs[0])
+    oid = np.unique(segs[0])[1]
+    ys, xs = np.nonzero(segs[0] == oid)
+    ann[ys[0], xs[0]] = 1
+    viewer.layers["annotations"].data = ann
+    viewer.press("n")
+    assert os.path.exists(os.path.join(out, "prediction_00000.tif"))
+    # the second image is now active
+    np.testing.assert_array_equal(viewer.layers["segmentation"].data, segs[1])
