@@ -101,3 +101,18 @@ def test_fused_global_block_blocked_loops():
     y1 = _fused_global_forward(x, bp, (H, H), nH, block_q=64, block_m=128)
     y2 = _unfused_reference(x, None, bp, (H, H), nH)
     assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+
+def test_global_block_config_dtype_gate():
+    """f32 at full vit resolution exceeds scoped VMEM -> config must refuse
+    (the r1 bench OOM class, found again in the f32 path by runtime driving)."""
+    import jax.numpy as jnp
+    from micro_sam_tpu.ops.fused_window_block import global_block_config
+
+    # bf16 fits at N=4096; f32 does not
+    assert global_block_config(64, 64, jnp.bfloat16) is not None
+    assert global_block_config(64, 64, jnp.float32) is None
+    # small grids fit for both dtypes
+    assert global_block_config(16, 16, jnp.float32) is not None
+    # no dtype -> shape-only constraints (back-compat callers)
+    assert global_block_config(64, 64) is not None
