@@ -94,6 +94,7 @@ def run_bench():
     # AMG throughput: grid decode via the device-side packed pipeline.
     # Contained: an AMG failure degrades this field to None, never the bench.
     amg_masks_per_sec = None
+    amg_device_masks_per_sec = None
     if on_tpu:
         try:
             from micro_sam_tpu.predictor import SamPredictor, _AmgDecoder
@@ -118,6 +119,30 @@ def run_bench():
                 n_masks += len(rles)
             amg_dt = time.perf_counter() - t0
             amg_masks_per_sec = n_masks / amg_dt
+
+            # pure on-device decode rate: dispatch the jitted program directly
+            # and fence on the small iou output only — excludes the packed-mask
+            # host transfer that dominates through the tunnel (the production
+            # AMG path keeps masks on device between decode and filtering)
+            pts_d = jnp.asarray(np.concatenate(
+                [grid_pts[:ppb, None, :], np.zeros((ppb, 1, 2), np.float32)], axis=1))
+            lbl_d = jnp.asarray(np.concatenate(
+                [np.ones((ppb, 1), np.int32), -np.ones((ppb, 1), np.int32)], axis=1))
+            feats_d = jnp.broadcast_to(feats[:1], (ppb,) + feats.shape[1:])
+            n_batches = 8
+            _, iou_d, _, _ = decoder_amg._jit(
+                params, feats_d, pts_d, lbl_d,
+                mask_threshold=2.0, stability_offset=1.0,
+                input_size=(1024, 1024), original_size=(1024, 1024))
+            float(jnp.sum(iou_d))
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                _, iou_d, _, _ = decoder_amg._jit(
+                    params, feats_d, pts_d, lbl_d,
+                    mask_threshold=2.0, stability_offset=1.0,
+                    input_size=(1024, 1024), original_size=(1024, 1024))
+            float(jnp.sum(iou_d))
+            amg_device_masks_per_sec = n_batches * ppb * 3 / (time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001
             print(f"bench: AMG section failed, skipping: {e}", file=sys.stderr)
 
@@ -130,6 +155,7 @@ def run_bench():
             "decode_p50_ms": round(p50_ms, 3),
             "decode_program_ms": round(decode_program_ms, 3),
             "amg_masks_per_sec": None if amg_masks_per_sec is None else round(amg_masks_per_sec, 1),
+            "amg_device_masks_per_sec": None if amg_device_masks_per_sec is None else round(amg_device_masks_per_sec, 1),
             "platform": platform,
             "batch": batch,
             "compute_dtype": cfg.compute_dtype,

@@ -289,18 +289,25 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                          a_scr, attn_scr, q_scr, *,
                          num_heads: int, w: int, scale: float, eps: float,
                          block_q: int, block_m: int):
+    """Every full-image stage is chunked over token rows (block_m) so no
+    (N, C) float32 temporary ever lives on the scoped-VMEM stack — a fresh
+    compile of the whole-image LN1/proj variant needs 113 MB and OOMs the
+    ~104 MB cap (runs that hit the persistent compile cache masked this)."""
     _, n, c = x_ref.shape
     hd = w3_ref.shape[2]
     rk = n // w
 
-    # LN1 over all tokens, kept in VMEM scratch (bf16). x is re-read from
-    # x_ref at the residual below so the f32 value dies after LN1 (keeps the
-    # scoped-VMEM stack under the limit; round-1 kept it live and OOMed).
-    x = x_ref[0].astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    a = (x - mean) * jax.lax.rsqrt(var + eps)
-    a_scr[...] = (a * ln1s_ref[0] + ln1b_ref[0]).astype(a_scr.dtype)
+    # LN1 into the bf16 scratch, block_m rows at a time
+    def ln1_body(mi, _):
+        x = x_ref[0, pl.ds(mi * block_m, block_m), :].astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        a = (x - mean) * jax.lax.rsqrt(var + eps)
+        a_scr[pl.ds(mi * block_m, block_m), :] = \
+            (a * ln1s_ref[0] + ln1b_ref[0]).astype(a_scr.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n // block_m, ln1_body, 0)
 
     kcol = jax.lax.broadcasted_iota(jnp.int32, (rk, n), 1)
     expand_rows = (kcol // w == jax.lax.broadcasted_iota(jnp.int32, (rk, n), 0)
@@ -367,18 +374,26 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
 
     jax.lax.fori_loop(0, num_heads, head_body, 0)
 
-    def proj_body(h, acc):
-        return acc + jax.lax.dot_general(
-            attn_scr[h], wp_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # proj + residual, block_m rows at a time; x1 is staged in o_ref (the
+    # VMEM output block, same bf16 precision as the unfused path) and each
+    # MLP chunk below reads its rows back before overwriting them
+    def proj_res_body(mi, _):
+        rows = pl.ds(mi * block_m, block_m)
 
-    y = jax.lax.fori_loop(0, num_heads, proj_body,
-                          jnp.zeros((n, c), jnp.float32))
-    # x1 residual staged in o_ref (the VMEM output block — same bf16 precision
-    # as the unfused path) instead of a dedicated scratch buffer; each MLP
-    # chunk below reads its own rows back before overwriting them
-    o_ref[0] = (x_ref[0].astype(jnp.float32) + y + bp_ref[0]).astype(o_ref.dtype)
+        def head_acc(h, acc):
+            return acc + jax.lax.dot_general(
+                attn_scr[h, rows, :], wp_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        y = jax.lax.fori_loop(0, num_heads, head_acc,
+                              jnp.zeros((block_m, c), jnp.float32))
+        o_ref[0, rows, :] = (
+            x_ref[0, rows, :].astype(jnp.float32) + y + bp_ref[0]
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n // block_m, proj_res_body, 0)
 
     # LN2 + MLP + residual, chunked over token rows
     def mlp_body(mi, _):
