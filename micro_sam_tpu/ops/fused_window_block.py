@@ -111,12 +111,24 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                 preferred_element_type=jnp.float32,
             ) + bias_h + bias_w                           # (N, N)
             m = jnp.max(logits, axis=-1, keepdims=True)
-            pr = jnp.exp(logits - m)
-            pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
-            attn_scr[h, g] = jax.lax.dot_general(
-                pr, vg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if x_ref.dtype == jnp.bfloat16:
+                # bf16 fast softmax: exp on half-width VPU lanes and the
+                # probs @ v matmul on bf16 MXU passes; the row sum stays f32
+                # and normalization moves after the matmul (distributive)
+                pr = jnp.exp((logits - m).astype(jnp.bfloat16))
+                s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
+                ov = jax.lax.dot_general(
+                    pr, vg.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                attn_scr[h, g] = ov * (1.0 / s)
+            else:
+                pr = jnp.exp(logits - m)
+                pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
+                attn_scr[h, g] = jax.lax.dot_general(
+                    pr, vg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         return 0
 
     jax.lax.fori_loop(0, num_heads, head_body, 0)
@@ -361,12 +373,24 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                 preferred_element_type=jnp.float32,
             ) + bias_h + bias_w
             m = jnp.max(logits, axis=-1, keepdims=True)
-            pr = jnp.exp(logits - m)
-            pr = (pr / jnp.sum(pr, axis=-1, keepdims=True)).astype(a_scr.dtype)
-            attn_scr[h, pl.ds(qi * block_q, block_q), :] = jax.lax.dot_general(
-                pr, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(attn_scr.dtype)
+            if x_ref.dtype == jnp.bfloat16:
+                # bf16 fast softmax (see the window kernel note): bf16 exp +
+                # bf16 probs @ v, f32 row sums, post-matmul normalization
+                pr = jnp.exp((logits - m).astype(jnp.bfloat16))
+                s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
+                ov = jax.lax.dot_general(
+                    pr, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                attn_scr[h, pl.ds(qi * block_q, block_q), :] = \
+                    (ov * (1.0 / s)).astype(attn_scr.dtype)
+            else:
+                pr = jnp.exp(logits - m)
+                pr = (pr / jnp.sum(pr, axis=-1, keepdims=True)).astype(a_scr.dtype)
+                attn_scr[h, pl.ds(qi * block_q, block_q), :] = jax.lax.dot_general(
+                    pr, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(attn_scr.dtype)
             return 0
 
         jax.lax.fori_loop(0, n // block_q, q_body, 0)

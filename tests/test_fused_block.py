@@ -116,3 +116,37 @@ def test_global_block_config_dtype_gate():
     assert global_block_config(16, 16, jnp.float32) is not None
     # no dtype -> shape-only constraints (back-compat callers)
     assert global_block_config(64, 64) is not None
+
+
+def test_fused_global_block_bf16_fast_softmax():
+    """bf16 inputs take the fast-softmax branch (bf16 exp + bf16 probs@v,
+    post-matmul normalization); results must track the f32 unfused oracle
+    within bf16 noise."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops.fused_window_block import (
+        _fused_global_forward, _unfused_reference, fused_window_block,
+    )
+
+    C, nH, H = 32, 2, 16
+    N = H * H
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (H, H), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, N, C), jnp.float32)
+
+    ref = _unfused_reference(x, None, bp, (H, H), nH)
+    y_bf16 = _fused_global_forward(
+        x.astype(jnp.bfloat16), bp, (H, H), nH, block_q=64, block_m=128)
+    rel = float(jnp.max(jnp.abs(y_bf16.astype(jnp.float32) - ref))) / \
+        float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, f"bf16 fast-softmax drift {rel}"
+
+    # window kernel same check
+    xw = jax.random.normal(jax.random.PRNGKey(4), (4, N, C), jnp.float32)
+    refw = _unfused_reference(xw, None, bp, (H, H), nH)
+    yw = fused_window_block(xw.astype(jnp.bfloat16), None, bp, (H, H), nH)
+    relw = float(jnp.max(jnp.abs(yw.astype(jnp.float32) - refw))) / \
+        float(jnp.max(jnp.abs(refw)))
+    assert relw < 0.05, f"bf16 window fast-softmax drift {relw}"
