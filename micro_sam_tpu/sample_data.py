@@ -105,3 +105,57 @@ def fetch_nucleus_3d_example_data(save_directory: str) -> str:
 
 def fetch_wholeslide_histopathology_example_data(save_directory: str) -> str:
     return _require_cached("whole-slide-histopathology-example-image.tif")
+
+
+# -----------------------------------------------------------------------------
+# napari sample-data hooks (reference sample_data.py:58-340): each returns
+# napari layer-data tuples. Cached real data is used when present; otherwise a
+# deterministic synthetic sample is generated so the hooks work offline.
+# -----------------------------------------------------------------------------
+
+def _layer(data, name):
+    return [(data, {"name": name}, "image")]
+
+
+def _cached_or_synthetic(fname: str, shape, seed: int, name: str):
+    from .util import microsam_cachedir
+    path = os.path.join(microsam_cachedir(), "sample_data", fname)
+    if os.path.exists(path):
+        import imageio.v3 as imageio
+        return _layer(imageio.imread(path), name)
+    image, _ = synthetic_data(shape=shape, seed=seed)
+    return _layer(image, name)
+
+
+def sample_data_wholeslide():
+    """Whole-slide sample (reference sample_data.py:104)."""
+    return _cached_or_synthetic(
+        "whole-slide-example-image.tif", (1024, 1024), 10, "wholeslide")
+
+
+def sample_data_livecell():
+    """LIVECell sample (reference sample_data.py:143)."""
+    return _cached_or_synthetic("livecell-2d-image.png", (520, 704), 11, "livecell")
+
+
+def sample_data_hela_2d():
+    """HeLa 2d sample (reference sample_data.py:182)."""
+    return _cached_or_synthetic("hela-2d-image.png", (512, 512), 12, "hela_2d")
+
+
+def sample_data_3d():
+    """3d EM sample (reference sample_data.py:226)."""
+    return _cached_or_synthetic("lucchi_volume.tif", (16, 384, 384), 13, "em_3d")
+
+
+def sample_data_tracking():
+    """Tracking timeseries sample (reference sample_data.py:277)."""
+    frames = [synthetic_data(shape=(256, 256), seed=14 + t)[0] for t in range(8)]
+    return _layer(np.stack(frames), "tracking")
+
+
+def sample_data_segmentation():
+    """Segmented sample with labels (reference sample_data.py:324)."""
+    image, seg = synthetic_data(shape=(512, 512), seed=15)
+    return [(image, {"name": "image"}, "image"),
+            (seg, {"name": "segmentation"}, "labels")]
