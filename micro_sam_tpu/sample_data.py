@@ -28,6 +28,9 @@ def synthetic_data(
     rng = np.random.default_rng(seed)
     ndim = len(shape)
     assert ndim in (2, 3)
+    # radii must fit the smallest axis (thin 3d volumes)
+    r_cap = max(2, (min(shape) - 6) // 2)
+    radius_range = (min(radius_range[0], r_cap), min(radius_range[1], r_cap))
     image = np.zeros(shape, dtype=np.uint8)
     segmentation = np.zeros(shape, dtype=np.uint32)
 
