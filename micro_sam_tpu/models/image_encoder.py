@@ -227,7 +227,17 @@ def apply_image_encoder(
 
     remat=True checkpoints each transformer block (training: trade ~10% extra
     forward FLOPs in backward for not storing per-block activations)."""
-    x = cm.conv2d(p["patch_embed"], x, stride=patch_size, padding="VALID")
+    # patch embed as space-to-depth + one big matmul: the stride-16 conv is
+    # exactly a (ps*ps*3, D) matmul on non-overlapping patches, and XLA's conv
+    # lowering ran 2.2x slower (7.16 -> 3.24 ms per batch-8 on v5e)
+    B, H, W, _ = x.shape
+    ps = patch_size
+    w = p["patch_embed"]["w"]                      # (ps, ps, 3, D) HWIO
+    xp = x.reshape(B, H // ps, ps, W // ps, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+    xp = xp.reshape(B, H // ps, W // ps, ps * ps * 3)
+    x = jnp.dot(xp, w.reshape(-1, w.shape[-1]).astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + p["patch_embed"]["b"].astype(x.dtype)
     if "pos_embed" in p:
         x = x + p["pos_embed"].astype(x.dtype)
 
