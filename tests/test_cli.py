@@ -57,7 +57,9 @@ def test_info_cli():
     res = _run("from micro_sam_tpu.info import main; import sys; sys.argv=['x']; main()")
     assert res.returncode == 0, res.stderr
     assert "micro_sam_tpu" in res.stdout
-    assert "models" in res.stdout
+    assert "Supported Models" in res.stdout
+    assert "vit_b" in res.stdout
+    assert "System Information" in res.stdout
 
 
 def test_precompute_embeddings_cli(sample_image, tmp_path):
