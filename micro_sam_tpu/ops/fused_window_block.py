@@ -210,7 +210,14 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     # one window per program measured FASTER than grouping 4 (58.9 vs 59.8
     # tiles/s): the sequential grid already pipelines small programs well,
     # and the 4x-unrolled attention bodies scheduled worse
-    group = 1  # grouping 2/4 windows measured slower (58.6/58.9 vs 59.8 t/s)
+    # one window per program measured FASTER than grouping (TPU sweeps:
+    # g=1 8.9ms, g=2 9.3, g=4 9.9, g=8 9.4 per batch-8 block) — the
+    # sequential grid already pipelines small programs well. Env knob kept
+    # for tuning on other chip generations.
+    import os
+    group = int(os.environ.get("MSAM_TPU_WINDOW_GROUP", "1"))
+    if BW % group != 0:
+        group = 1
 
     masked = valid is not None
     if not masked:
