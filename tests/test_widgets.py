@@ -440,3 +440,54 @@ def test_image_series_object_classifier_gui(fresh_state, monkeypatch, tiny_sam, 
     assert os.path.exists(os.path.join(out, "prediction_00000.tif"))
     # the second image is now active
     np.testing.assert_array_equal(viewer.layers["segmentation"].data, segs[1])
+
+
+def test_annotator_3d_stack(fresh_state, monkeypatch, tiny_sam):
+    """Full 3d annotator assembly on a FakeViewer: volumetric layers, slice
+    segmentation via the keybinding, nd projection via Shift-S, commit."""
+    from micro_sam_tpu.sam_annotator.annotator_3d import annotator_3d
+    from micro_sam_tpu.sam_annotator._annotator import ANNOTATOR_LAYERS
+    from micro_sam_tpu.predictor import SamPredictor
+    from micro_sam_tpu.sample_data import synthetic_data
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    _tiny_get_sam_model(monkeypatch, tiny_sam)
+    image2d, _ = synthetic_data(shape=(128, 128), seed=77, n_objects=2)
+    volume = np.stack([image2d] * 3)
+
+    state = fresh_state
+    state.image_shape = volume.shape
+    predictor = SamPredictor(tiny_sam)
+    emb = precompute_image_embeddings(predictor, volume, ndim=3, verbose=False)
+    state.predictor = predictor
+    state.image_embeddings = emb
+
+    viewer = FakeViewer()
+    ret = annotator_3d(volume, embedding_path=emb, model_type="vit_b",
+                       viewer=viewer, return_viewer=True)
+    assert ret is viewer
+    for name in ANNOTATOR_LAYERS:
+        assert name in viewer.layers
+    assert viewer.layers["current_object"].data.shape == volume.shape
+    assert set(state.widgets) >= {"segment", "segment_nd", "autosegment",
+                                  "commit", "clear"}
+
+    # segment the middle slice from a point prompt
+    viewer.dims.point = (1, 0, 0)
+    pts = viewer.layers["point_prompts"]
+    pts.data = np.array([[1.0, 64.0, 64.0]])
+    pts.properties = {"label": np.array(["positive"], dtype=object)}
+    viewer.press("s")
+    seg = viewer.layers["current_object"].data
+    assert seg[1].max() >= 1
+    assert seg[0].max() == 0  # only the current slice segmented
+
+    # project through the volume (Shift-S -> segment_nd)
+    viewer.press("Shift-S")
+    seg = viewer.layers["current_object"].data
+    assert (seg > 0).any(axis=(1, 2)).sum() >= 2  # reached other slices
+
+    # commit
+    viewer.press("c")
+    assert viewer.layers["committed_objects"].data.max() >= 1
+    assert viewer.layers["current_object"].data.max() == 0
