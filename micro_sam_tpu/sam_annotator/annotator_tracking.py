@@ -69,11 +69,18 @@ def annotator_tracking(
     """Start the tracking annotator (reference annotator_tracking.py:288)."""
     state = AnnotatorState()
     state.image_shape = image.shape[:3]
-    state.initialize_predictor(
-        image, model_type=model_type, save_path=embedding_path, ndim=3,
-        device=device, checkpoint_path=checkpoint_path,
-        tile_shape=tile_shape, halo=halo,
-    )
+    if isinstance(embedding_path, dict):
+        # precomputed embeddings passed directly (same contract as
+        # annotator_2d/annotator_3d)
+        state.image_embeddings = embedding_path
+        state.predictor = util.get_sam_model(
+            model_type=model_type, checkpoint_path=checkpoint_path)
+    else:
+        state.initialize_predictor(
+            image, model_type=model_type, save_path=embedding_path, ndim=3,
+            device=device, checkpoint_path=checkpoint_path,
+            tile_shape=tile_shape, halo=halo,
+        )
     _init_tracking_state(state)
 
     from ._annotator import AnnotatorTracking

@@ -116,6 +116,8 @@ def shape_layer_to_prompts(
     contribute their rasterized mask as a dense prompt.
     """
     entries = list(zip(layer.data, layer.shape_type))
+    if not entries:
+        return [], []
     if i is not None:
         on_frame = lambda verts: (verts[:, 0] == i).all()
         if track_id is None:

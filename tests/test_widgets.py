@@ -491,3 +491,49 @@ def test_annotator_3d_stack(fresh_state, monkeypatch, tiny_sam):
     viewer.press("c")
     assert viewer.layers["committed_objects"].data.max() >= 1
     assert viewer.layers["current_object"].data.max() == 0
+
+
+def test_annotator_tracking_stack(fresh_state, monkeypatch, tiny_sam):
+    """Tracking annotator assembly + interaction: frame segmentation from a
+    track prompt, then projection through the timeseries via Shift-S."""
+    from micro_sam_tpu.sam_annotator.annotator_tracking import annotator_tracking
+    from micro_sam_tpu.predictor import SamPredictor
+    from micro_sam_tpu.sample_data import synthetic_data
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    _tiny_get_sam_model(monkeypatch, tiny_sam)
+    frame, _ = synthetic_data(shape=(128, 128), seed=88, n_objects=2)
+    timeseries = np.stack([frame] * 3)
+
+    state = fresh_state
+    state.image_shape = timeseries.shape
+    predictor = SamPredictor(tiny_sam)
+    emb = precompute_image_embeddings(predictor, timeseries, ndim=3, verbose=False)
+    state.predictor = predictor
+    state.image_embeddings = emb
+
+    viewer = FakeViewer()
+    ret = annotator_tracking(timeseries, embedding_path=emb, model_type="vit_b",
+                             viewer=viewer, return_viewer=True)
+    assert ret is viewer
+    assert state.current_track_id == 1
+    assert "tracking" in state.widgets
+
+    # a positive track prompt on frame 0
+    viewer.dims.point = (0, 0, 0)
+    pts = viewer.layers["point_prompts"]
+    pts.data = np.array([[0.0, 64.0, 64.0]])
+    pts.properties = {
+        "label": np.array(["positive"], dtype=object),
+        "track_id": np.array(["1"], dtype=object),
+        "state": np.array(["track"], dtype=object),
+    }
+    viewer.press("s")
+    seg = viewer.layers["current_object"].data
+    assert seg[0].max() == 1  # frame written under the current track id
+
+    # track through all frames
+    viewer.press("Shift-S")
+    seg = viewer.layers["current_object"].data
+    tracked_frames = (seg == 1).any(axis=(1, 2)).sum()
+    assert tracked_frames >= 2, f"tracked only {tracked_frames} frames"
