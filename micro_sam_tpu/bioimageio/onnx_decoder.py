@@ -197,11 +197,11 @@ class OnnxSamDecoder(nn.Module):
         pe = self._pe_encode(coords)
         out = torch.where(labels[..., None] == -1.0,
                           self.not_a_point.to(pe.dtype), pe)
+        zero = pe.new_zeros(1)  # device-safe (buffers follow .to()/.cuda())
         for val in range(4):
             out = out + torch.where(
                 labels[..., None] == float(val),
-                self.point_embeds[val].to(pe.dtype),
-                torch.zeros(1, dtype=pe.dtype))
+                self.point_embeds[val].to(pe.dtype), zero)
         return out
 
     def _embed_mask(self, mask_input, has_mask_input):
@@ -214,7 +214,7 @@ class OnnxSamDecoder(nn.Module):
 
     def _dense_pe(self):
         e = self.embedding_size
-        grid = torch.ones((e, e), dtype=self.pe_matrix.dtype)
+        grid = self.pe_matrix.new_ones((e, e))
         y = (grid.cumsum(dim=0) - 0.5) / e
         x = (grid.cumsum(dim=1) - 0.5) / e
         return self._pe_encode(torch.stack([x, y], dim=-1)).permute(2, 0, 1)

@@ -25,7 +25,6 @@ import time
 import warnings
 from contextlib import contextmanager
 from glob import glob
-from math import floor
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple, Union
 
@@ -397,14 +396,22 @@ def _run_benchmark_evaluation_series(
 
 
 def _clear_cached_items(retain, path, output_folder):
-    """Remove everything but the results csvs, except the categories listed
-    in ``retain``: 'data', 'crops', 'automatic', 'interactive'
-    (reference :705-742)."""
+    """Remove cached crops and predictions, keeping the results csvs; the
+    categories in ``retain`` are kept: 'data', 'crops', 'automatic',
+    'interactive' (reference :705-742).
+
+    DELIBERATE deviation from the reference: source 'data' is NEVER removed
+    by default here. The reference re-downloads datasets on demand; this
+    environment cannot download, so deleting the input images/labels would be
+    unrecoverable. Pass ``retain=[]`` explicitly to also remove the data.
+    """
     import shutil
 
     REMOVE_LIST = ["data", "crops", "automatic", "interactive"]
-    remove_list = REMOVE_LIST if retain is None \
-        else list(set(REMOVE_LIST) - set(retain))
+    if retain is None:
+        remove_list = ["crops", "automatic", "interactive"]  # keep source data
+    else:
+        remove_list = list(set(REMOVE_LIST) - set(retain))
 
     paths = []
     if "data" in remove_list or "crops" in remove_list:

@@ -271,14 +271,21 @@ class LearnedTracker:
     def from_pretrained(cls, path_or_name: str = "default", **kwargs):
         if os.path.exists(str(path_or_name)):
             return cls(load_linker(str(path_or_name)), **kwargs)
-        if path_or_name == "default":
+        if path_or_name in ("default", "learned"):
             return cls(train_default_linker(), **kwargs)
         raise ValueError(f"Unknown pretrained linker: {path_or_name}")
 
-    def score_frames(self, seg0, seg1, img0=None, img1=None):
-        """(ids0, ids1, logits (n0, n1)) for one frame transition."""
-        ids0, f0, b0 = extract_frame_features(seg0, img0)
-        ids1, f1, b1 = extract_frame_features(seg1, img1)
+    def score_frames(self, seg0, seg1, img0=None, img1=None,
+                     features0=None, features1=None):
+        """(ids0, ids1, logits (n0, n1)) for one frame transition.
+
+        features0/features1: optional precomputed (ids, feats, bboxes)
+        triples — ``link`` passes the previous frame's triple forward so each
+        frame is featurized exactly once."""
+        ids0, f0, b0 = features0 if features0 is not None \
+            else extract_frame_features(seg0, img0)
+        ids1, f1, b1 = features1 if features1 is not None \
+            else extract_frame_features(seg1, img1)
         if len(ids0) == 0 or len(ids1) == 0:
             return ids0, ids1, np.zeros((len(ids0), len(ids1)), "float32")
         pf = pair_features(f0, f1, b0, b1)
@@ -299,39 +306,46 @@ class LearnedTracker:
         parent_graph: Dict[int, int] = {}
         next_track = 1
 
-        prev_ids: np.ndarray = np.zeros(0, "int64")
         prev_tracks: Dict[int, int] = {}
+        prev_features = None
         for t in range(n_frames):
-            img_prev = None if timeseries is None else timeseries[t - 1]
             img_curr = None if timeseries is None else timeseries[t]
+            curr_features = extract_frame_features(segmentation[t], img_curr)
             if t == 0:
-                ids, _, _ = extract_frame_features(segmentation[0], img_curr)
+                ids = curr_features[0]
                 logits = np.zeros((0, len(ids)), "float32")
                 prev = np.zeros(0, "int64")
             else:
                 prev, ids, logits = self.score_frames(
-                    segmentation[t - 1], segmentation[t], img_prev, img_curr)
+                    segmentation[t - 1], segmentation[t],
+                    features0=prev_features, features1=curr_features)
+            prev_features = curr_features
 
             assigned: Dict[int, int] = {}
             if logits.size:
                 # maximize total link score over one-to-one assignments
                 rows, cols = linear_sum_assignment(-logits)
-                taken_parents: Dict[int, int] = {}
+                # children per parent: 1 = continued track, 2 = division
+                children: Dict[int, int] = {}
                 for r, c in zip(rows, cols):
                     if logits[r, c] > self.link_threshold:
                         assigned[int(ids[c])] = int(prev[r])
-                        taken_parents[int(prev[r])] = 1
+                        children[int(prev[r])] = 1
                 # second children: unmatched current objects may join an
-                # already-linked parent above the (stricter) division bar
+                # already-linked parent above the (stricter) division bar;
+                # a parent takes at most TWO children (binary divisions, as
+                # in the greedy linker)
                 for c, oid in enumerate(ids):
                     if int(oid) in assigned:
                         continue
                     if logits.shape[0] == 0:
                         continue
                     r = int(np.argmax(logits[:, c]))
+                    parent = int(prev[r])
                     if logits[r, c] > self.division_threshold \
-                            and taken_parents.get(int(prev[r]), 0) == 1:
-                        assigned[int(oid)] = -int(prev[r])  # division marker
+                            and children.get(parent, 0) == 1:
+                        assigned[int(oid)] = -parent  # division marker
+                        children[parent] = 2
 
             curr_tracks: Dict[int, int] = {}
             for oid in ids:
@@ -357,12 +371,21 @@ class LearnedTracker:
 
         Returns (tracked_segmentation, parent_graph)."""
         node_to_track, parent_graph = self.link(segmentation, timeseries)
-        out = np.zeros_like(segmentation, dtype="uint32")
-        for t in range(segmentation.shape[0]):
-            frame = segmentation[t]
-            lut = np.zeros(int(frame.max()) + 1, dtype="uint32")
-            for (tt, oid), track in node_to_track.items():
-                if tt == t:
-                    lut[oid] = track
-            out[t] = lut[frame]
-        return out, parent_graph
+        return recolor_by_tracks(segmentation, node_to_track), parent_graph
+
+
+def recolor_by_tracks(segmentation: np.ndarray,
+                      node_to_track: Dict[Tuple[int, int], int]) -> np.ndarray:
+    """Relabel a per-frame segmentation by track id using a
+    {(frame, object_id): track_id} mapping."""
+    by_frame: Dict[int, Dict[int, int]] = {}
+    for (t, oid), track in node_to_track.items():
+        by_frame.setdefault(t, {})[oid] = track
+    out = np.zeros_like(segmentation, dtype="uint32")
+    for t in range(segmentation.shape[0]):
+        frame = segmentation[t]
+        lut = np.zeros(int(frame.max()) + 1, dtype="uint32")
+        for oid, track in by_frame.get(t, {}).items():
+            lut[oid] = track
+        out[t] = lut[frame]
+    return out

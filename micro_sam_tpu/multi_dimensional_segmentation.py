@@ -479,18 +479,7 @@ def track_across_frames(
         if isinstance(tracker, str):
             from .learned_tracking import LearnedTracker
             tracker = LearnedTracker.from_pretrained(tracker)
-        node_to_track_pairs, parent_graph = tracker.link(segmentation, timeseries)
-        # flatten the (frame, object) keyed mapping into the per-node contract
-        # used by _recolor_segmentation (object labels are unique per frame in
-        # tracker output, so recolor frame by frame)
-        tracking_result = np.zeros_like(segmentation, dtype="uint32")
-        for t in range(segmentation.shape[0]):
-            frame = segmentation[t]
-            lut = np.zeros(int(frame.max()) + 1, dtype="uint32")
-            for (tt, oid), track in node_to_track_pairs.items():
-                if tt == t:
-                    lut[oid] = track
-            tracking_result[t] = lut[frame]
+        tracking_result, parent_graph = tracker.track(timeseries, segmentation)
         lineages = _lineages_from_parent_graph(parent_graph, tracking_result)
         if min_time_extent is not None and min_time_extent > 0:
             tracking_result = _filter_tracks(tracking_result, min_time_extent)

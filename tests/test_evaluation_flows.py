@@ -243,3 +243,28 @@ def test_benchmark_interactive_3d_series(tiny_env, tmp_path, monkeypatch):
     bd._run_interactive_segmentation_per_dataset(
         images, gts, out, "vit_b", prompt_choice="box", ndim=3)
     assert os.path.exists(csv)
+
+
+def test_benchmark_cleanup_never_deletes_source_data_by_default(tmp_path):
+    """Deviation from the reference, on purpose: source data cannot be
+    re-downloaded here, so the default cleanup must keep images/ and labels/."""
+    from micro_sam_tpu.evaluation import benchmark_datasets as bd
+
+    data = tmp_path / "ds"
+    for sub in ("images", "labels", "roi_2d"):
+        (data / sub).mkdir(parents=True)
+        (data / sub / "f.tif").write_bytes(b"x")
+    out = tmp_path / "out"
+    (out / "amg_2d").mkdir(parents=True)
+    (out / "interactive_segmentation_2d").mkdir(parents=True)
+
+    bd._clear_cached_items(retain=None, path=str(data), output_folder=str(out))
+    assert (data / "images" / "f.tif").exists()
+    assert (data / "labels" / "f.tif").exists()
+    assert not (data / "roi_2d").exists()          # crops removed
+    assert not (out / "amg_2d").exists()           # predictions removed
+    assert not (out / "interactive_segmentation_2d").exists()
+
+    # explicit empty retain opts into the reference behavior (remove data too)
+    bd._clear_cached_items(retain=[], path=str(data), output_folder=str(out))
+    assert not (data / "images").exists()
