@@ -309,7 +309,7 @@ fused_window_block.defvjp(_fwb_fwd, _fwb_bwd)
 def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
                          rh_ref, rw_ref, wph_ref, bp_ref, ln2s_ref, ln2b_ref,
                          w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                         a_scr, o_acc, q_scr, *,
+                         a_scr, o_acc, q_scr, k_scr, v_scr, *,
                          num_heads: int, w: int, scale: float, eps: float,
                          block_q: int, block_m: int):
     """Global-attention block, one grid step per (image, head).
@@ -319,9 +319,16 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
     per-head attention output is projected and accumulated straight into a
     persistent (N, C) f32 scratch (no per-head attention buffer, no separate
     proj pass). LN1 runs once per image (first head step), LN2+MLP on the
-    last. All full-image stages stay chunked over block_m rows so the scoped
-    VMEM stack never holds an (N, C) f32 temporary (a fresh compile of the
-    whole-image variant needed 113 MB vs the ~104 MB cap).
+    last.
+
+    Scoped-VMEM discipline (the round-1 AND round-2 driver benches both hit
+    fresh-compile OOMs here; warm compile caches mask regressions): every
+    full-image stage is chunked over block_m/block_q rows, the qkv stage
+    streams a_scr row-chunks into k/v scratches instead of materializing the
+    (N, C) LN1 copy as a value, and the bf16 path keeps logits and bias in
+    bf16 end-to-end (the MXU still accumulates f32 internally; only the
+    stored tile is bf16). Together these hold the scoped stack ~25 MB under
+    the ~104 MB hardware cap — validated with a cold compilation cache.
     """
     h = pl.program_id(1)
     _, n, c = x_ref.shape
@@ -343,36 +350,56 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
 
         jax.lax.fori_loop(0, n // block_m, ln1_body, 0)
 
-    # combined 0/1 expansion matrix: bias = [q_rh | q_rw] @ [rows; cols].
-    # One K=(rk+w) matmul replaces two K=rk/K=w expansion matmuls — the
-    # expansions are 412 GFLOP across the batch (as many as the attention
-    # matmuls themselves) and K=64 ran the MXU at half rate.
+    # combined 0/1 expansion matrix, TRANSPOSED to (n, rk + w) so it can be
+    # concatenated onto k and the logits come out of ONE matmul:
+    #   logits = [q*scale | q_rh | q_rw] @ [k | rows^T | cols^T]^T, K = hd+rk+w.
+    # One K=192 contraction replaces the K=64 qk matmul (hd=64 ran the MXU at
+    # half rate) and the K=128 bias-expansion matmul, and halves the scoped
+    # f32 (BQ, N) temporaries from two to one.
     fast = x_ref.dtype == jnp.bfloat16
     cdt = jnp.bfloat16 if fast else jnp.float32
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (rk, n), 1)
-    expand_rows = (kcol // w == jax.lax.broadcasted_iota(jnp.int32, (rk, n), 0))
-    kcol_w = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
-    tile_cols = (kcol_w % w == jax.lax.broadcasted_iota(jnp.int32, (w, n), 0))
-    expand = jnp.concatenate(
-        [expand_rows, tile_cols], axis=0).astype(cdt)    # (rk + w, n)
+    # built arithmetically (max(1 - |a - b|, 0) is exactly the 0/1 equality
+    # indicator for integers): Mosaic rejects the i1 comparison vectors at
+    # this (n, small) layout with relayout/bitcast errors
+    ar = jax.lax.broadcasted_iota(jnp.int32, (n, rk), 0) // w
+    br = jax.lax.broadcasted_iota(jnp.int32, (n, rk), 1)
+    expand_rows_t = jnp.maximum(
+        1.0 - jnp.abs((ar - br).astype(jnp.float32)), 0.0).astype(cdt)
+    aw = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) % w
+    bw = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    tile_cols_t = jnp.maximum(
+        1.0 - jnp.abs((aw - bw).astype(jnp.float32)), 0.0).astype(cdt)
+    expand_t = jnp.concatenate(
+        [expand_rows_t, tile_cols_t], axis=1)            # (n, rk + w)
     rw = rw_ref[:].astype(jnp.float32)
     rq = block_q // w
 
-    # this head's qkv; q rides in a scratch ref (Mosaic can't dynamic_slice
-    # VALUES and the q-block loop below slices per block_q rows)
-    av = a_scr[...]
-    q_scr[...] = jax.lax.dot_general(                    # (N, hd) f32
-        av, w3h_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b3h_ref[0, 0]
-    k = (jax.lax.dot_general(
-        av, w3h_ref[0, 1], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b3h_ref[0, 1]).astype(cdt)                       # bf16 logits matmul
-    v = (jax.lax.dot_general(
-        av, w3h_ref[0, 2], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b3h_ref[0, 2]).astype(a_scr.dtype)
+    # this head's qkv, chunked over block_m token rows: streaming a_scr
+    # row-chunks keeps the scoped stack free of the full (N, C) LN1 value
+    # (that single temporary was 6.3 MB of the round-2 fresh-compile OOM).
+    # q/k/v ride in scratch refs because Mosaic can't dynamic_slice VALUES
+    # and the q-block loop below slices per block_q rows.
+    def qkv_body(mi, _):
+        rows = pl.ds(mi * block_m, block_m)
+        ac = a_scr[rows, :]
+        q_scr[rows, :] = jax.lax.dot_general(            # (bm, hd) f32
+            ac, w3h_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3h_ref[0, 0]
+        k_scr[rows, :] = (jax.lax.dot_general(
+            ac, w3h_ref[0, 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3h_ref[0, 1]).astype(k_scr.dtype)
+        v_scr[rows, :] = (jax.lax.dot_general(
+            ac, w3h_ref[0, 2], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3h_ref[0, 2]).astype(v_scr.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n // block_m, qkv_body, 0)
+    # key-side operand of the combined logits matmul: (N, hd + rk + w)
+    ke = jnp.concatenate([k_scr[...].astype(cdt), expand_t], axis=1)
+    v = v_scr[...]
     wp = wph_ref[0]                                      # (hd, C)
 
     def q_body(qi, __):
@@ -388,17 +415,15 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
             q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).transpose(1, 0, 2)
-        qc = jnp.concatenate(
-            [q_rh.reshape(block_q, rk), q_rw.reshape(block_q, w)],
-            axis=1).astype(cdt)                          # (BQ, rk + w)
-        bias = jax.lax.dot_general(
-            qc, expand, (((1,), (0,)), ((), ())),
+        qfull = jnp.concatenate(
+            [(qb * scale).astype(cdt),
+             q_rh.reshape(block_q, rk).astype(cdt),
+             q_rw.reshape(block_q, w).astype(cdt)],
+            axis=1)                                      # (BQ, hd + rk + w)
+        logits = jax.lax.dot_general(                    # (BQ, N) f32
+            qfull, ke, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        logits = jax.lax.dot_general(                    # (BQ, N)
-            (qb * scale).astype(cdt), k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias
         m = jnp.max(logits, axis=-1, keepdims=True)
         if x_ref.dtype == jnp.bfloat16:
             # bf16 fast softmax: bf16 exp + bf16 probs @ v on the MXU,
@@ -519,9 +544,16 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
             pltpu.VMEM((N, C), dt),                      # a = LN1(x)
             pltpu.VMEM((N, C), jnp.float32),             # proj accumulator
             pltpu.VMEM((N, hd), jnp.float32),            # per-head q
+            pltpu.VMEM((N, hd), jnp.bfloat16 if dt == jnp.bfloat16
+                       else jnp.float32),                # per-head k
+            pltpu.VMEM((N, hd), dt),                     # per-head v
         ],
+        # request WELL below the ~104-106 MB hardware cap: the round-2 driver
+        # bench OOMed on a fresh compile with a 1.2 MB margin. If an edit
+        # regrows the scoped stack past this, the compile fails loudly at the
+        # same budget cold or warm instead of depending on the compile cache.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=104 * 1024 * 1024),
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(x, ln1s, ln1b, w3, b3, rh, rw, wp, bpb, ln2s, ln2b, w1, b1, w2, b2)
 

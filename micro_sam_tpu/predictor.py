@@ -33,7 +33,7 @@ def _next_pow2(n: int) -> int:
 
 
 class SamPredictor:
-    def __init__(self, sam: Sam):
+    def __init__(self, sam: Sam, mesh=None):
         self.model = sam
         self.transform = ResizeLongestSide(sam.config.img_size)
         # model metadata the reference attaches in get_sam_model (util.py:443-470)
@@ -41,9 +41,67 @@ class SamPredictor:
         self.model_name: Optional[str] = None
         self._checkpoint_hash: Optional[str] = None
         self.reset_image()
+        self.mesh = None
+        self.batch_multiple = 1   # encode/decode batches pad to this
         self._encode_fn = jax.jit(self._encode_impl)
         self._decode_fn = jax.jit(self._decode_impl)
         self._upscale_fn = jax.jit(self._upscale_impl, static_argnames=("input_size", "original_size"))
+        if mesh is not None:
+            self.shard_on_mesh(mesh)
+
+    def shard_on_mesh(self, mesh) -> "SamPredictor":
+        """Make this predictor's compiled programs SPMD over a device mesh.
+
+        This is the production multi-chip path (not a side-car): params are
+        tensor-sharded on the mesh "model" axis (attention qkv/proj + MLP
+        hidden dims; see parallel.mesh.sam_param_shardings) and every
+        encode/decode batch is split over the "data" axis, so
+        precompute_image_embeddings, batched_inference and the AMG decode
+        pipeline all fan out over chips with XLA-inserted collectives.
+        Replaces the reference's DDP surface (reference
+        micro_sam/training/sam_trainer.py:67; util.py:764-898 encodes tile
+        batches sequentially on one device).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import sam_param_shardings
+        self.mesh = mesh
+        self.batch_multiple = int(mesh.shape.get("data", 1))
+        p_shard = sam_param_shardings(self.model.params, mesh)
+        self.model.params = jax.device_put(self.model.params, p_shard)
+        self._repl_sharding = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        self._data_sharding = data
+        self._encode_fn = jax.jit(
+            self._encode_impl, in_shardings=(p_shard, data), out_shardings=data)
+        self._decode_fn = jax.jit(
+            self._decode_impl,
+            in_shardings=(p_shard, data, data, data, data, data),
+            out_shardings=(data, data))
+        return self
+
+    def _pad_batch(self, *arrays):
+        """Pad axis 0 of every array to a batch_multiple multiple (repeating
+        the last element); returns (*padded, true_n)."""
+        n = arrays[0].shape[0]
+        r = (-n) % self.batch_multiple
+        if r == 0:
+            return (*arrays, n)
+        padded = tuple(
+            np.concatenate([a, np.repeat(a[-1:], r, axis=0)], axis=0)
+            for a in (np.asarray(a) for a in arrays)
+        )
+        return (*padded, n)
+
+    def encode_batch(self, batch: np.ndarray) -> jnp.ndarray:
+        """(B, h, w, 3) resized pixels -> (B, 64, 64, 256) embeddings.
+
+        The production encode entry: pads the batch to the mesh data-axis
+        multiple so one compiled program serves every batch size, and shards
+        it over the mesh when the predictor is meshed.
+        """
+        batch, n = self._pad_batch(np.asarray(batch))
+        feats = self._encode_fn(self.model.params, jnp.asarray(batch))
+        return feats[:n] if feats.shape[0] != n else feats
 
     # ------------------------------------------------------------------
     # jitted cores
@@ -78,7 +136,11 @@ class SamPredictor:
         self.original_size = tuple(image.shape[:2])
         resized = self._resize_longest_host(image)
         self.input_size = tuple(resized.shape[:2])
-        feats = self._encode_fn(self.model.params, jnp.asarray(resized)[None])
+        feats = self.encode_batch(resized[None])
+        if self.mesh is not None:
+            # interactive decode broadcasts these over prompt batches:
+            # keep them replicated so no per-decode resharding transfer
+            feats = jax.device_put(np.asarray(feats), self._repl_sharding)
         self.features = feats
         self.is_image_set = True
 
@@ -97,6 +159,8 @@ class SamPredictor:
             features = features[None]
         if features.shape[1] == 256 and features.shape[-1] != 256:
             features = jnp.transpose(features, (0, 2, 3, 1))
+        if self.mesh is not None:
+            features = jax.device_put(np.asarray(features), self._repl_sharding)
         self.features = features
         self.original_size = tuple(int(x) for x in original_size)
         if input_size is None:
@@ -234,14 +298,21 @@ class SamPredictor:
         points, labels, mi, has_mask, batched = self._pack_prompts(
             point_coords, point_labels, box, mask_input
         )
+        points, labels, mi, has_mask, true_b = self._pad_batch(
+            points, labels, mi, has_mask)
         feats = self.features
         B = points.shape[0]
         if feats.shape[0] != B:
             feats = jnp.broadcast_to(feats, (B,) + feats.shape[1:])
+        if self.mesh is not None:
+            # replicated->data resharding is a local slice per chip; jit with
+            # in_shardings refuses committed arrays with a different layout
+            feats = jax.device_put(feats, self._data_sharding)
         low_res, iou = self._decode_fn(
             self.model.params, feats, jnp.asarray(points), jnp.asarray(labels),
             jnp.asarray(mi), jnp.asarray(has_mask),
         )
+        low_res, iou = low_res[:true_b], iou[:true_b]
         if multimask_output:
             low_res, iou = low_res[:, 1:], iou[:, 1:]
         else:
@@ -321,11 +392,26 @@ class _AmgDecoder:
 
         pred = self.predictor
         if self._jit is None:
-            self._jit = jax.jit(
-                functools.partial(_amg_decode_impl, pred.model),
-                static_argnames=("mask_threshold", "stability_offset",
-                                 "input_size", "original_size"),
-            )
+            if pred.mesh is not None:
+                # production mesh path: prompt batch + all reduced outputs
+                # ride the data axis; params keep their (possibly
+                # tensor-sharded) placement
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from .parallel.mesh import sam_param_shardings
+                data = NamedSharding(pred.mesh, P("data"))
+                p_shard = sam_param_shardings(pred.model.params, pred.mesh)
+                self._jit = jax.jit(
+                    functools.partial(_amg_decode_impl, pred.model),
+                    static_argnums=(4, 5, 6, 7),
+                    in_shardings=(p_shard, data, data, data),
+                    out_shardings=(data, data, data, data),
+                )
+            else:
+                self._jit = jax.jit(
+                    functools.partial(_amg_decode_impl, pred.model),
+                    static_argnums=(4, 5, 6, 7),
+                )
+        points_xy, true_b = pred._pad_batch(points_xy)[0], points_xy.shape[0]
         B = points_xy.shape[0]
         pts = np.concatenate(
             [points_xy[:, None, :], np.zeros((B, 1, 2), np.float32)], axis=1
@@ -336,11 +422,19 @@ class _AmgDecoder:
         feats = pred.features
         if feats.shape[0] != B:
             feats = jnp.broadcast_to(feats, (B,) + feats.shape[1:])
+        if pred.mesh is not None:
+            feats = jax.device_put(feats, pred._data_sharding)
+        # statics passed positionally: pjit rejects kwargs when in_shardings
+        # is specified (the meshed path)
         packed, iou, stability, boxes = self._jit(
             pred.model.params, feats, jnp.asarray(pts), jnp.asarray(lbl),
-            mask_threshold=self.mask_threshold, stability_offset=self.stability_offset,
-            input_size=tuple(pred.input_size), original_size=tuple(pred.original_size),
+            self.mask_threshold, self.stability_offset,
+            tuple(pred.input_size), tuple(pred.original_size),
         )
+        if true_b != B:
+            c = packed.shape[0] // B
+            packed = packed[:true_b * c]
+            iou, stability, boxes = iou[:true_b], stability[:true_b], boxes[:true_b]
         # packed: (B*3, W, ceil(H/8)) Fortran-order bitstreams (see
         # native.rle_from_packed); stays packed — RLE reads the bits directly.
         return np.asarray(packed), np.asarray(iou), np.asarray(stability), np.asarray(boxes)

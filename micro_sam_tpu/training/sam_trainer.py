@@ -151,6 +151,26 @@ class SamTrainer:
         self.logger = logger
 
         self.opt_state = self.optimizer.init(self.model.params)
+        if mesh is not None:
+            self._setup_mesh(mesh)
+
+    def _setup_mesh(self, mesh) -> None:
+        """Shard the training state over the device mesh — the production
+        multi-chip path (replaces the reference's DDP wrapping, reference
+        sam_trainer.py:67,216-228): params/optimizer state tensor-shard the
+        "model" axis, batches split the "data" axis, and XLA's SPMD
+        partitioner inserts the gradient all-reduce over ICI."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import sam_param_shardings
+        from ..parallel.train_step import _opt_state_shardings
+        self._p_shard = sam_param_shardings(self.model.params, mesh)
+        self.model.params = jax.device_put(self.model.params, self._p_shard)
+        self._opt_shard = _opt_state_shardings(
+            self.opt_state, self.model.params, self._p_shard, mesh)
+        self.opt_state = jax.device_put(self.opt_state, self._opt_shard)
+        self._data_sharding = NamedSharding(mesh, P("data"))
+        self._repl_sharding = NamedSharding(mesh, P())
+        self._data_size = int(mesh.shape.get("data", 1))
 
     # ------------------------------------------------------------------
     # prompt schedule (reference sam_trainer.py:70-104)
@@ -337,7 +357,25 @@ class SamTrainer:
             _, aux = loss_fn(params, images, gt, obj_valid, points0, labels0, boxes0, key)
             return aux
 
-        fn = jax.jit(train_step, donate_argnums=(0, 1)) if with_grad else jax.jit(eval_step)
+        if self.mesh is not None:
+            data, repl = self._data_sharding, self._repl_sharding
+            if with_grad:
+                fn = jax.jit(
+                    train_step, donate_argnums=(0, 1),
+                    in_shardings=(self._p_shard, self._opt_shard, repl,
+                                  data, data, data, data, data, data),
+                    out_shardings=(self._p_shard, self._opt_shard, (repl, repl)),
+                )
+            else:
+                fn = jax.jit(
+                    eval_step,
+                    in_shardings=(self._p_shard, repl,
+                                  data, data, data, data, data, data),
+                    out_shardings=(repl, repl),
+                )
+        else:
+            fn = jax.jit(train_step, donate_argnums=(0, 1)) if with_grad \
+                else jax.jit(eval_step)
         self._step_cache[cache_key] = fn
         return fn
 
@@ -372,6 +410,12 @@ class SamTrainer:
             if batch is None:
                 continue
             images_j, gt, obj_valid, points0, labels0, boxes0 = batch
+            if self.mesh is not None and images_j.shape[0] % self._data_size:
+                raise ValueError(
+                    f"Batch size {images_j.shape[0]} must be divisible by the "
+                    f"mesh data axis ({self._data_size}) — size your loader "
+                    "batches to the mesh."
+                )
             patch_hw = tuple(gt.shape[2:])
 
             self._key, key = jax.random.split(self._key)

@@ -184,6 +184,7 @@ def get_sam_model(
     flexible_load_checkpoint: bool = False,
     compute_dtype: Optional[str] = None,
     seed: int = 0,
+    mesh=None,
     **kwargs,
 ) -> Union[SamPredictor, Tuple]:
     """Build a SamPredictor (reference util.py:317).
@@ -192,6 +193,12 @@ def get_sam_model(
     converted to a JAX pytree; ``.msam`` (numpy ``.npz``) checkpoints saved by
     this framework load directly. Without a checkpoint the model is
     random-initialized (this environment has no download path).
+
+    ``mesh``: a jax.sharding.Mesh with ("data", "model") axes (see
+    parallel.mesh.make_mesh). When given, the predictor's compiled programs
+    run SPMD over it — encode/decode batches shard the data axis, encoder
+    matmuls tensor-shard the model axis — which makes precompute, batched
+    inference and AMG multi-chip out of the box.
     """
     _validate_model_type(model_type)
     if compute_dtype is None:
@@ -241,7 +248,7 @@ def get_sam_model(
         params = apply_peft(params, cfg, **peft_kwargs)
 
     sam = Sam(cfg, params)
-    predictor = SamPredictor(sam)
+    predictor = SamPredictor(sam, mesh=mesh)
     predictor.model_type = model_type
     predictor.model_name = model_type
     if model_hash is None and checkpoint_path is not None \
@@ -418,8 +425,14 @@ def _features_to_cache_layout(feats: jnp.ndarray) -> np.ndarray:
 
 
 def _encode_batch(predictor: SamPredictor, batch: np.ndarray) -> jnp.ndarray:
-    """batch: (B, h, w, 3) resized pixels -> (B, 64, 64, 256)."""
-    return predictor._encode_fn(predictor.model.params, jnp.asarray(batch))
+    """batch: (B, h, w, 3) resized pixels -> (B, 64, 64, 256).
+
+    Routes through SamPredictor.encode_batch: when the predictor is sharded
+    on a device mesh (get_sam_model(..., mesh=...)), every precompute path —
+    2d, tiled, 3d, tiled 3d — fans its tile/slice batches out over the mesh
+    data axis with no further plumbing here.
+    """
+    return predictor.encode_batch(batch)
 
 
 def _embedding_signature(predictor: SamPredictor, input_: np.ndarray,
