@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 import warnings
-from typing import Any, Dict, List, Optional, Tuple, Union
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -20,49 +21,58 @@ from .predictor import SamPredictor
 from .utils.blocking import Blocking
 
 
-def _validate_inputs(
-    boxes, points, point_labels, multimasking, return_instance_segmentation,
-    segmentation_ids, logits_masks,
-):
-    """Prompt-combination validation (reference inference.py:23)."""
-    if multimasking and (segmentation_ids is not None) and (not return_instance_segmentation):
-        raise NotImplementedError
+@dataclass
+class _PromptSet:
+    """One validated bundle of prompts, sliceable into decode batches.
 
-    if (points is None) != (point_labels is None):
-        raise ValueError(
-            "If you have point prompts both `points` and `point_labels` have to be passed, "
-            "but you passed only one of them."
-        )
+    Centralizes the prompt-combination rules (cf. reference inference.py:23;
+    the rules are the same, the bookkeeping is different: slicing and batching
+    live here instead of inline in the drivers).
+    """
+    boxes: Optional[np.ndarray]
+    points: Optional[np.ndarray]
+    labels: Optional[np.ndarray]
+    logits: Optional[np.ndarray]
 
-    have_points = points is not None
-    have_boxes = boxes is not None
-    have_logits = logits_masks is not None
-    if (not have_points) and (not have_boxes):
-        raise ValueError("Point and/or box prompts have to be passed, you passed neither.")
+    def __len__(self) -> int:
+        for arr in (self.boxes, self.points):
+            if arr is not None:
+                return len(arr)
+        return 0
 
-    if have_points and (len(point_labels) != len(points)):
-        raise ValueError(
-            f"The number of point coordinates and labels does not match: "
-            f"{len(point_labels)} != {len(points)}"
-        )
-    if (have_points and have_boxes) and (len(points) != len(boxes)):
-        raise ValueError(
-            f"The number of point and box prompts does not match: {len(points)} != {len(boxes)}"
-        )
-    if have_logits:
-        n_ref = len(point_labels) if have_points else len(boxes)
-        if len(logits_masks) != n_ref:
-            raise ValueError(
-                f"The number of prompts and logits does not match: {n_ref} != {len(logits_masks)}"
-            )
+    def __getitem__(self, sl) -> "_PromptSet":
+        pick = lambda a: None if a is None else a[sl]
+        return _PromptSet(pick(self.boxes), pick(self.points),
+                          pick(self.labels), pick(self.logits))
 
-    n_prompts = len(boxes) if have_boxes else len(points)
-    if (segmentation_ids is not None) and (len(segmentation_ids) != n_prompts):
+    def batches(self, batch_size: int) -> Iterator["_PromptSet"]:
+        for start in range(0, len(self), batch_size):
+            yield self[start:start + batch_size]
+
+
+def _checked_prompt_set(boxes, points, point_labels, logits_masks,
+                        segmentation_ids=None) -> _PromptSet:
+    """Validate the prompt combination and wrap it (reference inference.py:23
+    semantics; every mismatch is a ValueError)."""
+    if (points is None) is not (point_labels is None):
         raise ValueError(
-            f"The number of segmentation ids and prompts does not match: "
-            f"{len(segmentation_ids)} != {n_prompts}"
+            "Point prompts need `points` and `point_labels` together; "
+            "got exactly one of them."
         )
-    return n_prompts, have_boxes, have_points, have_logits
+    if points is None and boxes is None:
+        raise ValueError("No prompts: pass `boxes` and/or `points`.")
+
+    counts = {
+        name: len(arr) for name, arr in (
+            ("boxes", boxes), ("points", points), ("point_labels", point_labels),
+            ("logits_masks", logits_masks), ("segmentation_ids", segmentation_ids),
+        ) if arr is not None
+    }
+    if len(set(counts.values())) > 1:
+        detail = ", ".join(f"{k}={v}" for k, v in counts.items())
+        raise ValueError(f"Prompt inputs disagree in length: {detail}.")
+
+    return _PromptSet(boxes, points, point_labels, logits_masks)
 
 
 def _local_otsu_threshold(
@@ -105,35 +115,72 @@ def _local_otsu_threshold(
     return thresholds
 
 
-def _process_masks_for_batch(batch_masks, batch_ious, batch_logits,
-                             return_highres_logits, mask_threshold):
-    """masks (B, 1, H, W) logits -> MaskData with stability scores, boxes."""
+def _decode_one_batch(predictor, chunk: _PromptSet, multimasking: bool,
+                      reduce_multimasking: bool):
+    """Predict one prompt chunk; optionally keep only the best multimask."""
+    logit_masks, ious, lowres = predictor.predict(
+        point_coords=chunk.points,
+        point_labels=chunk.labels,
+        box=chunk.boxes,
+        mask_input=chunk.logits,
+        multimask_output=multimasking,
+        return_logits=True,
+    )
+    if multimasking and reduce_multimasking:
+        rows = np.arange(len(logit_masks))
+        best = np.argmax(ious, axis=1)
+        logit_masks = logit_masks[rows, best][:, None]
+        ious = ious[rows, best][:, None]
+        lowres = lowres[rows, best][:, None]
+    return logit_masks, ious, lowres
+
+
+def _reduce_to_mask_data(logit_masks, ious, lowres, return_highres_logits,
+                         mask_threshold) -> MaskData:
+    """Threshold logits and attach stability scores + boxes.
+
+    mask_threshold "auto" derives a per-image threshold with local Otsu
+    (reference inference.py:71); stability is then measured around that
+    per-image threshold instead of the fixed one.
+    """
     import jax.numpy as jnp
 
-    flat = batch_masks.reshape((-1,) + batch_masks.shape[-2:])
-    batch_data = MaskData(
-        masks=np.asarray(flat),
-        iou_preds=np.asarray(batch_ious).reshape(-1),
-    )
-    batch_data["logits"] = np.asarray(batch_masks if return_highres_logits else batch_logits)
+    logit_np = np.asarray(logit_masks)
+    flat = logit_np.reshape((-1,) + logit_np.shape[-2:])
+    out = MaskData(masks=flat, iou_preds=np.asarray(ious).reshape(-1))
+    out["logits"] = logit_np if return_highres_logits else np.asarray(lowres)
+
     if mask_threshold == "auto":
-        thresholds = _local_otsu_threshold(np.asarray(batch_logits))
-        thr = thresholds.reshape(-1)[:, None, None]
-        stab = np.asarray(amg_utils.calculate_stability_score(
-            jnp.asarray(batch_data["masks"]), 0.0, 1.0
-        ))
-        # stability w.r.t. per-image threshold
-        high = (batch_data["masks"] > (thr + 1.0)).sum(axis=(-2, -1))
-        low = (batch_data["masks"] > (thr - 1.0)).sum(axis=(-2, -1))
-        batch_data["stability_scores"] = high / np.maximum(low, 1e-7)
-        batch_data["masks"] = batch_data["masks"] > thr
+        thr = _local_otsu_threshold(np.asarray(lowres)).reshape(-1)[:, None, None]
+        n_above = (flat > (thr + 1.0)).sum(axis=(-2, -1))
+        n_below = (flat > (thr - 1.0)).sum(axis=(-2, -1))
+        out["stability_scores"] = n_above / np.maximum(n_below, 1e-7)
+        out["masks"] = flat > thr
     else:
-        batch_data["stability_scores"] = np.asarray(amg_utils.calculate_stability_score(
-            jnp.asarray(batch_data["masks"]), float(mask_threshold), 1.0
-        ))
-        batch_data["masks"] = batch_data["masks"] > float(mask_threshold)
-    batch_data["boxes"] = np.asarray(amg_utils.batched_mask_to_box(jnp.asarray(batch_data["masks"])))
-    return batch_data
+        thr = float(mask_threshold)
+        out["stability_scores"] = np.asarray(
+            amg_utils.calculate_stability_score(jnp.asarray(flat), thr, 1.0))
+        out["masks"] = flat > thr
+    out["boxes"] = np.asarray(
+        amg_utils.batched_mask_to_box(jnp.asarray(out["masks"])))
+    return out
+
+
+def _mask_records(masks: MaskData, segmentation_ids) -> List[Dict[str, Any]]:
+    """MaskData -> the reference's list-of-dict mask format."""
+    records = []
+    for idx, seg in enumerate(masks["masks"]):
+        seg_id = idx + 1 if segmentation_ids is None else int(segmentation_ids[idx])
+        records.append({
+            "segmentation": seg,
+            "area": int(seg.sum()),
+            "bbox": amg_utils.box_xyxy_to_xywh(masks["boxes"][idx]).tolist(),
+            "predicted_iou": float(masks["iou_preds"][idx]),
+            "stability_score": float(masks["stability_scores"][idx]),
+            "seg_id": seg_id,
+            "logits": masks["logits"][idx],
+        })
+    return records
 
 
 def batched_inference(
@@ -159,67 +206,26 @@ def batched_inference(
     boxes: (N, 4) XYXY in original image coords. points: (N, 1, 2) xy.
     point_labels: (N, 1). logits_masks: (N, 1, 256, 256).
     """
-    n_prompts, have_boxes, have_points, have_logits = _validate_inputs(
-        boxes, points, point_labels, multimasking, return_instance_segmentation,
-        segmentation_ids, logits_masks,
-    )
+    if multimasking and segmentation_ids is not None and not return_instance_segmentation:
+        raise NotImplementedError
+    prompts = _checked_prompt_set(
+        boxes, points, point_labels, logits_masks, segmentation_ids)
 
     if image is None:
-        predictor.get_image_embedding()  # raises if not initialized
+        predictor.get_image_embedding()  # raises if no embeddings installed
     else:
-        input_ = image if i is None else image[i]
-        image_embeddings = util.precompute_image_embeddings(
-            predictor, input_, embedding_path, verbose=verbose_embeddings
-        )
-        util.set_precomputed(predictor, image_embeddings)
+        target = image if i is None else image[i]
+        emb = util.precompute_image_embeddings(
+            predictor, target, embedding_path, verbose=verbose_embeddings)
+        util.set_precomputed(predictor, emb)
 
-    n_batches = int(np.ceil(float(n_prompts) / batch_size))
-    mask_threshold = 0.0 if mask_threshold is None else mask_threshold
+    thr = 0.0 if mask_threshold is None else mask_threshold
+    collected = MaskData()
+    for chunk in prompts.batches(batch_size):
+        decoded = _decode_one_batch(predictor, chunk, multimasking, reduce_multimasking)
+        collected.cat(_reduce_to_mask_data(*decoded, return_highres_logits, thr))
 
-    masks = MaskData()
-    for batch_idx in range(n_batches):
-        batch_start = batch_idx * batch_size
-        batch_stop = min((batch_idx + 1) * batch_size, n_prompts)
-
-        batch_boxes = boxes[batch_start:batch_stop] if have_boxes else None
-        batch_points = points[batch_start:batch_stop] if have_points else None
-        batch_labels = point_labels[batch_start:batch_stop] if have_points else None
-        batch_logits = logits_masks[batch_start:batch_stop] if have_logits else None
-
-        batch_masks, batch_ious, batch_lowres = predictor.predict(
-            point_coords=batch_points,
-            point_labels=batch_labels,
-            box=batch_boxes,
-            mask_input=batch_logits,
-            multimask_output=multimasking,
-            return_logits=True,
-        )
-
-        if reduce_multimasking and multimasking:
-            max_index = np.argmax(batch_ious, axis=1)
-            sel = np.arange(len(batch_masks))
-            batch_masks = batch_masks[sel, max_index][:, None]
-            batch_ious = batch_ious[sel, max_index][:, None]
-            batch_lowres = batch_lowres[sel, max_index][:, None]
-
-        batch_data = _process_masks_for_batch(
-            batch_masks, batch_ious, batch_lowres, return_highres_logits, mask_threshold
-        )
-        masks.cat(batch_data)
-
-    records = [
-        {
-            "segmentation": masks["masks"][idx],
-            "area": int(masks["masks"][idx].sum()),
-            "bbox": amg_utils.box_xyxy_to_xywh(masks["boxes"][idx]).tolist(),
-            "predicted_iou": float(masks["iou_preds"][idx]),
-            "stability_score": float(masks["stability_scores"][idx]),
-            "seg_id": idx + 1 if segmentation_ids is None else int(segmentation_ids[idx]),
-            "logits": masks["logits"][idx],
-        }
-        for idx in range(len(masks["masks"]))
-    ]
-
+    records = _mask_records(collected, segmentation_ids)
     if return_instance_segmentation:
         return util.mask_data_to_segmentation(records, min_object_size=0)
     return records
@@ -228,6 +234,8 @@ def batched_inference(
 def _require_tiled_embeddings(
     predictor, image, image_embeddings, embedding_path, tile_shape, halo, verbose_embeddings
 ):
+    """Compute-or-check tiled embeddings; the caller may constrain
+    tile_shape/halo, which must then agree with the cache."""
     if image_embeddings is None:
         assert image is not None
         assert (tile_shape is not None) and (halo is not None)
@@ -236,48 +244,96 @@ def _require_tiled_embeddings(
             halo=halo, verbose=verbose_embeddings,
         )
     shape = tuple(image_embeddings["shape"])
-    tile_shape_, halo_ = image_embeddings["tile_shape"], image_embeddings["halo"]
-    if tile_shape is None:
-        tile_shape = tile_shape_
-    elif any(ts != ts_ for ts, ts_ in zip(tile_shape, tile_shape_)):
-        raise ValueError(f"Incompatible tile shapes: {tile_shape} != {tile_shape_}")
-    if halo is None:
-        halo = halo_
-    elif any(h != h_ for h, h_ in zip(halo, halo_)):
-        raise ValueError(f"Incompatible halos: {halo} != {halo_}")
-    return image_embeddings, shape, tuple(tile_shape), tuple(halo)
+    for name, wanted, stored in (("tile_shape", tile_shape, image_embeddings["tile_shape"]),
+                                 ("halo", halo, image_embeddings["halo"])):
+        if wanted is not None and tuple(wanted) != tuple(stored):
+            raise ValueError(f"Incompatible {name}: {tuple(wanted)} != {tuple(stored)}")
+    return (image_embeddings, shape,
+            tuple(image_embeddings["tile_shape"]), tuple(image_embeddings["halo"]))
 
 
-def _merge_segmentations(this_seg, prev_seg, overlap_threshold=0.75):
-    """Discard new objects mostly covered by the previous tile, keep the
-    previous segmentation wherever present (reference inference.py:316)."""
+def _tile_frame(tiling: Blocking, tile_id: int, halo):
+    """(yx offset, tile shape) of a halo-extended tile."""
+    outer = tiling.get_block_with_halo(tile_id, list(halo)).outer_block
+    return np.asarray(outer.begin), tuple(outer.shape)
+
+
+def _route_prompts_to_tiles(prompts: _PromptSet, tiling: Blocking, halo):
+    """Split global-coordinate prompts into per-tile prompt sets.
+
+    A prompt belongs to the tile containing its box center / its (first)
+    point; coordinates are shifted into the halo-extended tile frame. Box and
+    point routing must agree when both are given.
+    """
+    per_tile: Dict[int, Dict[str, list]] = {}
+
+    def bucket(tile_id):
+        return per_tile.setdefault(tile_id, {"boxes": [], "points": [], "labels": []})
+
+    for k in range(len(prompts)):
+        tid = None
+        if prompts.boxes is not None:
+            x0, y0, x1, y1 = prompts.boxes[k]
+            cy, cx = int(round((y0 + y1) / 2)), int(round((x0 + x1) / 2))
+            tid = tiling.coordinates_to_block_id([cy, cx])
+            off, tshape = _tile_frame(tiling, tid, halo)
+            local = [
+                max(x0 - off[1], 0), max(y0 - off[0], 0),
+                min(x1 - off[1], tshape[1]), min(y1 - off[0], tshape[0]),
+            ]
+            bucket(tid)["boxes"].append(local)
+        if prompts.points is not None:
+            pt_xy = prompts.points[k, 0]
+            pt_yx = [int(round(pt_xy[1])), int(round(pt_xy[0]))]
+            point_tid = tiling.coordinates_to_block_id(pt_yx)
+            if tid is None:
+                tid = point_tid
+            else:
+                assert tid == point_tid, "box and point of one prompt disagree on the tile"
+            off, _ = _tile_frame(tiling, tid, halo)
+            bucket(tid)["points"].append(pt_xy - off[::-1])
+            bucket(tid)["labels"].append(prompts.labels[k])
+
+    routed = {}
+    for tid, entry in per_tile.items():
+        routed[tid] = _PromptSet(
+            boxes=np.asarray(entry["boxes"], dtype="float64") if entry["boxes"] else None,
+            points=np.asarray(entry["points"], dtype="float64")[:, None] if entry["points"] else None,
+            labels=np.asarray(entry["labels"]) if entry["labels"] else None,
+            logits=None,
+        )
+    return routed
+
+
+def _suppress_covered_objects(this_seg, prev_seg, overlap_threshold=0.75):
+    """Zero out new objects mostly covered by the existing segmentation, then
+    paint the existing objects back on top (tile-overlap resolution; same
+    policy as reference inference.py:316)."""
     from . import native
-    ovlp = native.overlap(this_seg, prev_seg)
-    ids = np.unique(this_seg)
-    if len(ids) and ids[0] == 0:
-        ids = ids[1:]
-    for seg_id in ids:
-        ovlp_ids, ovlp_vals = ovlp.overlapArraysNormalized(int(seg_id), True)
-        ovlp_vals = ovlp_vals[ovlp_ids != 0]
-        if ovlp_vals.size > 0 and ovlp_vals[0] > overlap_threshold:
+    ov = native.overlap(this_seg, prev_seg)
+    for seg_id in np.unique(this_seg):
+        if seg_id == 0:
+            continue
+        other_ids, fractions = ov.overlapArraysNormalized(int(seg_id), True)
+        fractions = fractions[other_ids != 0]
+        if fractions.size and fractions[0] > overlap_threshold:
             this_seg[this_seg == seg_id] = 0
-    captured = prev_seg != 0
-    this_seg[captured] = prev_seg[captured]
+    keep = prev_seg != 0
+    this_seg[keep] = prev_seg[keep]
     return this_seg
 
 
 def _stitch_segmentation(masks, tile_ids, tiling: Blocking, halo, output_shape, verbose=False):
     assert len(masks) == len(tile_ids)
     segmentation = np.zeros(output_shape, dtype="uint32")
+    first = True
     for tile_id, this_seg in zip(tile_ids, masks):
-        tile = tiling.get_block_with_halo(tile_id, list(halo)).outer_block
-        bb = tile.slicing
-        if tile_id == tile_ids[0]:
+        bb = tiling.get_block_with_halo(tile_id, list(halo)).outer_block.slicing
+        if first:
             segmentation[bb] = this_seg
+            first = False
         else:
-            prev_seg = segmentation[bb]
-            this_seg = _merge_segmentations(this_seg, prev_seg)
-            segmentation[bb] = this_seg
+            segmentation[bb] = _suppress_covered_objects(this_seg, segmentation[bb])
     return segmentation
 
 
@@ -303,90 +359,48 @@ def batched_tiled_inference(
     **nms_kwargs,
 ) -> Union[List[Dict[str, Any]], np.ndarray]:
     """Batched inference with prompts routed to tiles (reference inference.py:358)."""
-    segmentation_ids = None
-    n_prompts, have_boxes, have_points, have_logits = _validate_inputs(
-        boxes, points, point_labels, multimasking, return_instance_segmentation,
-        segmentation_ids, logits_masks,
-    )
-    if have_logits:
+    prompts = _checked_prompt_set(boxes, points, point_labels, logits_masks)
+    if prompts.logits is not None:
         raise NotImplementedError
 
     image_embeddings, shape, tile_shape, halo = _require_tiled_embeddings(
         predictor, image, image_embeddings, embedding_path, tile_shape, halo, verbose_embeddings
     )
-
     tiling = Blocking([0, 0], shape, tile_shape)
-    box_to_tile, point_to_tile, label_to_tile, logits_to_tile = {}, {}, {}, {}
-    tile_ids = []
+    routed = _route_prompts_to_tiles(prompts, tiling, halo)
 
-    for prompt_id in range(n_prompts):
-        this_tile_id = None
-        if have_boxes:
-            box = boxes[prompt_id]
-            center = np.array([(box[1] + box[3]) / 2, (box[0] + box[2]) / 2]).round().astype("int").tolist()
-            this_tile_id = tiling.coordinates_to_block_id(center)
-            tile = tiling.get_block_with_halo(this_tile_id, list(halo)).outer_block
-            offset = tile.begin
-            this_tile_shape = tile.shape
-            box_in_tile = np.array([
-                max(box[1] - offset[0], 0), max(box[0] - offset[1], 0),
-                min(box[3] - offset[0], this_tile_shape[0]), min(box[2] - offset[1], this_tile_shape[1]),
-            ])[None]
-            # back to XYXY for the predictor
-            box_in_tile = box_in_tile[:, [1, 0, 3, 2]]
-            box_to_tile.setdefault(this_tile_id, []).append(box_in_tile)
-
-        if have_points:
-            point = points[prompt_id, 0][::-1].round().astype("int").tolist()
-            if this_tile_id is None:
-                this_tile_id = tiling.coordinates_to_block_id(point)
-            else:
-                assert this_tile_id == tiling.coordinates_to_block_id(point)
-            tile = tiling.get_block_with_halo(this_tile_id, list(halo)).outer_block
-            offset = tile.begin
-            point_in_tile = (points[prompt_id, 0] - np.array(offset)[::-1])[None, None]
-            label_in_tile = point_labels[prompt_id][None]
-            point_to_tile.setdefault(this_tile_id, []).append(point_in_tile)
-            label_to_tile.setdefault(this_tile_id, []).append(label_in_tile)
-
-        tile_ids.append(this_tile_id)
-
-    tile_ids = sorted(set(tile_ids))
-
-    masks = []
+    collected: List = []
+    stitched_segs: List[np.ndarray] = []
     id_offset = 0
-    for tile_id in tile_ids:
-        tile_boxes = np.concatenate(box_to_tile[tile_id]) if tile_id in box_to_tile else None
-        tile_points = np.concatenate(point_to_tile[tile_id]) if tile_id in point_to_tile else None
-        tile_labels = np.concatenate(label_to_tile[tile_id]) if tile_id in label_to_tile else None
-
+    tile_order = sorted(routed)
+    for tile_id in tile_order:
+        tile_prompts = routed[tile_id]
         predictor = util.set_precomputed(predictor, image_embeddings, tile_id=tile_id, i=i)
-        this_masks = batched_inference(
+        tile_masks = batched_inference(
             predictor=predictor, image=None, batch_size=batch_size,
-            boxes=tile_boxes, points=tile_points, point_labels=tile_labels,
+            boxes=tile_prompts.boxes, points=tile_prompts.points,
+            point_labels=tile_prompts.labels,
             multimasking=multimasking, return_instance_segmentation=False,
-            segmentation_ids=segmentation_ids, reduce_multimasking=reduce_multimasking,
-            logits_masks=None, mask_threshold=mask_threshold,
+            reduce_multimasking=reduce_multimasking,
+            mask_threshold=mask_threshold,
         )
 
         if optimize_memory:
-            segmentation = util.apply_nms(this_masks, **nms_kwargs)
-            fg_mask = segmentation != 0
-            segmentation[fg_mask] += id_offset
-            id_offset = segmentation.max()
-            masks.append(segmentation)
+            # NMS per tile, then stitch label images — bounds peak memory to
+            # one tile's masks instead of all tiles' mask dicts
+            seg = util.apply_nms(tile_masks, **nms_kwargs)
+            seg[seg != 0] += id_offset
+            id_offset = seg.max()
+            stitched_segs.append(seg)
         else:
-            tile = tiling.get_block_with_halo(tile_id, list(halo)).outer_block
-            offset = np.array(list(tile.begin[::-1]) + [0, 0])
-            this_masks = [
-                {**mask, "global_bbox": (np.array(mask["bbox"]) + offset).tolist()}
-                for mask in this_masks
-            ]
-            masks.extend(this_masks)
+            off, _ = _tile_frame(tiling, tile_id, halo)
+            shift = np.array([off[1], off[0], 0, 0])
+            for mask in tile_masks:
+                mask["global_bbox"] = (np.array(mask["bbox"]) + shift).tolist()
+            collected.extend(tile_masks)
 
     if optimize_memory:
-        return _stitch_segmentation(masks, tile_ids, tiling, halo, output_shape=shape)
-
+        return _stitch_segmentation(stitched_segs, tile_order, tiling, halo, output_shape=shape)
     if return_instance_segmentation:
-        masks = util.mask_data_to_segmentation(masks, shape=shape, min_object_size=0)
-    return masks
+        return util.mask_data_to_segmentation(collected, shape=shape, min_object_size=0)
+    return collected

@@ -33,15 +33,16 @@ MASK_THRESHOLD = 0.0
 
 
 class _FakeInput:
-    """Stand-in for the image when only its shape is needed (embeddings are
-    precomputed) — reference instance_segmentation.py:54-60."""
+    """Shape-only image stand-in, for call sites that slice the image but only
+    need zeros of the right extent (embeddings already precomputed) —
+    reference instance_segmentation.py:54-60 role."""
 
     def __init__(self, shape):
         self.shape = shape
 
     def __getitem__(self, index):
-        block_shape = tuple(ind.stop - ind.start for ind in index)
-        return np.zeros(block_shape, dtype="float32")
+        extent = tuple(sl.stop - sl.start for sl in index)
+        return np.zeros(extent, dtype="float32")
 
 
 #
@@ -50,13 +51,15 @@ class _FakeInput:
 
 class AMGBase(ABC):
     """Base class for the automatic mask generators (reference
-    instance_segmentation.py:68)."""
+    instance_segmentation.py:68). Holds the per-crop mask data computed by
+    ``initialize`` and the shared postprocessing used by ``generate``."""
+
+    _STATE_FIELDS = ("crop_list", "crop_boxes", "original_size")
 
     def __init__(self):
         self._is_initialized = False
-        self._crop_list = None
-        self._crop_boxes = None
-        self._original_size = None
+        for field in self._STATE_FIELDS:
+            setattr(self, f"_{field}", None)
 
     @property
     def is_initialized(self):
@@ -76,58 +79,71 @@ class AMGBase(ABC):
 
     def _postprocess_batch(self, data, crop_box, original_size, pred_iou_thresh,
                            stability_score_thresh, box_nms_thresh):
+        """Quality filters + per-crop box NMS, then lift coordinates out of
+        the crop frame. Filter order matches the reference pipeline (iou ->
+        stability -> crop-edge -> NMS) so the surviving mask set is
+        identical."""
         orig_h, orig_w = original_size
-
-        if pred_iou_thresh > 0.0:
-            data.filter(np.asarray(data["iou_preds"]) > pred_iou_thresh)
-        if stability_score_thresh > 0.0:
-            data.filter(np.asarray(data["stability_score"]) >= stability_score_thresh)
-
-        keep_mask = ~amg_utils.is_box_near_crop_edge(data["boxes"], crop_box, [0, 0, orig_w, orig_h])
-        if not keep_mask.all():
-            data.filter(keep_mask)
-
-        keep_by_nms = batched_nms(
-            np.asarray(data["boxes"], dtype=np.float64),
-            np.asarray(data["iou_preds"]),
-            None,
-            iou_threshold=box_nms_thresh,
+        quality_gates = (
+            ("iou_preds", pred_iou_thresh, np.greater),
+            ("stability_score", stability_score_thresh, np.greater_equal),
         )
-        data.filter(keep_by_nms)
+        for field, threshold, op in quality_gates:
+            if threshold > 0.0:
+                data.filter(op(np.asarray(data[field]), threshold))
 
+        at_crop_edge = amg_utils.is_box_near_crop_edge(
+            data["boxes"], crop_box, [0, 0, orig_w, orig_h])
+        if at_crop_edge.any():
+            data.filter(~at_crop_edge)
+
+        data.filter(batched_nms(
+            np.asarray(data["boxes"], dtype=np.float64),
+            np.asarray(data["iou_preds"]), None, iou_threshold=box_nms_thresh,
+        ))
+
+        # back to image-frame coordinates
         data["boxes"] = amg_utils.uncrop_boxes_xyxy(data["boxes"], crop_box)
-        data["crop_boxes"] = np.array([crop_box for _ in range(len(data["rles"]))])
+        data["crop_boxes"] = np.tile(np.asarray(crop_box)[None], (len(data["rles"]), 1))
         if "points" in data:
             data["points"] = amg_utils.uncrop_points(data["points"], crop_box)
         return data
 
     def _postprocess_small_regions(self, mask_data, min_area, nms_thresh):
+        """Fill small holes / drop small islands per mask, then NMS where a
+        repaired mask may now duplicate an untouched one (untouched masks get
+        score 1.0 so NMS prefers them)."""
         if len(mask_data["rles"]) == 0:
             return mask_data
 
-        new_masks, scores = [], []
-        for rle in mask_data["rles"]:
-            mask = amg_utils.rle_to_mask(rle)
-            mask, changed = amg_utils.remove_small_regions(mask, min_area, mode="holes")
-            unchanged = not changed
-            mask, changed = amg_utils.remove_small_regions(mask, min_area, mode="islands")
-            unchanged = unchanged and not changed
-            new_masks.append(mask)
-            # score 1 for unchanged so NMS prefers masks that didn't need fixing
-            scores.append(float(unchanged))
+        def repair(rle):
+            m = amg_utils.rle_to_mask(rle)
+            m, filled = amg_utils.remove_small_regions(m, min_area, mode="holes")
+            m, dropped = amg_utils.remove_small_regions(m, min_area, mode="islands")
+            return m, filled or dropped
 
-        masks = np.stack(new_masks)
+        repaired = [repair(rle) for rle in mask_data["rles"]]
+        masks = np.stack([m for m, _ in repaired])
+        was_touched = np.array([touched for _, touched in repaired])
         boxes = np.asarray(amg_utils.batched_mask_to_box(jnp.asarray(masks)))
-        keep_by_nms = batched_nms(
-            boxes.astype(np.float64), np.asarray(scores), None, iou_threshold=nms_thresh
-        )
 
-        for i_mask in keep_by_nms:
-            if scores[i_mask] == 0.0:
-                mask_data["rles"][i_mask] = amg_utils.mask_to_rle(masks[i_mask])
-                mask_data["boxes"][i_mask] = boxes[i_mask]
-        mask_data.filter(keep_by_nms)
+        survivors = batched_nms(
+            boxes.astype(np.float64), (~was_touched).astype(np.float64), None,
+            iou_threshold=nms_thresh,
+        )
+        for idx in survivors:
+            if was_touched[idx]:
+                mask_data["rles"][idx] = amg_utils.mask_to_rle(masks[idx])
+                mask_data["boxes"][idx] = boxes[idx]
+        mask_data.filter(survivors)
         return mask_data
+
+    _SEGMENTATION_CODECS = {
+        "coco_rle": amg_utils.coco_encode_rle,
+        "rle": lambda rle: rle,
+        "binary_mask": amg_utils.rle_to_mask,
+        "instance_segmentation": amg_utils.rle_to_mask,
+    }
 
     def _postprocess_masks(self, mask_data, min_mask_region_area, box_nms_thresh,
                            crop_nms_thresh, output_mode):
@@ -135,58 +151,25 @@ class AMGBase(ABC):
             mask_data = self._postprocess_small_regions(
                 mask_data, min_mask_region_area, max(box_nms_thresh, crop_nms_thresh)
             )
+        try:
+            encode = self._SEGMENTATION_CODECS[output_mode]
+        except KeyError:
+            raise ValueError(f"Invalid output mode {output_mode}.") from None
 
-        if output_mode == "coco_rle":
-            mask_data["segmentations"] = [amg_utils.coco_encode_rle(rle) for rle in mask_data["rles"]]
-        elif output_mode in ("binary_mask", "instance_segmentation"):
-            mask_data["segmentations"] = [amg_utils.rle_to_mask(rle) for rle in mask_data["rles"]]
-        elif output_mode == "rle":
-            mask_data["segmentations"] = list(mask_data["rles"])
-        else:
-            raise ValueError(f"Invalid output mode {output_mode}.")
-
-        curr_anns = []
-        for idx in range(len(mask_data["segmentations"])):
-            ann = {
-                "segmentation": mask_data["segmentations"][idx],
-                "area": amg_utils.area_from_rle(mask_data["rles"][idx]),
+        annotations = []
+        for idx, rle in enumerate(mask_data["rles"]):
+            record = {
+                "segmentation": encode(rle),
+                "area": amg_utils.area_from_rle(rle),
                 "bbox": amg_utils.box_xyxy_to_xywh(mask_data["boxes"][idx]).tolist(),
                 "predicted_iou": float(mask_data["iou_preds"][idx]),
                 "stability_score": float(mask_data["stability_score"][idx]),
                 "crop_box": amg_utils.box_xyxy_to_xywh(mask_data["crop_boxes"][idx]).tolist(),
             }
             if "points" in mask_data:
-                ann["point_coords"] = [mask_data["points"][idx].tolist()]
-            curr_anns.append(ann)
-        return curr_anns
-
-    def _to_mask_data(self, masks, iou_preds, crop_box, original_size, points=None):
-        """masks (B, C, H, W) float logits (device) -> MaskData with stability
-        scores, thresholded masks, boxes and RLEs. The reductions (stability,
-        threshold, boxes) run on device; only the bool masks come to host."""
-        orig_h, orig_w = original_size
-        B, C = masks.shape[:2]
-        flat = masks.reshape((B * C,) + masks.shape[2:])
-        flat_j = jnp.asarray(flat)
-
-        data = MaskData(
-            masks=np.asarray(flat),
-            iou_preds=np.asarray(iou_preds).reshape(-1),
-        )
-        if points is not None:
-            data["points"] = np.repeat(np.asarray(points), C, axis=0).astype(np.float64)
-
-        data["stability_score"] = np.asarray(amg_utils.calculate_stability_score(
-            flat_j, MASK_THRESHOLD, self._stability_score_offset
-        ))
-        bool_masks = flat_j > MASK_THRESHOLD
-        data["boxes"] = np.asarray(amg_utils.batched_mask_to_box(bool_masks))
-        bool_masks_np = np.asarray(bool_masks)
-        bool_masks_np = amg_utils.uncrop_masks(bool_masks_np, crop_box, orig_h, orig_w)
-        data["masks"] = bool_masks_np
-        data["rles"] = amg_utils.batched_mask_to_rle(bool_masks_np)
-        del data["masks"]
-        return data
+                record["point_coords"] = [mask_data["points"][idx].tolist()]
+            annotations.append(record)
+        return annotations
 
     def get_state(self) -> Dict[str, Any]:
         if not self.is_initialized:
@@ -226,23 +209,25 @@ class AutomaticMaskGenerator(AMGBase):
         stability_score_offset: float = 1.0,
     ):
         super().__init__()
-        if points_per_side is not None:
-            self.point_grids = amg_utils.build_all_layer_point_grids(
-                points_per_side, crop_n_layers, crop_n_points_downscale_factor,
-            )
-        elif point_grids is not None:
-            self.point_grids = point_grids
-        else:
-            raise ValueError("Can't have both points_per_side and point_grid be None or not None.")
-
         self._predictor = predictor
+        self._amg_decoder = None
+        self._stability_score_offset = stability_score_offset
+
+        # grid config: either a per-crop-layer grid is given directly, or it
+        # is derived from the per-side point count
         self._points_per_side = points_per_side
-        self._points_per_batch = 64 if points_per_batch is None else points_per_batch
+        self._points_per_batch = points_per_batch or 64
         self._crop_n_layers = crop_n_layers
         self._crop_overlap_ratio = crop_overlap_ratio
         self._crop_n_points_downscale_factor = crop_n_points_downscale_factor
-        self._stability_score_offset = stability_score_offset
-        self._amg_decoder = None
+        if points_per_side is not None:
+            self.point_grids = amg_utils.build_all_layer_point_grids(
+                points_per_side, crop_n_layers, crop_n_points_downscale_factor)
+        else:
+            if point_grids is None:
+                raise ValueError(
+                    "Pass exactly one of points_per_side or point_grids.")
+            self.point_grids = point_grids
 
     def _process_batch(self, points, im_size, crop_box, original_size):
         # Device-side fast path: decode + threshold + stability + boxes +
@@ -279,25 +264,23 @@ class AutomaticMaskGenerator(AMGBase):
 
     def _process_crop(self, image, crop_box, crop_layer_idx, precomputed_embeddings,
                       pbar_init=None, pbar_update=None):
+        """Decode the full point grid of one crop, batch by batch."""
         x0, y0, x1, y1 = crop_box
-        cropped_im = image[y0:y1, x0:x1, :]
-        cropped_im_size = cropped_im.shape[:2]
-
+        crop = image[y0:y1, x0:x1, :]
+        crop_hw = crop.shape[:2]
         if not precomputed_embeddings:
-            self._predictor.set_image(cropped_im)
+            self._predictor.set_image(crop)
 
-        points_scale = np.array(cropped_im_size)[None, ::-1]
-        points_for_image = self.point_grids[crop_layer_idx] * points_scale
+        # grid is unit-square; scale to crop pixels (xy order)
+        grid_xy = self.point_grids[crop_layer_idx] * np.array(crop_hw)[None, ::-1]
+
+        per_batch = self._points_per_batch
+        if pbar_init is not None:
+            pbar_init(-(-len(grid_xy) // per_batch), "Predict masks for point grid prompts")
 
         data = MaskData()
-        n_batches = len(points_for_image) // self._points_per_batch + \
-            int(len(points_for_image) % self._points_per_batch != 0)
-        if pbar_init is not None:
-            pbar_init(n_batches, "Predict masks for point grid prompts")
-
-        for (points,) in amg_utils.batch_iterator(self._points_per_batch, points_for_image):
-            batch_data = self._process_batch(points, cropped_im_size, crop_box, self.original_size)
-            data.cat(batch_data)
+        for (points,) in amg_utils.batch_iterator(per_batch, grid_xy):
+            data.cat(self._process_batch(points, crop_hw, crop_box, self.original_size))
             if pbar_update is not None:
                 pbar_update(1)
 
@@ -315,40 +298,33 @@ class AutomaticMaskGenerator(AMGBase):
         pbar_update=None,
     ) -> None:
         """Compute mask data for the point grid (the expensive part)."""
-        original_size = image.shape[:2]
-        self._original_size = original_size
-
+        self._original_size = image.shape[:2]
         crop_boxes, layer_idxs = amg_utils.generate_crop_boxes(
-            original_size, self._crop_n_layers, self._crop_overlap_ratio
+            self._original_size, self._crop_n_layers, self._crop_overlap_ratio
         )
 
-        if len(crop_boxes) == 1:
+        # single-crop (no crop pyramid): reuse precomputed embeddings; with a
+        # crop pyramid each crop must be re-encoded from pixels
+        single_crop = len(crop_boxes) == 1
+        if single_crop:
             if image_embeddings is None:
                 image_embeddings = util.precompute_image_embeddings(
                     self._predictor, image, verbose=verbose
                 )
             util.set_precomputed(self._predictor, image_embeddings, i=i)
-            precomputed_embeddings = True
-        else:
-            precomputed_embeddings = False
 
         image = util._to_image(image)
-
         pbar_init, pbar_update, pbar_close = util.handle_pbar(verbose, pbar_init, pbar_update)
-
-        crop_list = []
-        for crop_box, layer_idx in zip(crop_boxes, layer_idxs):
-            crop_data = self._process_crop(
-                image, crop_box, layer_idx,
-                precomputed_embeddings=precomputed_embeddings,
+        self._crop_list = [
+            self._process_crop(
+                image, crop_box, layer_idx, precomputed_embeddings=single_crop,
                 pbar_init=pbar_init, pbar_update=pbar_update,
             )
-            crop_list.append(crop_data)
+            for crop_box, layer_idx in zip(crop_boxes, layer_idxs)
+        ]
         pbar_close()
-
-        self._is_initialized = True
-        self._crop_list = crop_list
         self._crop_boxes = crop_boxes
+        self._is_initialized = True
 
     def generate(
         self,
@@ -365,32 +341,35 @@ class AutomaticMaskGenerator(AMGBase):
             raise RuntimeError("AutomaticMaskGenerator has not been initialized. Call initialize first.")
 
         data = MaskData()
-        for data_, crop_box in zip(self.crop_list, self.crop_boxes):
-            crop_data = self._postprocess_batch(
-                data=deepcopy(data_), crop_box=crop_box, original_size=self.original_size,
+        for per_crop, crop_box in zip(self.crop_list, self.crop_boxes):
+            data.cat(self._postprocess_batch(
+                data=deepcopy(per_crop), crop_box=crop_box,
+                original_size=self.original_size,
                 pred_iou_thresh=pred_iou_thresh,
                 stability_score_thresh=stability_score_thresh,
                 box_nms_thresh=box_nms_thresh,
-            )
-            data.cat(crop_data)
+            ))
 
         if len(self.crop_boxes) > 1 and len(data["crop_boxes"]) > 0:
-            # prefer masks from smaller crops
-            boxes = np.asarray(data["crop_boxes"], dtype=np.float64)
-            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-            scores = 1.0 / np.maximum(areas, 1)
-            keep_by_nms = batched_nms(
-                np.asarray(data["boxes"], dtype=np.float64), scores, None,
-                iou_threshold=crop_nms_thresh,
+            # cross-crop NMS, scored by inverse crop area so masks from the
+            # smaller (higher-resolution) crops win
+            crop_area = np.prod(
+                np.asarray(data["crop_boxes"], dtype=np.float64)[:, 2:]
+                - np.asarray(data["crop_boxes"], dtype=np.float64)[:, :2],
+                axis=1,
             )
-            data.filter(keep_by_nms)
+            data.filter(batched_nms(
+                np.asarray(data["boxes"], dtype=np.float64),
+                1.0 / np.maximum(crop_area, 1), None,
+                iou_threshold=crop_nms_thresh,
+            ))
 
         data.to_numpy()
         masks = self._postprocess_masks(
             data, min_mask_region_area, box_nms_thresh, crop_nms_thresh, output_mode
         )
         if output_mode == "instance_segmentation":
-            shape = next(iter(masks))["segmentation"].shape if len(masks) > 0 else self.original_size
+            shape = masks[0]["segmentation"].shape if masks else self.original_size
             masks = util.mask_data_to_segmentation(
                 masks, shape=shape, with_background=with_background, merge_exclusively=False
             )
@@ -399,6 +378,12 @@ class AutomaticMaskGenerator(AMGBase):
 
 def _process_tiled_embeddings(predictor, image, image_embeddings, tile_shape, halo,
                               verbose, batch_size, mask, i):
+    """Compute-or-adopt tiled embeddings and reconcile the tiling geometry.
+
+    Returns (embeddings, tile_shape, halo, tiles_present-or-None); the last
+    element is None when the cache covers the whole grid and a sorted tile-id
+    list when a mask restricted precompute to a subset.
+    """
     if image_embeddings is None:
         if tile_shape is None or halo is None:
             raise ValueError(
@@ -409,26 +394,20 @@ def _process_tiled_embeddings(predictor, image, image_embeddings, tile_shape, ha
             batch_size=batch_size, mask=mask,
         )
 
-    tile_shape_ = tuple(image_embeddings["tile_shape"])
-    halo_ = tuple(image_embeddings["halo"])
-    if tile_shape is None:
-        tile_shape = tile_shape_
-    elif tuple(tile_shape) != tile_shape_:
-        raise ValueError(
-            f"Inconsistent tile_shape parameter {tile_shape} with precomputed embeddings: {tile_shape_}."
-        )
-    if halo is None:
-        halo = halo_
-    elif tuple(halo) != halo_:
-        raise ValueError(f"Inconsistent halo parameter {halo} with precomputed embeddings: {halo_}.")
+    for param_name, requested in (("tile_shape", tile_shape), ("halo", halo)):
+        stored = tuple(image_embeddings[param_name])
+        if requested is not None and tuple(requested) != stored:
+            raise ValueError(
+                f"Inconsistent {param_name} parameter {tuple(requested)} "
+                f"with precomputed embeddings: {stored}."
+            )
+    tile_shape = tuple(image_embeddings["tile_shape"])
+    halo = tuple(image_embeddings["halo"])
 
-    feats = image_embeddings["features"]
-    tiles_in_mask = sorted(int(k) for k in feats.keys())
-    shape_2d = tuple(image_embeddings["shape"])[-2:]
-    full = Blocking([0, 0], shape_2d, tile_shape)
-    if len(tiles_in_mask) == len(full):
-        tiles_in_mask = None  # all tiles present
-    return image_embeddings, tuple(tile_shape), tuple(halo), tiles_in_mask
+    present = sorted(int(k) for k in image_embeddings["features"].keys())
+    grid = Blocking([0, 0], tuple(image_embeddings["shape"])[-2:], tile_shape)
+    return (image_embeddings, tile_shape, halo,
+            None if len(present) == len(grid) else present)
 
 
 class TiledAutomaticMaskGenerator(AutomaticMaskGenerator):
@@ -443,10 +422,9 @@ class TiledAutomaticMaskGenerator(AutomaticMaskGenerator):
         point_grids: Optional[List[np.ndarray]] = None,
         stability_score_offset: float = 1.0,
     ) -> None:
+        # no crop pyramid for tiled AMG: the tiles themselves are the crops
         super().__init__(
-            predictor=predictor,
-            points_per_side=points_per_side,
-            points_per_batch=points_per_batch,
+            predictor, points_per_side, points_per_batch,
             point_grids=point_grids,
             stability_score_offset=stability_score_offset,
         )
@@ -634,15 +612,26 @@ def watershed_from_center_and_boundary_distances(
 
 class InstanceSegmentationWithDecoder:
     """Decoder-based instance segmentation (AIS) — reference
-    instance_segmentation.py:956."""
+    instance_segmentation.py:956 semantics.
+
+    The decoder predicts three maps (foreground probability, normalized
+    center distance, boundary distance); ``initialize`` runs the jitted
+    decoder once and stashes them, ``generate`` is a cheap re-tunable
+    watershed over the stashed maps.
+    """
+
+    # decoder channel -> attribute the map is stored under
+    _MAP_ATTRS = ("_foreground", "_center_distances", "_boundary_distances")
 
     def __init__(self, predictor: SamPredictor, decoder: DecoderAdapter) -> None:
         self._predictor = predictor
         self._decoder = decoder
-        self._foreground = None
-        self._center_distances = None
-        self._boundary_distances = None
         self._is_initialized = False
+        self._store_maps(None)
+
+    def _store_maps(self, maps) -> None:
+        for channel, attr in enumerate(self._MAP_ATTRS):
+            setattr(self, attr, None if maps is None else maps[channel])
 
     @property
     def is_initialized(self):
@@ -665,61 +654,53 @@ class InstanceSegmentationWithDecoder:
             image_embeddings = util.precompute_image_embeddings(
                 predictor=self._predictor, input_=image, ndim=ndim, verbose=verbose
             )
-
         self._predictor = util.set_precomputed(self._predictor, image_embeddings, i=i)
-        embeddings = self._predictor.features
-        input_shape = tuple(self._predictor.input_size)
-        original_shape = tuple(self._predictor.original_size)
 
-        output = self._decoder(embeddings, input_shape, original_shape)[0]
-        assert output.shape[0] == 3, f"{output.shape}"
+        maps = self._decoder(
+            self._predictor.features,
+            tuple(self._predictor.input_size),
+            tuple(self._predictor.original_size),
+        )[0]
+        assert maps.shape[0] == len(self._MAP_ATTRS), f"{maps.shape}"
         pbar_update(1)
         pbar_close()
 
-        self._foreground = output[0]
-        self._center_distances = output[1]
-        self._boundary_distances = output[2]
+        self._store_maps(maps)
         self._i = i
         self._is_initialized = True
 
-    def _to_masks(self, segmentation, output_mode):
+    @staticmethod
+    def _to_masks(segmentation, output_mode):
+        """Label image -> list of binary-mask records (the reference's
+        'binary_mask' output shape, with xywh[zd]-style bboxes)."""
         if output_mode != "binary_mask":
             raise ValueError(
                 f"Output mode {output_mode} is not supported. "
                 "Choose one of 'instance_segmentation', 'binary_mask'."
             )
-        props = regionprops(segmentation)
         ndim = segmentation.ndim
         assert ndim in (2, 3)
-        shape = segmentation.shape
-        if ndim == 2:
-            crop_box = [0, shape[1], 0, shape[0]]
-        else:
-            crop_box = [0, shape[2], 0, shape[1], 0, shape[0]]
+        # full-image crop box, innermost axis first: [0, W, 0, H(, 0, D)]
+        crop_box = [v for size in segmentation.shape[::-1] for v in (0, size)]
 
-        def to_bbox_2d(bbox):
-            y0, x0 = bbox[0], bbox[1]
-            w = bbox[3] - x0
-            h = bbox[2] - y0
-            return [x0, w, y0, h]
-
-        def to_bbox_3d(bbox):
-            z0, y0, x0 = bbox[0], bbox[1], bbox[2]
-            w = bbox[5] - x0
-            h = bbox[4] - y0
-            d = bbox[3] - y0
-            return [x0, w, y0, h, z0, d]
-
-        to_bbox = to_bbox_2d if ndim == 2 else to_bbox_3d
-        return [
-            {
+        def record(prop):
+            lo, hi = prop.bbox[:ndim], prop.bbox[ndim:]
+            if ndim == 2:
+                (y0, x0), (y1, x1) = lo, hi
+                bbox = [x0, x1 - x0, y0, y1 - y0]
+            else:
+                (z0, y0, x0), (z1, y1, x1) = lo, hi
+                # depth measured from y0 (matches the reference's record)
+                bbox = [x0, x1 - x0, y0, y1 - y0, z0, z1 - y0]
+            return {
                 "segmentation": segmentation == prop.label,
                 "area": prop.area,
-                "bbox": to_bbox(prop.bbox),
+                "bbox": bbox,
                 "crop_box": crop_box,
                 "seg_id": prop.label,
-            } for prop in props
-        ]
+            }
+
+        return [record(prop) for prop in regionprops(segmentation)]
 
     def generate(
         self,
@@ -743,46 +724,59 @@ class InstanceSegmentationWithDecoder:
                 "InstanceSegmentationWithDecoder has not been initialized. Call initialize first."
             )
 
+        fg = self._foreground
         if foreground_smoothing > 0:
-            foreground = gaussian_smooth(self._foreground, foreground_smoothing)
-        else:
-            foreground = self._foreground
+            fg = gaussian_smooth(fg, foreground_smoothing)
 
-        segmentation = watershed_from_center_and_boundary_distances(
-            center_distances=self._center_distances,
-            boundary_distances=self._boundary_distances,
-            foreground_map=foreground,
+        watershed_params = dict(
             center_distance_threshold=center_distance_threshold,
             boundary_distance_threshold=boundary_distance_threshold,
             foreground_threshold=foreground_threshold,
             distance_smoothing=distance_smoothing,
             min_size=min_size,
         )
+        segmentation = watershed_from_center_and_boundary_distances(
+            self._center_distances, self._boundary_distances, fg,
+            **watershed_params,
+        )
 
         if output_mode != "instance_segmentation":
             segmentation = self._to_masks(segmentation, output_mode)
         return segmentation
 
+    # state keys in the reference's h5/pickle cache layout
+    _STATE_KEYS = ("foreground", "center_distances", "boundary_distances")
+
     def get_state(self) -> Dict[str, Any]:
         if not self.is_initialized:
             raise RuntimeError("The state has not been computed yet. Call initialize first.")
-        return {
-            "foreground": self._foreground,
-            "center_distances": self._center_distances,
-            "boundary_distances": self._boundary_distances,
-        }
+        return {key: getattr(self, f"_{key}") for key in self._STATE_KEYS}
 
     def set_state(self, state: Dict[str, Any]) -> None:
-        self._foreground = state["foreground"]
-        self._center_distances = state["center_distances"]
-        self._boundary_distances = state["boundary_distances"]
+        for key in self._STATE_KEYS:
+            setattr(self, f"_{key}", state[key])
         self._is_initialized = True
 
     def clear_state(self):
-        self._foreground = None
-        self._center_distances = None
-        self._boundary_distances = None
+        self._store_maps(None)
         self._is_initialized = False
+
+    # ---- shared by the APG subclasses (prompt derivation over the maps) ----
+    def _derive_prompts(self, prompt_function, foreground_threshold,
+                        center_distance_threshold, boundary_distance_threshold):
+        derive = prompt_function or _derive_point_prompts
+        return derive(
+            self._foreground, self._center_distances, self._boundary_distances,
+            foreground_threshold=foreground_threshold,
+            center_distance_threshold=center_distance_threshold,
+            boundary_distance_threshold=boundary_distance_threshold,
+        )
+
+    @staticmethod
+    def _empty_result(shape, output_mode):
+        if output_mode == "instance_segmentation":
+            return np.zeros(shape, dtype="uint32")
+        return []
 
 
 class TiledInstanceSegmentationWithDecoder(InstanceSegmentationWithDecoder):
@@ -800,6 +794,19 @@ class TiledInstanceSegmentationWithDecoder(InstanceSegmentationWithDecoder):
             )
             out.append(np.asarray(jnp.transpose(x[0], (2, 0, 1)), dtype=np.float32))
         return out
+
+    def _decode_tile_batch(self, tile_ids, i):
+        """Install each tile's embeddings, run the decoder batched, return the
+        per-tile (3, h, w) output maps."""
+        feats, in_shapes, out_shapes = [], [], []
+        for tile_id in tile_ids:
+            self._predictor = util.set_precomputed(
+                self._predictor, self._image_embeddings, i=i, tile_id=int(tile_id)
+            )
+            feats.append(self._predictor.features)
+            in_shapes.append(tuple(self._predictor.input_size))
+            out_shapes.append(tuple(self._predictor.original_size))
+        return self._predict_decoder(feats, in_shapes, out_shapes)
 
     def initialize(
         self,
@@ -820,50 +827,29 @@ class TiledInstanceSegmentationWithDecoder(InstanceSegmentationWithDecoder):
             verbose=verbose, batch_size=batch_size, mask=mask, i=i,
         )
         tiling = Blocking([0, 0], original_size, tile_shape)
+        tile_ids = (list(range(len(tiling))) if tiles_in_mask is None
+                    else [int(t) for t in tiles_in_mask])
 
         pbar_init, pbar_update, pbar_close = util.handle_pbar(verbose, pbar_init, pbar_update)
+        pbar_init(len(tile_ids), "Initialize tiled instance segmentation with decoder")
 
-        foreground = np.zeros(original_size, dtype="float32")
-        center_distances = np.zeros(original_size, dtype="float32")
-        boundary_distances = np.zeros(original_size, dtype="float32")
+        # one full-size canvas per decoder channel; each tile's inner block
+        # is pasted in (halos overlap, inner blocks partition the image)
+        canvases = np.zeros((len(self._MAP_ATTRS),) + tuple(original_size), dtype="float32")
 
-        if tiles_in_mask is None:
-            all_tile_ids = list(range(len(tiling)))
-        else:
-            all_tile_ids = [int(t) for t in tiles_in_mask]
-        n_tiles = len(all_tile_ids)
-        n_batches = int(np.ceil(n_tiles / batch_size))
-        pbar_init(n_tiles, "Initialize tiled instance segmentation with decoder")
-        tile_ids_for_batches = np.array_split(all_tile_ids, n_batches)
-
-        for tile_ids in tile_ids_for_batches:
-            batched_embeddings, input_shapes, original_shapes = [], [], []
-            for tile_id in tile_ids:
-                self._predictor = util.set_precomputed(
-                    self._predictor, self._image_embeddings, i=i, tile_id=int(tile_id)
-                )
-                batched_embeddings.append(self._predictor.features)
-                input_shapes.append(tuple(self._predictor.input_size))
-                original_shapes.append(tuple(self._predictor.original_size))
-
-            batched_output = self._predict_decoder(batched_embeddings, input_shapes, original_shapes)
-
-            for output_id, tile_id in enumerate(tile_ids):
-                output = batched_output[output_id]
-                assert output.shape[0] == 3
+        n_batches = int(np.ceil(len(tile_ids) / batch_size))
+        for chunk in np.array_split(tile_ids, n_batches):
+            for tile_id, maps in zip(chunk, self._decode_tile_batch(chunk, i)):
+                assert maps.shape[0] == len(self._MAP_ATTRS)
                 block = tiling.get_block_with_halo(int(tile_id), list(halo))
-                local_bb = block.inner_block_local.slicing
-                inner_bb = block.inner_block.slicing
-                foreground[inner_bb] = output[0][local_bb]
-                center_distances[inner_bb] = output[1][local_bb]
-                boundary_distances[inner_bb] = output[2][local_bb]
+                src = (slice(None),) + block.inner_block_local.slicing
+                dst = (slice(None),) + block.inner_block.slicing
+                canvases[dst] = maps[src]
                 pbar_update(1)
         pbar_close()
 
         self._i = i
-        self._foreground = foreground
-        self._center_distances = center_distances
-        self._boundary_distances = boundary_distances
+        self._store_maps(canvases)
         self._is_initialized = True
 
 
@@ -872,26 +858,22 @@ class TiledInstanceSegmentationWithDecoder(InstanceSegmentationWithDecoder):
 #
 
 def _get_centers(segmentation, avoid_image_border=True):
-    """Eccentricity-style centers: distance-transform maxima per object
-    (reference instance_segmentation.py:1325)."""
-    boundaries = find_boundaries_outer(segmentation > 0) == 0
+    """One interior point per object: the maximum of the distance-to-boundary
+    transform inside each object (a point guaranteed to be deep in the mask;
+    reference instance_segmentation.py:1325 role)."""
+    interior = find_boundaries_outer(segmentation > 0) == 0
     if avoid_image_border:
-        boundaries[0, :] = False
-        boundaries[:, 0] = False
-        boundaries[-1, :] = False
-        boundaries[:, -1] = False
-    distances = native.distance_transform(boundaries)
+        for edge in (np.s_[0, :], np.s_[-1, :], np.s_[:, 0], np.s_[:, -1]):
+            interior[edge] = False
+    depth = native.distance_transform(interior)
 
-    props = regionprops(segmentation)
     centers = []
-    for prop in props:
-        seg_id = prop.label
-        bb = np.s_[prop.bbox[0]:prop.bbox[2], prop.bbox[1]:prop.bbox[3]]
-        mask = segmentation[bb] == seg_id
-        dist = distances[bb].copy()
-        dist[~mask] = 0
-        center = np.unravel_index(np.argmax(dist), dist.shape)
-        centers.append(tuple(ce + b.start for ce, b in zip(center, (bb[0], bb[1]))))
+    for prop in regionprops(segmentation):
+        y0, x0, y1, x1 = prop.bbox
+        window = np.s_[y0:y1, x0:x1]
+        local_depth = np.where(segmentation[window] == prop.label, depth[window], 0)
+        dy, dx = np.unravel_index(np.argmax(local_depth), local_depth.shape)
+        centers.append((y0 + dy, x0 + dx))
     return np.array(centers) if centers else np.zeros((0, 2), dtype=np.int64)
 
 
@@ -903,30 +885,39 @@ def _derive_point_prompts(
     center_distance_threshold: float = 0.5,
     boundary_distance_threshold: float = 0.5,
 ):
-    bg_mask = foreground < foreground_threshold
-    hmap_cc = np.logical_and(
-        center_distances < center_distance_threshold,
-        boundary_distances < boundary_distance_threshold,
+    """Decoder maps -> one positive point per putative object: connected
+    components of the low-distance foreground cores, each reduced to its
+    deepest interior point."""
+    core = (
+        (center_distances < center_distance_threshold)
+        & (boundary_distances < boundary_distance_threshold)
+        & (foreground >= foreground_threshold)
     )
-    hmap_cc[bg_mask] = 0
-    cc = native.label(hmap_cc.astype(np.uint32))
-    prompts = _get_centers(cc)
-    if len(prompts) == 0:
+    components = native.label(core.astype(np.uint32))
+    centers_yx = _get_centers(components)
+    if len(centers_yx) == 0:
         return None
-    points = prompts[:, None, ::-1].astype(np.float64)
-    labels = np.ones((len(prompts), 1))
-    return {"points": points, "point_labels": labels}
+    return {
+        "points": centers_yx[:, None, ::-1].astype(np.float64),  # yx -> xy
+        "point_labels": np.ones((len(centers_yx), 1)),
+    }
 
 
-def _derive_box_prompts(predictions, box_extension):
-    shape = predictions[0]["segmentation"].shape
-    bboxes = [pred["bbox"] for pred in predictions]
-    prompts = [[
-        max(x - w * box_extension, 0),
-        max(y - h * box_extension, 0),
-        min(x + (1 + box_extension) * w, shape[0]),
-        min(y + (1 + box_extension) * h, shape[1]),
-    ] for (x, y, w, h) in bboxes]
+def _derive_box_prompts(predictions, box_extension, bbox_key="bbox", shape=None):
+    """Slightly extended XYXY boxes around predicted masks, for a refinement
+    decode round. ``bbox_key="global_bbox"`` reads the image-frame boxes that
+    tiled inference attaches, with ``shape`` bounding the extension."""
+    if shape is None:
+        shape = predictions[0]["segmentation"].shape
+    prompts = []
+    for pred in predictions:
+        x, y, w, h = pred[bbox_key]
+        prompts.append([
+            max(x - w * box_extension, 0),
+            max(y - h * box_extension, 0),
+            min(x + (1 + box_extension) * w, shape[0]),
+            min(y + (1 + box_extension) * h, shape[1]),
+        ])
     return {"boxes": np.array(prompts)}
 
 
@@ -951,41 +942,31 @@ class AutomaticPromptGenerator(InstanceSegmentationWithDecoder):
     ) -> Union[List[Dict[str, Any]], np.ndarray]:
         if not self.is_initialized:
             raise RuntimeError("AutomaticPromptGenerator has not been initialized. Call initialize first.")
-        foreground, center_distances, boundary_distances = \
-            self._foreground, self._center_distances, self._boundary_distances
 
-        prompt_function = _derive_point_prompts if prompt_function is None else prompt_function
-        prompts = prompt_function(
-            foreground=foreground,
-            center_distances=center_distances,
-            boundary_distances=boundary_distances,
-            foreground_threshold=foreground_threshold,
-            center_distance_threshold=center_distance_threshold,
-            boundary_distance_threshold=boundary_distance_threshold,
-        )
-
+        prompts = self._derive_prompts(
+            prompt_function, foreground_threshold,
+            center_distance_threshold, boundary_distance_threshold)
+        shape = self._foreground.shape
         if prompts is None:
-            return np.zeros(foreground.shape, dtype="uint32") \
-                if output_mode == "instance_segmentation" else []
+            return self._empty_result(shape, output_mode)
 
-        predictions = batched_inference(
-            self._predictor, image=None, batch_size=batch_size,
-            return_instance_segmentation=False, multimasking=multimasking,
-            mask_threshold=mask_threshold, i=getattr(self, "_i", None), **prompts,
-        )
-
-        if refine_with_box_prompts and len(predictions) > 0:
-            box_extension = 0.01
-            prompts = _derive_box_prompts(predictions, box_extension)
-            predictions = batched_inference(
+        def decode(prompt_dict):
+            return batched_inference(
                 self._predictor, image=None, batch_size=batch_size,
                 return_instance_segmentation=False, multimasking=multimasking,
-                mask_threshold=mask_threshold, i=getattr(self, "_i", None), **prompts,
+                mask_threshold=mask_threshold, i=getattr(self, "_i", None),
+                **prompt_dict,
             )
+
+        predictions = decode(prompts)
+        if refine_with_box_prompts and len(predictions) > 0:
+            # second decode round from slightly extended boxes around the
+            # point-prompted masks
+            predictions = decode(_derive_box_prompts(predictions, box_extension=0.01))
 
         segmentation = util.apply_nms(
             predictions, min_size=min_size, nms_thresh=nms_threshold,
-            intersection_over_min=intersection_over_min, shape=foreground.shape,
+            intersection_over_min=intersection_over_min, shape=shape,
         )
         if output_mode != "instance_segmentation":
             segmentation = self._to_masks(segmentation, output_mode)
@@ -1017,37 +998,39 @@ class TiledAutomaticPromptGenerator(TiledInstanceSegmentationWithDecoder):
             )
         if optimize_memory and (output_mode != "instance_segmentation" or refine_with_box_prompts):
             raise ValueError("Invalid settings")
-        foreground, center_distances, boundary_distances = \
-            self._foreground, self._center_distances, self._boundary_distances
 
-        prompt_function = _derive_point_prompts if prompt_function is None else prompt_function
-        prompts = prompt_function(
-            foreground, center_distances, boundary_distances,
-            foreground_threshold=foreground_threshold,
-            center_distance_threshold=center_distance_threshold,
-            boundary_distance_threshold=boundary_distance_threshold,
-        )
-
-        shape = foreground.shape
+        prompts = self._derive_prompts(
+            prompt_function, foreground_threshold,
+            center_distance_threshold, boundary_distance_threshold)
+        shape = self._foreground.shape
         if prompts is None:
-            return np.zeros(shape, dtype="uint32") if output_mode == "instance_segmentation" else []
+            return self._empty_result(shape, output_mode)
+
+        def decode(prompt_dict, **extra):
+            return batched_tiled_inference(
+                self._predictor, image=None, batch_size=batch_size,
+                image_embeddings=self._image_embeddings,
+                return_instance_segmentation=False, multimasking=multimasking,
+                i=getattr(self, "_i", None), **extra, **prompt_dict,
+            )
 
         if optimize_memory:
-            prompts.update(dict(
-                min_size=min_size, nms_thresh=nms_threshold,
-                intersection_over_min=intersection_over_min,
+            # per-tile NMS + stitching inside tiled inference bounds memory
+            # to one tile's masks; returns a finished label image
+            prompts.update(min_size=min_size, nms_thresh=nms_threshold,
+                           intersection_over_min=intersection_over_min)
+            return decode(prompts, optimize_memory=True)
+
+        predictions = decode(prompts)
+        if refine_with_box_prompts and len(predictions) > 0:
+            # the reference declines this for tiled embeddings
+            # (instance_segmentation.py:1606-1609 raises); here the refinement
+            # boxes are derived in the IMAGE frame from the global_bbox each
+            # tiled prediction carries and re-routed through tiled inference
+            predictions = decode(_derive_box_prompts(
+                predictions, box_extension=0.01, bbox_key="global_bbox",
+                shape=shape,
             ))
-        predictions = batched_tiled_inference(
-            self._predictor, image=None, batch_size=batch_size,
-            image_embeddings=self._image_embeddings, return_instance_segmentation=False,
-            multimasking=multimasking, optimize_memory=optimize_memory,
-            i=getattr(self, "_i", None), **prompts,
-        )
-        if optimize_memory:
-            return predictions
-
-        if refine_with_box_prompts:
-            raise NotImplementedError
 
         segmentation = util.apply_nms(
             predictions, shape=shape, min_size=min_size, nms_thresh=nms_threshold,
@@ -1057,11 +1040,31 @@ class TiledAutomaticPromptGenerator(TiledInstanceSegmentationWithDecoder):
             segmentation = self._to_masks(segmentation, output_mode)
         return segmentation
 
-    def get_state(self):
-        raise NotImplementedError
+    def get_state(self) -> Dict[str, Any]:
+        """State incl. the embeddings when they are in-memory (the reference
+        raises NotImplementedError here, instance_segmentation.py:1623-1630,
+        because its state would have to serialize the embeddings; this
+        implementation embeds them when picklable and otherwise leaves a None
+        the caller must fill on set_state)."""
+        state = super().get_state()
+        feats = self._image_embeddings.get("features")
+        serializable = isinstance(feats, dict) and all(
+            isinstance(v, dict) for v in feats.values())
+        state["image_embeddings"] = self._image_embeddings if serializable else None
+        state["i"] = getattr(self, "_i", None)
+        return state
 
-    def set_state(self, state):
-        raise NotImplementedError
+    def set_state(self, state: Dict[str, Any], image_embeddings=None) -> None:
+        emb = image_embeddings if image_embeddings is not None \
+            else state.get("image_embeddings")
+        if emb is None:
+            raise ValueError(
+                "This tiled APG state does not carry embeddings (they were "
+                "zarr-backed when saved); pass image_embeddings= to set_state."
+            )
+        super().set_state({k: state[k] for k in self._STATE_KEYS})
+        self._image_embeddings = emb
+        self._i = state.get("i")
 
 
 def get_instance_segmentation_generator(
@@ -1076,17 +1079,21 @@ def get_instance_segmentation_generator(
     if segmentation_mode is None:
         segmentation_mode = "amg" if decoder is None else DEFAULT_SEGMENTATION_MODE_WITH_DECODER
 
-    if segmentation_mode.lower() == "amg":
-        cls = TiledAutomaticMaskGenerator if is_tiled else AutomaticMaskGenerator
-        return cls(predictor, **kwargs)
-    if segmentation_mode.lower() == "ais":
+    registry = {
+        # mode -> ((flat class, tiled class), needs decoder)
+        "amg": ((AutomaticMaskGenerator, TiledAutomaticMaskGenerator), False),
+        "ais": ((InstanceSegmentationWithDecoder, TiledInstanceSegmentationWithDecoder), True),
+        "apg": ((AutomaticPromptGenerator, TiledAutomaticPromptGenerator), True),
+    }
+    try:
+        (flat_cls, tiled_cls), needs_decoder = registry[segmentation_mode.lower()]
+    except KeyError:
+        raise ValueError(
+            f"Invalid segmentation_mode: {segmentation_mode}. "
+            "Choose one of 'amg', 'ais', or 'apg'."
+        ) from None
+    cls = tiled_cls if is_tiled else flat_cls
+    if needs_decoder:
         assert decoder is not None
-        cls = TiledInstanceSegmentationWithDecoder if is_tiled else InstanceSegmentationWithDecoder
         return cls(predictor, decoder, **kwargs)
-    if segmentation_mode.lower() == "apg":
-        assert decoder is not None
-        cls = TiledAutomaticPromptGenerator if is_tiled else AutomaticPromptGenerator
-        return cls(predictor, decoder, **kwargs)
-    raise ValueError(
-        f"Invalid segmentation_mode: {segmentation_mode}. Choose one of 'amg', 'ais', or 'apg'."
-    )
+    return cls(predictor, **kwargs)

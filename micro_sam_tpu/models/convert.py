@@ -245,25 +245,27 @@ def export_torch_state_dict(params: dict, config: SamConfig) -> Dict[str, np.nda
 
     enc = params["image_encoder"]
     if config.encoder == "tiny_vit":
-        raise NotImplementedError("vit_t export not yet implemented")
-    put_conv("image_encoder.patch_embed.proj", enc["patch_embed"])
-    if "pos_embed" in enc:
-        sd["image_encoder.pos_embed"] = np.asarray(enc["pos_embed"])
-    for i, b in enumerate(enc["blocks"]):
-        pre = f"image_encoder.blocks.{i}"
-        put_ln(f"{pre}.norm1", b["norm1"])
-        put_lin(f"{pre}.attn.qkv", b["attn"]["qkv"])
-        put_lin(f"{pre}.attn.proj", b["attn"]["proj"])
-        if "rel_pos_h" in b["attn"]:
-            sd[f"{pre}.attn.rel_pos_h"] = np.asarray(b["attn"]["rel_pos_h"])
-            sd[f"{pre}.attn.rel_pos_w"] = np.asarray(b["attn"]["rel_pos_w"])
-        put_ln(f"{pre}.norm2", b["norm2"])
-        put_lin(f"{pre}.mlp.lin1", b["mlp"]["lin1"])
-        put_lin(f"{pre}.mlp.lin2", b["mlp"]["lin2"])
-    put_conv("image_encoder.neck.0", enc["neck"]["conv1"])
-    put_ln("image_encoder.neck.1", enc["neck"]["ln1"])
-    put_conv("image_encoder.neck.2", enc["neck"]["conv2"])
-    put_ln("image_encoder.neck.3", enc["neck"]["ln2"])
+        from .tiny_vit import export_tiny_vit
+        sd.update(export_tiny_vit(enc))
+    else:
+        put_conv("image_encoder.patch_embed.proj", enc["patch_embed"])
+        if "pos_embed" in enc:
+            sd["image_encoder.pos_embed"] = np.asarray(enc["pos_embed"])
+        for i, b in enumerate(enc["blocks"]):
+            pre = f"image_encoder.blocks.{i}"
+            put_ln(f"{pre}.norm1", b["norm1"])
+            put_lin(f"{pre}.attn.qkv", b["attn"]["qkv"])
+            put_lin(f"{pre}.attn.proj", b["attn"]["proj"])
+            if "rel_pos_h" in b["attn"]:
+                sd[f"{pre}.attn.rel_pos_h"] = np.asarray(b["attn"]["rel_pos_h"])
+                sd[f"{pre}.attn.rel_pos_w"] = np.asarray(b["attn"]["rel_pos_w"])
+            put_ln(f"{pre}.norm2", b["norm2"])
+            put_lin(f"{pre}.mlp.lin1", b["mlp"]["lin1"])
+            put_lin(f"{pre}.mlp.lin2", b["mlp"]["lin2"])
+        put_conv("image_encoder.neck.0", enc["neck"]["conv1"])
+        put_ln("image_encoder.neck.1", enc["neck"]["ln1"])
+        put_conv("image_encoder.neck.2", enc["neck"]["conv2"])
+        put_ln("image_encoder.neck.3", enc["neck"]["ln2"])
 
     pr = params["prompt_encoder"]
     sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = np.asarray(pr["pe_gaussian"])

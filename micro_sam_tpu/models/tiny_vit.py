@@ -313,3 +313,64 @@ def convert_tiny_vit(sd) -> Params:
         "ln2": ln(f"{e}.neck.3"),
     }
     return p
+
+
+def export_tiny_vit(params: Params) -> dict:
+    """Inverse of convert_tiny_vit: this package's TinyViT pytree back to a
+    mobile_sam-layout state dict ('image_encoder.*' keys, numpy values).
+
+    The derived 'attention_bias_idxs' buffer is intentionally omitted —
+    mobile_sam recomputes it from the window geometry at construction.
+    """
+    import numpy as np
+    sd = {}
+
+    def put_conv_bn(prefix, p):
+        sd[f"{prefix}.c.weight"] = np.asarray(p["conv"]["w"]).transpose(3, 2, 0, 1)
+        bn = p["bn"]
+        sd[f"{prefix}.bn.weight"] = np.asarray(bn["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(bn["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(bn["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(bn["var"])
+
+    def put_lin(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_ln(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_merge(prefix, p):
+        for name in ("conv1", "conv2", "conv3"):
+            put_conv_bn(f"{prefix}.{name}", p[name])
+
+    e = "image_encoder"
+    put_conv_bn(f"{e}.patch_embed.seq.0", params["patch_embed"]["conv1"])
+    put_conv_bn(f"{e}.patch_embed.seq.2", params["patch_embed"]["conv2"])
+
+    for i, block in enumerate(params["stage0"]):
+        put_merge(f"{e}.layers.0.blocks.{i}", block)
+    put_merge(f"{e}.layers.0.downsample", params["merge0"])
+
+    for stage_idx in (1, 2, 3):
+        for i, block in enumerate(params[f"stage{stage_idx}"]):
+            pre = f"{e}.layers.{stage_idx}.blocks.{i}"
+            put_ln(f"{pre}.attn.norm", block["attn"]["norm"])
+            put_lin(f"{pre}.attn.qkv", block["attn"]["qkv"])
+            put_lin(f"{pre}.attn.proj", block["attn"]["proj"])
+            sd[f"{pre}.attn.attention_biases"] = np.asarray(
+                block["attn"]["attention_biases"])
+            put_conv_bn(f"{pre}.local_conv", block["local_conv"])
+            put_ln(f"{pre}.mlp.norm", block["mlp"]["norm"])
+            put_lin(f"{pre}.mlp.fc1", block["mlp"]["lin1"])
+            put_lin(f"{pre}.mlp.fc2", block["mlp"]["lin2"])
+        if stage_idx < 3:
+            put_merge(f"{e}.layers.{stage_idx}.downsample", params[f"merge{stage_idx}"])
+
+    sd[f"{e}.neck.0.weight"] = np.asarray(params["neck"]["conv1"]["w"]).transpose(3, 2, 0, 1)
+    put_ln(f"{e}.neck.1", params["neck"]["ln1"])
+    sd[f"{e}.neck.2.weight"] = np.asarray(params["neck"]["conv2"]["w"]).transpose(3, 2, 0, 1)
+    put_ln(f"{e}.neck.3", params["neck"]["ln2"])
+    return sd

@@ -27,35 +27,32 @@ from .prompt_based_segmentation import segment_from_mask
 
 PROJECTION_MODES = ("box", "mask", "points", "points_and_mask", "single_point")
 
+# projection mode -> (use_box, use_mask, use_points, use_single_point)
+_PROJECTION_TABLE = {
+    "box": (True, False, False, False),
+    "mask": (True, True, False, False),
+    "points": (False, False, True, False),
+    "points_and_mask": (False, True, True, False),
+    "single_point": (False, False, True, True),
+}
+
 
 def _validate_projection(projection):
-    use_single_point = False
-    if isinstance(projection, str):
-        if projection == "mask":
-            use_box, use_mask, use_points = True, True, False
-        elif projection == "points":
-            use_box, use_mask, use_points = False, False, True
-        elif projection == "box":
-            use_box, use_mask, use_points = True, False, False
-        elif projection == "points_and_mask":
-            use_box, use_mask, use_points = False, True, True
-        elif projection == "single_point":
-            use_box, use_mask, use_points = False, False, True
-            use_single_point = True
-        else:
+    if isinstance(projection, dict):
+        if set(projection) != {"use_box", "use_mask", "use_points"}:
             raise ValueError(
-                "Choose projection method from 'mask' / 'points' / 'box' / "
-                f"'points_and_mask' / 'single_point'. You have passed the invalid option {projection}."
+                "A projection dict needs exactly the keys "
+                f"use_box / use_mask / use_points, got {sorted(projection)}."
             )
-    elif isinstance(projection, dict):
-        assert len(projection.keys()) == 3, \
-            "There should be three parameters assigned for the projection method."
-        use_box, use_mask, use_points = (
-            projection["use_box"], projection["use_mask"], projection["use_points"]
-        )
-    else:
-        raise ValueError(f"{projection} is not a supported projection method.")
-    return use_box, use_mask, use_points, use_single_point
+        return (projection["use_box"], projection["use_mask"],
+                projection["use_points"], False)
+    try:
+        return _PROJECTION_TABLE[projection]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"Invalid projection {projection!r}; choose one of "
+            f"{sorted(_PROJECTION_TABLE)} or pass a flag dict."
+        ) from None
 
 
 def segment_mask_in_volume(
@@ -72,91 +69,89 @@ def segment_mask_in_volume(
     verbose: bool = False,
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Project an object mask through the volume slice by slice
-    (reference multi_dimensional_segmentation.py:103). The per-slice decode is
-    jitted; the walk itself is inherently sequential (each slice's prompt is
-    the previous slice's mask), so it stays host-driven."""
+    (reference multi_dimensional_segmentation.py:103 semantics). The per-slice
+    decode is jitted; the walk itself is inherently sequential (each slice's
+    prompt is the previous slice's mask), so it stays host-driven.
+
+    Structure: ``walk`` propagates outward or into gaps one slice at a time
+    (optionally IoU-gated), ``seed_between`` segments a lone middle slice from
+    the union of its two neighbors, and ``bridge`` fills the interior between
+    two user-segmented slices by walking inward from both ends.
+    """
     use_box, use_mask, use_points, use_single_point = _validate_projection(projection)
+    notify = update_progress if update_progress is not None else (lambda *a: None)
+    n_slices = segmentation.shape[0]
 
-    if update_progress is None:
-        def update_progress(*args):
-            pass
+    def project(z, prompt_mask, return_all=False):
+        return segment_from_mask(
+            predictor, prompt_mask, image_embeddings=image_embeddings, i=z,
+            use_mask=use_mask, use_box=use_box, use_points=use_points,
+            box_extension=box_extension, return_all=return_all,
+            use_single_point=use_single_point,
+        )
 
-    def segment_range(z_start, z_stop, increment, stopping_criterion, threshold=None, verbose=False):
-        z = z_start + increment
-        while True:
+    def walk(z_from, z_last, threshold=None):
+        """Propagate from the (already segmented) z_from through z_last
+        inclusive; each slice prompts from its predecessor. Returns the last
+        slice actually written (z_from if the first IoU gate fails)."""
+        step = 1 if z_last >= z_from else -1
+        written = z_from
+        for z in range(z_from + step, z_last + step, step):
             if verbose:
-                print(f"Segment {z_start} to {z_stop}: segmenting slice {z}")
-            seg_prev = segmentation[z - increment]
-            seg_z, score, _ = segment_from_mask(
-                predictor, seg_prev, image_embeddings=image_embeddings, i=z,
-                use_mask=use_mask, use_box=use_box, use_points=use_points,
-                box_extension=box_extension, return_all=True,
-                use_single_point=use_single_point,
-            )
+                print(f"Projecting object onto slice {z} (towards {z_last})")
+            prompt = segmentation[z - step]
+            seg_z, _, _ = project(z, prompt, return_all=True)
             if threshold is not None:
-                iou = util.compute_iou(seg_prev, seg_z)
-                if iou < threshold:
+                overlap = util.compute_iou(prompt, seg_z)
+                if overlap < threshold:
                     if verbose:
-                        print(f"Segmentation stopped at slice {z} due to IOU {iou} < {threshold}.")
+                        print(f"Stopping at slice {z}: IoU {overlap} < {threshold}")
                     break
             segmentation[z] = seg_z
-            z += increment
-            if stopping_criterion(z, z_stop):
-                if verbose:
-                    print(f"Segment {z_start} to {z_stop}: stop at slice {z}")
-                break
-            update_progress(1)
-        return z - increment
+            written = z
+            if z != z_last:
+                notify(1)
+        return written
 
-    z0, z1 = int(np.min(segmented_slices)), int(np.max(segmented_slices))
+    def seed_between(z):
+        """Segment slice z from the union of its two segmented neighbors."""
+        joint = (segmentation[z - 1] == 1) | (segmentation[z + 1] == 1)
+        segmentation[z] = project(z, joint)
+        notify(1)
 
-    if z0 > 0 and not stop_lower:
-        z_min = segment_range(z0, 0, -1, np.less, iou_threshold, verbose=verbose)
-    else:
-        z_min = z0
+    def bridge(z_lo, z_hi):
+        """Fill the unsegmented slices strictly between z_lo and z_hi."""
+        gap = z_hi - z_lo
+        if gap == 2:
+            seed_between(z_lo + 1)
+            return
+        mid = (z_lo + z_hi) // 2
+        even = gap % 2 == 0
+        walk(z_lo, mid - 1 if even else mid)
+        walk(z_hi, mid + 1)
+        if even:
+            # the center slice is equidistant from both walks: prompt it
+            # from the union of the two freshly segmented neighbors
+            seed_between(mid)
 
-    if z1 < segmentation.shape[0] - 1 and not stop_upper:
-        z_max = segment_range(z1, segmentation.shape[0] - 1, 1, np.greater, iou_threshold, verbose=verbose)
-    else:
-        z_max = z1
+    anchors = np.sort(np.asarray(segmented_slices).astype(int))
+    z0, z1 = int(anchors[0]), int(anchors[-1])
 
-    if z0 != z1:
-        segmented_slices = np.asarray(sorted(segmented_slices))
-        for z_start, z_stop in zip(segmented_slices[:-1], segmented_slices[1:]):
-            slice_diff = z_stop - z_start
-            z_mid = int((z_start + z_stop) // 2)
+    # extend below the lowest / above the highest segmented slice
+    z_min = z0 if (z0 == 0 or stop_lower) else walk(z0, 0, iou_threshold)
+    z_max = z1 if (z1 == n_slices - 1 or stop_upper) else \
+        walk(z1, n_slices - 1, iou_threshold)
 
-            if slice_diff == 1:
-                pass
-            elif z_start == z0 and stop_lower:
-                segment_range(z_stop, z_start, -1, np.less_equal, verbose=verbose)
-            elif z_stop == z1 and stop_upper:
-                segment_range(z_start, z_stop, 1, np.greater_equal, verbose=verbose)
-            elif slice_diff == 2:
-                z = z_start + 1
-                seg_prompt = np.logical_or(segmentation[z_start] == 1, segmentation[z_stop] == 1)
-                segmentation[z] = segment_from_mask(
-                    predictor, seg_prompt, image_embeddings=image_embeddings, i=z,
-                    use_mask=use_mask, use_box=use_box, use_points=use_points,
-                    box_extension=box_extension,
-                )
-                update_progress(1)
-            else:
-                segment_range(
-                    z_start, z_mid, 1,
-                    np.greater_equal if slice_diff % 2 == 0 else np.greater, verbose=verbose
-                )
-                segment_range(z_stop, z_mid, -1, np.less_equal, verbose=verbose)
-                if slice_diff % 2 == 0:
-                    seg_prompt = np.logical_or(
-                        segmentation[z_mid - 1] == 1, segmentation[z_mid + 1] == 1
-                    )
-                    segmentation[z_mid] = segment_from_mask(
-                        predictor, seg_prompt, image_embeddings=image_embeddings, i=z_mid,
-                        use_mask=use_mask, use_box=use_box, use_points=use_points,
-                        box_extension=box_extension,
-                    )
-                    update_progress(1)
+    # fill every interior gap between consecutive user-segmented slices
+    for z_lo, z_hi in zip(anchors[:-1], anchors[1:]):
+        if z_hi - z_lo <= 1:
+            continue
+        if z_lo == z0 and stop_lower:
+            walk(z_hi, z_lo + 1)        # only approach from above
+        elif z_hi == z1 and stop_upper:
+            walk(z_lo, z_hi - 1)        # only approach from below
+        else:
+            bridge(int(z_lo), int(z_hi))
 
     return segmentation, (z_min, z_max)
 
@@ -166,77 +161,80 @@ def _relabel_sequential(seg, offset=1):
     return out, max_id
 
 
+def _coverage_counts(components: np.ndarray, labels: np.ndarray):
+    """For each component id, how many distinct nonzero labels it covers and
+    which ones. Vectorized via pair encoding (no per-id loop)."""
+    fg = components > 0
+    comp_f = components[fg].astype(np.int64)
+    lab_f = labels[fg].astype(np.int64)
+    base = int(labels.max()) + 1
+    pairs = np.unique(comp_f * base + lab_f)
+    comp_of_pair = pairs // base
+    label_of_pair = pairs % base
+    keep = label_of_pair != 0
+    comp_of_pair, label_of_pair = comp_of_pair[keep], label_of_pair[keep]
+    n_covered = np.bincount(comp_of_pair, minlength=int(components.max()) + 1)
+    return n_covered, comp_of_pair, label_of_pair
+
+
+def _merge_closed_components(seg_z, closed_fg):
+    """One slice of the gap-closing merge: connected components of the closed
+    foreground replace the original labels where that is unambiguous; a
+    component spanning several original objects would fuse them, so those
+    keep their original shapes instead."""
+    components, _ = ndimage.label(closed_fg)
+    n_covered, comp_of_pair, label_of_pair = _coverage_counts(components, seg_z)
+
+    ambiguous_components = np.nonzero(n_covered > 1)[0]
+    originals_to_keep = label_of_pair[np.isin(comp_of_pair, ambiguous_components)]
+
+    merged = np.where(np.isin(components, ambiguous_components), 0, components)
+    if originals_to_keep.size:
+        keep_mask = np.isin(seg_z, originals_to_keep)
+        shifted, _ = _relabel_sequential(
+            np.where(keep_mask, seg_z, 0), offset=int(merged.max()) + 1
+        )
+        merged[keep_mask] = shifted[keep_mask]
+    return merged
+
+
 def _preprocess_closing(slice_segmentation, gap_closing, pbar_update):
-    """Close gaps along z with conflict-aware label remapping
-    (reference multi_dimensional_segmentation.py:234)."""
-    binarized = slice_segmentation > 0
-    structuring_element = np.zeros((3, 1, 1))
-    structuring_element[:, 0, 0] = 1
-    closed_segmentation = ndimage.binary_closing(
-        binarized, iterations=gap_closing, structure=structuring_element
+    """Close holes along z, then reconcile the closed foreground with the
+    original per-slice labels (same policy as reference
+    multi_dimensional_segmentation.py:234: adopt closed components unless they
+    would fuse distinct objects). Labels come out globally unique across
+    slices via a running offset."""
+    along_z = np.zeros((3, 1, 1))
+    along_z[:, 0, 0] = 1
+    closed_fg = ndimage.binary_closing(
+        slice_segmentation > 0, iterations=gap_closing, structure=along_z
     )
 
-    new_segmentation = np.zeros_like(slice_segmentation)
-    n_slices = new_segmentation.shape[0]
-
-    def process_slice(z, offset):
-        seg_z = slice_segmentation[z]
-
-        if z < gap_closing or z >= (n_slices - gap_closing):
-            seg_z, max_id = _relabel_sequential(seg_z, offset=offset)
-            offset = int(max_id) + 1 if max_id >= offset else offset
-            return seg_z, offset
-
-        closed_z, _ = ndimage.label(closed_segmentation[z])
-
-        matches = native.overlap(closed_z, seg_z)
-        match_table = {
-            seg_id: matches.overlapArrays(seg_id, sorted_=False)[0]
-            for seg_id in range(1, int(closed_z.max() + 1))
-        }
-        match_table = {k: v[v != 0] for k, v in match_table.items()}
-
-        ids_initial, ids_closed = [], []
-        for seg_id, matched in match_table.items():
-            if len(matched) > 1:
-                ids_initial.extend(matched.tolist())
-            else:
-                ids_closed.append(seg_id)
-
-        seg_new = np.zeros_like(seg_z)
-        closed_mask = np.isin(closed_z, ids_closed)
-        seg_new[closed_mask] = closed_z[closed_mask]
-
-        if ids_initial:
-            initial_mask = np.isin(seg_z, ids_initial)
-            remapped, _ = _relabel_sequential(
-                np.where(initial_mask, seg_z, 0), offset=int(seg_new.max()) + 1
-            )
-            seg_new[initial_mask] = remapped[initial_mask]
-
-        seg_new, max_id = _relabel_sequential(seg_new, offset=offset)
-        if max_id > 0:
-            offset = int(max_id) + 1
-        return seg_new, offset
-
-    offset = 1
+    n_slices = slice_segmentation.shape[0]
+    out = np.zeros_like(slice_segmentation)
+    next_label = 1
     for z in range(n_slices):
-        new_segmentation[z], offset = process_slice(z, offset)
+        # border slices can't be part of a closed z-gap: keep them as-is
+        in_interior = gap_closing <= z < n_slices - gap_closing
+        merged = (_merge_closed_components(slice_segmentation[z], closed_fg[z])
+                  if in_interior else slice_segmentation[z])
+        out[z], top = _relabel_sequential(merged, offset=next_label)
+        next_label = max(next_label, int(top) + 1)
         pbar_update(1)
-
-    return new_segmentation
+    return out
 
 
 def _filter_z_extent(segmentation, min_z_extent):
-    props = regionprops(segmentation)
-    filter_ids = []
-    for prop in props:
-        box = prop.bbox
-        z_extent = box[3] - box[0]
-        if z_extent < min_z_extent:
-            filter_ids.append(prop.label)
-    if filter_ids:
-        segmentation[np.isin(segmentation, filter_ids)] = 0
+    """Drop objects spanning fewer than min_z_extent slices."""
+    too_flat = []
+    for label_idx, obj_slices in enumerate(ndimage.find_objects(segmentation)):
+        if obj_slices is None:
+            continue
+        z_span = obj_slices[0].stop - obj_slices[0].start
+        if z_span < min_z_extent:
+            too_flat.append(label_idx + 1)
+    if too_flat:
+        segmentation[np.isin(segmentation, too_flat)] = 0
     return segmentation
 
 
@@ -617,43 +615,24 @@ def _trackastra_impl(timeseries, segmentation, min_time_extent, output_folder):
 
 
 def _extract_tracks_and_lineages(segmentations, track_data, parent_graph):
-    index = np.round(track_data[:, 1:], 0).astype("int32")
-    index = tuple(index[:, i] for i in range(index.shape[1]))
-    segmentation_ids = segmentations[index]
+    """napari track_data (track_id, t, y, x rows) + child->parent links ->
+    (segmentation id -> track id map, lineage dicts).
+
+    The lineage representation reuses _lineages_from_parent_graph (the same
+    helper the native linker uses); segmentation ids are read off the label
+    image at each track point's (t, y, x).
+    """
     track_ids = track_data[:, 0].astype("int32")
-    node_to_track = {k: v for k, v in zip(segmentation_ids, track_ids)}
+    coords = np.round(track_data[:, 1:]).astype("int32")
+    seg_ids_at_points = segmentations[tuple(coords.T)]
 
-    import networkx as nx
-    lineage_graph = nx.Graph()
-    for k, v in parent_graph.items():
-        lineage_graph.add_edge(k, v)
+    node_to_track = dict(zip(seg_ids_at_points, track_ids))
+    # any object no track point landed on maps to background
+    for orphan in np.setdiff1d(np.unique(segmentations), seg_ids_at_points):
+        node_to_track[orphan] = 0
 
-    lineages = []
-    for component in nx.connected_components(lineage_graph):
-        root = next(iter(component))
-        lineage_dict = {}
-
-        def dfs(node, parent):
-            children = [n for n in lineage_graph[node] if n != parent]
-            lineage_dict[node] = children
-            for child in children:
-                dfs(child, node)
-
-        dfs(root, None)
-        lineages.append(lineage_dict)
-
-    all_tracks = set(track_ids.tolist())
-    lineage_tracks = []
-    for lineage in lineages:
-        for k, v in lineage.items():
-            lineage_tracks.append(k)
-            lineage_tracks.extend(v)
-    singleton_tracks = list(all_tracks - set(lineage_tracks))
-    lineages.extend([{track: []} for track in singleton_tracks])
-
-    all_seg_ids = np.unique(segmentations)
-    missing_seg_ids = np.setdiff1d(all_seg_ids, list(node_to_track.keys()))
-    node_to_track.update({seg_id: 0 for seg_id in missing_seg_ids})
+    recolored = track_ids  # the tracks present, for singleton completion
+    lineages = _lineages_from_parent_graph(dict(parent_graph), recolored)
     return node_to_track, lineages
 
 

@@ -3,13 +3,14 @@
 Counterpart of micro_sam/precompute_state.py: pickle-cached AMG states
 (``amg_state/state-{i}.pkl``), HDF5-cached AIS decoder maps
 (``is_state.h5`` groups ``state-{i}``), and the
-``micro_sam_tpu.precompute_embeddings`` CLI.
+``micro_sam_tpu.precompute_embeddings`` CLI. The cache layouts match the
+reference so precomputed state is interchangeable; the caching machinery is
+factored into small state-store classes instead of inline branches.
 """
 from __future__ import annotations
 
 import os
 import pickle
-from functools import partial
 from glob import glob
 from pathlib import Path
 from typing import List, Optional, Tuple, Union
@@ -17,6 +18,74 @@ from typing import List, Optional, Tuple, Union
 import numpy as np
 
 from . import instance_segmentation, util
+
+_AIS_STATE_KEYS = ("foreground", "center_distances", "boundary_distances")
+
+
+class _PickleStateStore:
+    """AMG state cache: one pickle per slice under ``<root>/amg_state/``."""
+
+    def __init__(self, root: str, i: Optional[int]):
+        folder = os.path.join(str(root), "amg_state")
+        os.makedirs(folder, exist_ok=True)
+        stem = "state.pkl" if i is None else f"state-{i}.pkl"
+        self.path = os.path.join(folder, stem)
+
+    def load(self):
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path, "rb") as f:
+            return pickle.load(f)
+
+    def save(self, state) -> None:
+        with open(self.path, "wb") as f:
+            pickle.dump(state, f)
+
+
+class _H5StateStore:
+    """AIS state cache: gzip datasets per slice in ``<root>/is_state.h5``."""
+
+    def __init__(self, root: str, i: Optional[int]):
+        self.path = os.path.join(str(root), "is_state.h5")
+        self.key = "state" if i is None else f"state-{i}"
+
+    def exists(self) -> bool:
+        import h5py
+        if not os.path.exists(self.path):
+            return False
+        with h5py.File(self.path, "r") as f:
+            return self.key in f
+
+    def load(self):
+        import h5py
+        with h5py.File(self.path, "a") as f:
+            if self.key not in f:
+                return None
+            group = f[self.key]
+            return {name: group[name][:] for name in _AIS_STATE_KEYS}
+
+    def save(self, state) -> None:
+        import h5py
+        with h5py.File(self.path, "a") as f:
+            group = f.create_group(self.key)
+            for name in _AIS_STATE_KEYS:
+                group.create_dataset(name, data=state[name], compression="gzip")
+
+
+def _load_or_initialize(segmenter, store, raw, image_embeddings, i, verbose):
+    """Shared caching driver: restore the segmenter state from the store, or
+    initialize it from the embeddings and persist the result."""
+    cached = store.load()
+    if cached is not None:
+        if verbose:
+            print("Load the instance segmentation state from", store.path)
+        segmenter.set_state(cached)
+        return False
+    if verbose:
+        print("Precomputing the state for instance segmentation.")
+    segmenter.initialize(raw, image_embeddings=image_embeddings, i=i, verbose=verbose)
+    store.save(segmenter.get_state())
+    return True
 
 
 def cache_amg_state(
@@ -29,35 +98,12 @@ def cache_amg_state(
     **kwargs,
 ) -> instance_segmentation.AMGBase:
     """Compute and cache (or load) the AMG state (reference precompute_state.py:27)."""
-    is_tiled = image_embeddings["input_size"] is None
     amg = instance_segmentation.get_instance_segmentation_generator(
-        predictor, is_tiled=is_tiled, decoder=None, **kwargs
+        predictor, is_tiled=image_embeddings["input_size"] is None,
+        decoder=None, **kwargs,
     )
-
-    save_path = str(save_path)
-    save_path_amg = os.path.join(save_path, "amg_state")
-    os.makedirs(save_path_amg, exist_ok=True)
-
-    save_path_state = os.path.join(
-        save_path_amg, "state.pkl" if i is None else f"state-{i}.pkl"
-    )
-
-    if os.path.exists(save_path_state):
-        if verbose:
-            print("Load the AMG state from", save_path_state)
-        with open(save_path_state, "rb") as f:
-            amg_state = pickle.load(f)
-        amg.set_state(amg_state)
-        return amg
-
-    if verbose:
-        print("Precomputing the state for instance segmentation.")
-
-    amg.initialize(raw, image_embeddings=image_embeddings, i=i, verbose=verbose)
-    amg_state = amg.get_state()
-
-    with open(save_path_state, "wb") as f:
-        pickle.dump(amg_state, f)
+    store = _PickleStateStore(save_path, i)
+    _load_or_initialize(amg, store, raw, image_embeddings, i, verbose)
     return amg
 
 
@@ -73,77 +119,48 @@ def cache_is_state(
     **kwargs,
 ) -> Optional[instance_segmentation.InstanceSegmentationWithDecoder]:
     """Compute and cache (or load) the AIS state (reference precompute_state.py:90)."""
-    import h5py
-
-    is_tiled = image_embeddings["input_size"] is None
     segmenter = instance_segmentation.get_instance_segmentation_generator(
-        predictor, is_tiled=is_tiled, decoder=decoder, segmentation_mode="ais", **kwargs
+        predictor, is_tiled=image_embeddings["input_size"] is None,
+        decoder=decoder, segmentation_mode="ais", **kwargs,
     )
-
-    save_path = os.path.join(str(save_path), "is_state.h5")
-    save_key = "state" if i is None else f"state-{i}"
-
-    with h5py.File(save_path, "a") as f:
-        if save_key in f:
-            if skip_load:
-                return
-            g = f[save_key]
-            state = {
-                "foreground": g["foreground"][:],
-                "center_distances": g["center_distances"][:],
-                "boundary_distances": g["boundary_distances"][:],
-            }
-            segmenter.set_state(state)
-            return segmenter
-
-    if verbose:
-        print("Precomputing the state for instance segmentation.")
-    segmenter.initialize(raw, image_embeddings=image_embeddings, i=i, verbose=verbose)
-    state = segmenter.get_state()
-
-    with h5py.File(save_path, "a") as f:
-        g = f.create_group(save_key)
-        g.create_dataset("foreground", data=state["foreground"], compression="gzip")
-        g.create_dataset("center_distances", data=state["center_distances"], compression="gzip")
-        g.create_dataset("boundary_distances", data=state["boundary_distances"], compression="gzip")
-
-    if skip_load:
-        return
-    return segmenter
+    store = _H5StateStore(save_path, i)
+    if skip_load and store.exists():
+        return None  # state exists; caller only wanted it materialized
+    _load_or_initialize(segmenter, store, raw, image_embeddings, i, verbose)
+    return None if skip_load else segmenter
 
 
 def _precompute_state_for_file(
     predictor, input_path, output_path, key, ndim, tile_shape, halo,
     precompute_amg_state, decoder, batch_size: int = 1, verbose: bool = True,
 ):
-    if isinstance(input_path, np.ndarray):
-        image_data = input_path
-    else:
-        image_data = util.load_image_data(input_path, key)
+    image_data = (input_path if isinstance(input_path, np.ndarray)
+                  else util.load_image_data(input_path, key))
 
     output_path = Path(output_path).with_suffix(".zarr")
     embeddings = util.precompute_image_embeddings(
         predictor, image_data, str(output_path), ndim=ndim, tile_shape=tile_shape,
         halo=halo, batch_size=batch_size, verbose=verbose,
     )
+    if not precompute_amg_state:
+        return embeddings
 
-    if precompute_amg_state:
-        cache_state = (
-            partial(cache_is_state, decoder=decoder) if decoder is not None else cache_amg_state
-        )
-        if ndim is None:
-            ndim = image_data.ndim
-        if ndim == 2:
-            cache_state(
-                predictor=predictor, raw=image_data, image_embeddings=embeddings,
-                save_path=str(output_path), verbose=verbose,
-            )
+    def cache_one(raw, i=None):
+        if decoder is None:
+            cache_amg_state(predictor=predictor, raw=raw,
+                            image_embeddings=embeddings,
+                            save_path=str(output_path), i=i, verbose=verbose)
         else:
-            for i in range(image_data.shape[0]):
-                cache_state(
-                    predictor=predictor, raw=image_data[i], image_embeddings=embeddings,
-                    save_path=str(output_path), i=i, verbose=verbose,
-                )
+            cache_is_state(predictor=predictor, decoder=decoder, raw=raw,
+                           image_embeddings=embeddings,
+                           save_path=str(output_path), i=i, verbose=verbose)
+
+    effective_ndim = image_data.ndim if ndim is None else ndim
+    if effective_ndim == 2:
+        cache_one(image_data)
+    else:
+        for z in range(image_data.shape[0]):
+            cache_one(image_data[z], i=z)
     return embeddings
 
 
@@ -166,29 +183,24 @@ def precompute_state(
     predictor, state = util.get_sam_model(
         model_type=model_type, checkpoint_path=checkpoint_path, return_state=True
     )
-    if "decoder_state" in state:
-        decoder = instance_segmentation.get_decoder(decoder_state=state["decoder_state"])
-    else:
-        decoder = None
+    decoder = (instance_segmentation.get_decoder(decoder_state=state["decoder_state"])
+               if "decoder_state" in state else None)
 
     if pattern is None:
+        jobs = [(input_path, output_path)]
+    else:
+        os.makedirs(str(output_path), exist_ok=True)
+        jobs = [
+            (fp, os.path.join(str(output_path), f"{Path(fp).stem}.zarr"))
+            for fp in sorted(glob(os.path.join(str(input_path), pattern)))
+        ]
+    for in_path, out_path in jobs:
         _precompute_state_for_file(
-            predictor, input_path, output_path, key, ndim=ndim,
+            predictor, in_path, out_path, key, ndim=ndim,
             tile_shape=tile_shape, halo=halo,
             precompute_amg_state=precompute_amg_state, decoder=decoder,
             batch_size=batch_size, verbose=verbose,
         )
-    else:
-        files = sorted(glob(os.path.join(str(input_path), pattern)))
-        os.makedirs(str(output_path), exist_ok=True)
-        for file_path in files:
-            out_path = os.path.join(str(output_path), f"{Path(file_path).stem}.zarr")
-            _precompute_state_for_file(
-                predictor, file_path, out_path, key, ndim=ndim,
-                tile_shape=tile_shape, halo=halo,
-                precompute_amg_state=precompute_amg_state, decoder=decoder,
-                batch_size=batch_size, verbose=verbose,
-            )
 
 
 def main():

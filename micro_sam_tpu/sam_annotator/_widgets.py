@@ -1018,3 +1018,30 @@ def commit_to_file(
     history.append({"new_ids": [int(i) for i in new_ids]})
     f.attrs["commit_history"] = history
     return committed
+
+
+class SettingsWidget(FormWidget):
+    """Global settings widget: choose the model/embedding cache directory
+    (reference settings_widget magic_factory, _widgets.py:873)."""
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        from .. import util as _util
+        self._add_path_param(
+            "cache_directory", _util.microsam_cachedir(), select_type="directory",
+            title="cache directory",
+            tooltip="Path used for model downloads and embedding caches "
+                    "(MICROSAM_CACHEDIR).",
+        )
+        self.run_button = self._add_button(
+            "run", "Update settings", self.__call__)
+
+    def __call__(self):
+        import os
+        os.environ["MICROSAM_CACHEDIR"] = str(self.cache_directory)
+        print(f"micro-sam-tpu cache directory set to: {self.cache_directory}")
+
+
+def settings_widget(parent=None) -> SettingsWidget:
+    """Factory for the napari 'Settings' widget contribution."""
+    return SettingsWidget(parent=parent)

@@ -94,3 +94,8 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# napari widget contribution: the manifest registers the CLASS
+# (constructible from the viewer alone), matching the reference pattern
+# (reference napari.yaml:36-50)
+from ._annotator import Annotator2d  # noqa: E402,F401

@@ -13,8 +13,9 @@ from typing import List, Optional, Tuple, Union
 
 import numpy as np
 
+from ._compat import FormWidget, generate_message
 from ._state import AnnotatorState
-from ._widgets import _require_napari
+from ._widgets import _ModelSelectionMixin, _require_napari
 from .. import util
 from ..precompute_state import _precompute_state_for_file
 
@@ -271,3 +272,62 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+class ImageSeriesAnnotator(_ModelSelectionMixin, FormWidget):
+    """Form widget driving the image-series annotation workflow — the napari
+    widget contribution (reference image_series_annotator.py:391): pick an
+    input/output folder, a model, then run the series annotator in the
+    current viewer.
+    """
+
+    def __init__(self, viewer=None, parent=None):
+        super().__init__(parent)
+        self._viewer = viewer
+        self._add_path_param("folder", None, "directory", title="Input Folder",
+                             placeholder="Folder with images ...")
+        self._add_path_param("output_folder", None, "directory",
+                             title="Output Folder",
+                             placeholder="Folder to save the results ...")
+        self._init_model_selection(util._DEFAULT_MODEL)
+        # settings
+        self._add_string_param("pattern", "*", title="pattern")
+        self._add_bool_param("is_volumetric", False, title="is_volumetric")
+        self._add_path_param("embeddings_save_path", None, "directory",
+                             title="embeddings save path")
+        self._add_path_param("custom_weights", None, "file",
+                             title="custom weights path")
+        self._add_shape_param(("tile_x", "tile_y"), (0, 0), min_val=0,
+                              max_val=2048, title=("tile size x", "tile size y"))
+        self._add_shape_param(("halo_x", "halo_y"), (0, 0), min_val=0,
+                              max_val=512, title=("halo x", "halo y"))
+        self.run_button = self._add_button(
+            "run", "Annotate Images", self.__call__)
+
+    def _validate_inputs(self):
+        missing = [name for name in ("folder", "output_folder")
+                   if not getattr(self, name)]
+        if missing:
+            generate_message(
+                "error", f"Please fill in: {', '.join(missing)}.")
+            return True
+        return False
+
+    def __call__(self):
+        if self._validate_inputs():
+            return
+        tile_shape, halo = None, None
+        if self.tile_x and self.tile_y:
+            tile_shape = (int(self.tile_x), int(self.tile_y))
+            halo = (int(self.halo_x), int(self.halo_y))
+        return image_folder_annotator(
+            input_folder=str(self.folder),
+            output_folder=str(self.output_folder),
+            pattern=self.pattern or "*",
+            model_type=self.model_type,
+            checkpoint_path=self.custom_weights,
+            embedding_path=self.embeddings_save_path,
+            is_volumetric=self.is_volumetric,
+            tile_shape=tile_shape, halo=halo,
+            viewer=self._viewer,
+        )

@@ -93,11 +93,13 @@ class ObjectClassifier:
     'prediction' output layer, train-and-predict + export actions. Duck-typed
     viewer, so the whole stack runs headless."""
 
-    def __init__(self, viewer, workflow: ObjectClassifierWorkflow):
+    def __init__(self, viewer, workflow: Optional[ObjectClassifierWorkflow] = None):
         from ._compat import FormWidget
 
         self._viewer = viewer
-        self._workflow = workflow
+        # default workflow so the napari widget contribution is constructible
+        # from the viewer alone (manifest: object_classifier:ObjectClassifier)
+        self._workflow = workflow if workflow is not None else ObjectClassifierWorkflow()
         self._require_layers()
 
         this = self

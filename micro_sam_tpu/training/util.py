@@ -114,10 +114,12 @@ class ConvertToSamInputs:
             # the bounding box is given in the format (y0, x0, y1, x1)
             bbox_length = [bbox[3] - bbox[1], bbox[2] - bbox[0]]
             sf = self.box_distortion_factor
-            y0 = min(shape[0], max(0, bbox[0] + np.random.uniform(-sf, sf) * bbox_length[1]))
-            x0 = min(shape[1], max(0, bbox[1] + np.random.uniform(-sf, sf) * bbox_length[0]))
-            y1 = min(shape[0], max(0, bbox[2] + np.random.uniform(-sf, sf) * bbox_length[1]))
-            x1 = min(shape[1], max(0, bbox[3] + np.random.uniform(-sf, sf) * bbox_length[0]))
+            # draw from self._rng (not the global numpy state) so a seeded
+            # converter is fully reproducible
+            y0 = min(shape[0], max(0, bbox[0] + self._rng.uniform(-sf, sf) * bbox_length[1]))
+            x0 = min(shape[1], max(0, bbox[1] + self._rng.uniform(-sf, sf) * bbox_length[0]))
+            y1 = min(shape[0], max(0, bbox[2] + self._rng.uniform(-sf, sf) * bbox_length[1]))
+            x1 = min(shape[1], max(0, bbox[3] + self._rng.uniform(-sf, sf) * bbox_length[0]))
             distorted_boxes.append([y0, x0, y1, x1])
         return distorted_boxes
 

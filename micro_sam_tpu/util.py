@@ -928,49 +928,53 @@ def mask_data_to_segmentation(
     """
     from . import native
 
-    masks = sorted(masks, key=(lambda x: x["area"]), reverse=True)
+    def xywh_to_slices(box):
+        x, y, w, h = box
+        return np.s_[y:y + h, x:x + w]
+
+    def size_ok(area):
+        if area < min_object_size:
+            return False
+        return max_object_size is None or area <= max_object_size
+
+    # paint big objects first so smaller ones can still claim free pixels
+    # (exclusive mode) or overwrite on top (non-exclusive mode)
+    by_area = sorted(masks, key=lambda rec: rec["area"], reverse=True)
     if shape is None:
-        shape = next(iter(masks))["segmentation"].shape
-    segmentation = np.zeros(shape, dtype="uint32")
+        shape = by_area[0]["segmentation"].shape
+    canvas = np.zeros(shape, dtype="uint32")
 
-    seg_id = 1
-    for mask_data in masks:
-        area = mask_data["area"]
-        if (area < min_object_size) or (max_object_size is not None and area > max_object_size):
+    next_id = 1
+    for record in by_area:
+        if not size_ok(record["area"]):
             continue
+        write_id = record.get("seg_id", next_id)
+        binary = np.asarray(record["segmentation"])
 
-        this_mask = np.asarray(mask_data["segmentation"])
-        this_seg_id = mask_data.get("seg_id", seg_id)
-        if "global_bbox" in mask_data:
-            bb = mask_data["bbox"]
-            bb = np.s_[bb[1]:bb[1] + bb[3], bb[0]:bb[0] + bb[2]]
-            global_bb = mask_data["global_bbox"]
-            global_bb = np.s_[global_bb[1]:global_bb[1] + global_bb[3],
-                              global_bb[0]:global_bb[0] + global_bb[2]]
-            if merge_exclusively:
-                this_mask = np.logical_and(this_mask[bb], segmentation[global_bb] == 0)
-            else:
-                this_mask = this_mask[bb]
-            segmentation[global_bb][this_mask] = this_seg_id
+        if "global_bbox" in record:
+            # tiled prediction: the binary mask lives in the tile frame; its
+            # bbox crop is pasted at the image-frame global bbox
+            binary = binary[xywh_to_slices(record["bbox"])]
+            target = canvas[xywh_to_slices(record["global_bbox"])]
         else:
-            if merge_exclusively:
-                this_mask = np.logical_and(this_mask, segmentation == 0)
-            segmentation[this_mask] = this_seg_id
-        seg_id = this_seg_id + 1
+            target = canvas
+        if merge_exclusively:
+            binary = binary & (target == 0)
+        target[binary] = write_id
+        next_id = write_id + 1
 
     if label_masks:
-        segmentation = native.label(segmentation)
+        canvas = native.label(canvas)
 
-    seg_ids, sizes = native.unique(segmentation, return_counts=True)
-    filter_ids = seg_ids[sizes < min_object_size]
+    # drop too-small components and (optionally) the dominant one as
+    # background, then compact the label range
+    ids, counts = native.unique(canvas, return_counts=True)
+    discard = list(ids[counts < min_object_size])
     if with_background:
-        bg_id = seg_ids[np.argmax(sizes)]
-        filter_ids = np.concatenate([filter_ids, [bg_id]])
-
-    if len(filter_ids):
-        segmentation[native.isin(segmentation, filter_ids)] = 0
-    segmentation, _, _ = native.relabel_consecutive(segmentation)
-    return segmentation
+        discard.append(ids[np.argmax(counts)])
+    if discard:
+        canvas[native.isin(canvas, np.asarray(discard))] = 0
+    return native.relabel_consecutive(canvas)[0]
 
 
 def _overlap_matrix(boxes: np.ndarray) -> np.ndarray:
@@ -1017,13 +1021,53 @@ def _calculate_iomin_between_pred_masks(masks, boxes, eps=1e-6):
     return iomin
 
 
-def _batched_mask_nms(masks, boxes, scores, nms_thresh, intersection_over_min):
+def _pairwise_overlap_varshape(masks, offsets, boxes, intersection_over_min,
+                               eps=1e-6):
+    """Pairwise mask IoU / IoMin for masks living in DIFFERENT local frames
+    (tiled predictions whose tiles have unequal shapes — border tiles).
+
+    masks: list of 2d bool arrays; offsets: (N, 2) global (x, y) position of
+    each mask's frame origin; boxes: (N, 4) global XYXY mask bboxes. Overlaps
+    are evaluated on the bbox-intersection window only, which by construction
+    lies inside both frames.
+    """
+    n = len(masks)
+    out = np.eye(n)
+    candidates = _overlap_matrix(boxes)
+    areas = np.array([int(np.count_nonzero(m)) for m in masks], dtype=np.float64)
+    for i in range(n):
+        for j in np.nonzero(candidates[i])[0]:
+            if j <= i:
+                continue
+            x1 = int(max(boxes[i, 0], boxes[j, 0]))
+            y1 = int(max(boxes[i, 1], boxes[j, 1]))
+            x2 = int(min(boxes[i, 2], boxes[j, 2]))
+            y2 = int(min(boxes[i, 3], boxes[j, 3]))
+            win_i = masks[i][y1 - offsets[i, 1]:y2 - offsets[i, 1],
+                             x1 - offsets[i, 0]:x2 - offsets[i, 0]]
+            win_j = masks[j][y1 - offsets[j, 1]:y2 - offsets[j, 1],
+                             x1 - offsets[j, 0]:x2 - offsets[j, 0]]
+            inter = float(np.count_nonzero(win_i & win_j))
+            if intersection_over_min:
+                denom = min(areas[i], areas[j]) + eps
+            else:
+                denom = areas[i] + areas[j] - inter + eps
+            out[i, j] = out[j, i] = inter / denom
+    return out
+
+
+def _batched_mask_nms(masks, boxes, scores, nms_thresh, intersection_over_min,
+                      offsets=None):
     boxes = np.asarray(boxes, dtype=np.float64)
     scores = np.asarray(scores, dtype=np.float64)
-    masks = np.asarray(masks)
-    if intersection_over_min:
+    if offsets is not None:
+        iou_matrix = _pairwise_overlap_varshape(
+            masks, offsets, boxes, intersection_over_min)
+    elif intersection_over_min:
+        masks = np.asarray(masks)
         iou_matrix = _calculate_iomin_between_pred_masks(masks, boxes)
     else:
+        masks = np.asarray(masks)
         iou_matrix = _calculate_ious_between_pred_masks(masks, boxes)
     sorted_indices = np.argsort(-scores, kind="stable")
     keep = []
@@ -1053,8 +1097,12 @@ def apply_nms(
     if len(predictions) == 0:
         return np.zeros(shape if shape is not None else (1, 1), dtype="uint32")
 
+    mask_list = [np.asarray(pred["segmentation"]) for pred in predictions]
+    uniform = len({m.shape for m in mask_list}) == 1
     data = MaskData(
-        masks=np.stack([np.asarray(pred["segmentation"]) for pred in predictions]),
+        # tiled predictions from unequal (border) tiles can't stack; the NMS
+        # path below then works on the list with per-mask frame offsets
+        masks=np.stack(mask_list) if uniform else mask_list,
         iou_preds=np.array([pred["predicted_iou"] for pred in predictions]),
     )
     data["boxes"] = np.array([pred["bbox"] for pred in predictions])
@@ -1088,9 +1136,17 @@ def apply_nms(
         assert not intersection_over_min  # not implemented
         keep_by_nms = batched_nms(nms_boxes, scores, None, iou_threshold=nms_thresh)
     else:
+        # tiled masks live in their tile frames: compare them at GLOBAL
+        # coordinates by shifting each mask by its frame offset
+        # (global_bbox - local bbox)
+        offsets = None
+        if is_tiled:
+            offsets = (np.asarray(data["global_boxes"])[:, :2]
+                       - np.asarray(data["boxes"])[:, :2]).astype(np.int64)
         keep_by_nms = _batched_mask_nms(
             masks=data["masks"], boxes=nms_boxes, scores=scores,
             nms_thresh=nms_thresh, intersection_over_min=intersection_over_min,
+            offsets=offsets,
         )
     data.filter(keep_by_nms)
 

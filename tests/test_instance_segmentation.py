@@ -184,3 +184,37 @@ def test_generator_factory(tiny_setup, tiny_decoder):
     )
     with pytest.raises(ValueError):
         iseg.get_instance_segmentation_generator(predictor, is_tiled=False, segmentation_mode="bad")
+
+
+def test_tiled_apg_refine_and_state(tiny_setup, tiny_decoder, tmp_path):
+    """Tiled APG: box-prompt refinement round and state round trip (both
+    raise NotImplementedError in the reference, instance_segmentation.py:1606,1623)."""
+    import pickle
+    from micro_sam_tpu.instance_segmentation import TiledAutomaticPromptGenerator
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    predictor, _, _ = tiny_setup
+    image = (np.random.RandomState(5).rand(300, 260) * 255).astype(np.uint8)
+    emb = precompute_image_embeddings(
+        predictor, image, tile_shape=(150, 150), halo=(16, 16), verbose=False,
+    )
+    apg = TiledAutomaticPromptGenerator(predictor, tiny_decoder)
+    apg.initialize(image, image_embeddings=emb, batch_size=2)
+
+    def prompt_function(foreground, center_distances, boundary_distances, **kwargs):
+        pts = np.array([[[60.0, 60.0]], [[200.0, 128.0]], [[100.0, 250.0]]])
+        return {"points": pts, "point_labels": np.ones((3, 1))}
+
+    refined = apg.generate(
+        min_size=0, prompt_function=prompt_function, refine_with_box_prompts=True)
+    assert refined.shape == image.shape
+    assert refined.dtype == np.uint32
+
+    # state round trip (in-memory embeddings serialize with the state)
+    state = pickle.loads(pickle.dumps(apg.get_state()))
+    assert state["image_embeddings"] is not None
+    apg2 = TiledAutomaticPromptGenerator(predictor, tiny_decoder)
+    apg2.set_state(state)
+    out1 = apg.generate(min_size=0, prompt_function=prompt_function)
+    out2 = apg2.generate(min_size=0, prompt_function=prompt_function)
+    assert np.array_equal(out1, out2)

@@ -171,3 +171,31 @@ def test_windowed_run_layout_equivalence():
 
     assert np.allclose(np.asarray(out_fused), np.asarray(ref), atol=1e-5), \
         np.abs(np.asarray(out_fused) - np.asarray(ref)).max()
+
+
+def test_vit_t_export_roundtrip():
+    """vit_t (TinyViT) torch export -> reimport gives back identical params
+    (unblocks export_custom_sam_model / bioimageio packaging for vit_t)."""
+    import jax
+    import numpy as np
+    from micro_sam_tpu.models.build_sam import get_config
+    from micro_sam_tpu.models.convert import (
+        convert_sam_state_dict, export_torch_state_dict)
+    from micro_sam_tpu.models.sam import init_sam_params
+
+    cfg = get_config("vit_t")
+    params = init_sam_params(jax.random.PRNGKey(11), cfg)
+    sd = export_torch_state_dict(params, cfg)
+    assert any(k.startswith("image_encoder.layers.1.blocks.0.attn.qkv")
+               for k in sd), sorted(sd)[:5]
+
+    cfg2, params2 = convert_sam_state_dict(sd, cfg)
+    flat1 = jax.tree.leaves(params["image_encoder"])
+    flat2 = jax.tree.leaves(params2["image_encoder"])
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # decoder/prompt-encoder shared path round-trips too
+    for a, b in zip(jax.tree.leaves(params["mask_decoder"]),
+                    jax.tree.leaves(params2["mask_decoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

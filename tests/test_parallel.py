@@ -267,14 +267,18 @@ def test_production_trainer_meshed_step(tmp_path):
     loader = [(imgs, labels)]
 
     def train(mesh):
+        from micro_sam_tpu.training.util import ConvertToSamInputs
         model = TrainableSAM(Sam(cfg, init_sam_params(jax.random.PRNGKey(0), cfg)))
         # n_sub_iteration=1: corrective points picked by Gumbel-ARGMAX feed
         # later rounds, so any f32 matmul-reordering under tensor sharding
         # can flip a discrete pixel choice and diverge the trajectory; one
-        # round compares the meshed numerics themselves
+        # round compares the meshed numerics themselves. The prompt sampler
+        # is seeded so both runs see identical prompts.
         tr = SamTrainer(
             name="m", train_loader=loader, val_loader=loader, model=model,
             n_sub_iteration=1, n_objects_per_batch=2,
+            convert_inputs=ConvertToSamInputs(
+                box_distortion_factor=0.025, rng=np.random.RandomState(17)),
             save_root=str(tmp_path / ("meshed" if mesh is not None else "single")),
             mesh=mesh, seed=0,
         )
