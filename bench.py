@@ -108,15 +108,25 @@ def run_bench():
             ppb = 256
             # warmup one batch
             decoder_amg(grid_pts[:ppb])
+            # end-to-end rate with the production pipeline: device decodes
+            # batch i+1 while a worker thread pulls batch i's packed masks
+            # and the main thread runs the C++ RLE on them
+            from concurrent import futures as _futures
+            chunks = [grid_pts[s:s + ppb]
+                      for s in range(0, len(grid_pts) - ppb + 1, ppb)]
             t0 = time.perf_counter()
             n_masks = 0
-            for s in range(0, len(grid_pts), ppb):
-                chunk = grid_pts[s:s + ppb]
-                if len(chunk) < ppb:
-                    break
-                packed, iou, stab, boxes = decoder_amg(chunk)
-                rles = native.rle_from_packed(packed, 1024, 1024)
-                n_masks += len(rles)
+            with _futures.ThreadPoolExecutor(max_workers=1) as fetcher:
+                queue = []
+                for chunk in chunks:
+                    queue.append(fetcher.submit(
+                        _AmgDecoder.fetch, decoder_amg.dispatch(chunk)))
+                    if len(queue) > 1:
+                        packed, iou, stab, boxes = queue.pop(0).result()
+                        n_masks += len(native.rle_from_packed(packed, 1024, 1024))
+                for fut in queue:
+                    packed, iou, stab, boxes = fut.result()
+                    n_masks += len(native.rle_from_packed(packed, 1024, 1024))
             amg_dt = time.perf_counter() - t0
             amg_masks_per_sec = n_masks / amg_dt
 
@@ -130,17 +140,16 @@ def run_bench():
                 [np.ones((ppb, 1), np.int32), -np.ones((ppb, 1), np.int32)], axis=1))
             feats_d = jnp.broadcast_to(feats[:1], (ppb,) + feats.shape[1:])
             n_batches = 8
+            # statics are positional (the jit uses static_argnums)
             _, iou_d, _, _ = decoder_amg._jit(
                 params, feats_d, pts_d, lbl_d,
-                mask_threshold=2.0, stability_offset=1.0,
-                input_size=(1024, 1024), original_size=(1024, 1024))
+                2.0, 1.0, (1024, 1024), (1024, 1024))
             float(jnp.sum(iou_d))
             t0 = time.perf_counter()
             for _ in range(n_batches):
                 _, iou_d, _, _ = decoder_amg._jit(
                     params, feats_d, pts_d, lbl_d,
-                    mask_threshold=2.0, stability_offset=1.0,
-                    input_size=(1024, 1024), original_size=(1024, 1024))
+                    2.0, 1.0, (1024, 1024), (1024, 1024))
             float(jnp.sum(iou_d))
             amg_device_masks_per_sec = n_batches * ppb * 3 / (time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001

@@ -82,6 +82,87 @@ DATASET_CONTAINER_KEYS = {
 
 DEFAULT_SEGMENTATION_MODE_WITH_DECODER = "ais"
 
+# torch_em downloader spec: {dataset: (module, getter, subdir, kwargs)} —
+# the per-dataset plumbing of reference benchmark_datasets.py:122-242,
+# table-driven instead of 30 lambdas. Only used when torch_em is importable
+# (this environment is zero-egress; local data is discovered instead).
+_TORCH_EM_DOWNLOADERS = {
+    "livecell": ("livecell", "get_livecell_data", "livecell", {}),
+    "deepbacs": ("deepbacs", "get_deepbacs_data", "deepbacs", {"bac_type": "mixed"}),
+    "tissuenet": ("tissuenet", "get_tissuenet_data", "tissuenet", {"split": "test"}),
+    "neurips_cellseg": ("neurips_cell_seg", "get_neurips_cellseg_data",
+                        "neurips_cellseg", {"split": "test", "_root_arg": True}),
+    "cellpose": ("cellpose", "get_cellpose_data", "cellpose",
+                 {"split": "train", "choice": "cyto2"}),
+    "dynamicnuclearnet": ("dynamicnuclearnet", "get_dynamicnuclearnet_data",
+                          "dynamicnuclearnet", {"split": "test"}),
+    "orgasegment": ("orgasegment", "get_orgasegment_data", "orgasegment", {"split": "eval"}),
+    "yeaz": ("yeaz", "get_yeaz_data", "yeaz", {"choice": "bf"}),
+    "arvidsson": ("arvidsson", "get_arvidsson_data", "arvidsson", {"split": "test"}),
+    "bitdepth_nucseg": ("bitdepth_nucseg", "get_bitdepth_nucseg_data", "bitdepth_nucseg", {}),
+    "cellbindb": ("cellbindb", "get_cellbindb_data", "cellbindb", {}),
+    "covid_if": ("covid_if", "get_covid_if_data", "covid_if", {}),
+    "deepseas": ("deepseas", "get_deepseas_data", "deepseas",
+                 {"split": "test", "_no_download": True}),
+    "hpa": ("hpa", "get_hpa_segmentation_data", "hpa", {}),
+    "ifnuclei": ("ifnuclei", "get_ifnuclei_data", "ifnuclei", {}),
+    "lizard": ("lizard", "get_lizard_data", "lizard", {"split": "test"}),
+    "organoidnet": ("organoidnet", "get_organoidnet_data", "organoidnet", {"split": "Test"}),
+    "toiam": ("toiam", "get_toiam_data", "toiam", {}),
+    "vicar": ("vicar", "get_vicar_data", "vicar", {}),
+    "plantseg_root": ("plantseg", "get_plantseg_data", "plantseg_root",
+                      {"split": "test", "name": "root"}),
+    "plantseg_ovules": ("plantseg", "get_plantseg_data", "plantseg_ovules",
+                        {"split": "test", "name": "ovules"}),
+    "gonuclear": ("gonuclear", "get_gonuclear_data", "gonuclear", {}),
+    "mouse_embryo": ("mouse_embryo", "get_mouse_embryo_data", "mouse_embryo", {}),
+    "cellseg_3d": ("cellseg_3d", "get_cellseg_3d_data", "cellseg_3d", {}),
+    "mitolab_tem": ("cem", "get_benchmark_data", "mitolab", {"dataset_id": 7}),
+    "lucchi": ("lucchi", "get_lucchi_data", "lucchi", {"split": "test"}),
+    "uro_cell": ("uro_cell", "get_uro_cell_data", "uro_cell", {}),
+    "vnc": ("vnc", "get_vnc_data", "vnc", {}),
+    "sponge_em": ("sponge_em", "get_sponge_em_data", "sponge_em", {}),
+    "nuc_mm_mouse": ("nuc_mm", "get_nuc_mm_data", "nuc_mm", {"sample": "mouse"}),
+    "nuc_mm_zebrafish": ("nuc_mm", "get_nuc_mm_data", "nuc_mm", {"sample": "zebrafish"}),
+    "platynereis_cilia": ("platynereis", "get_platynereis_data", "platynereis",
+                          {"name": "cilia"}),
+}
+
+
+def ensure_benchmark_datasets(path: str, dataset_choice: List[str]) -> None:
+    """Fetch datasets through torch_em when it is installed; otherwise this
+    is a no-op and local data is validated at discovery time (reference
+    _download_benchmark_datasets, benchmark_datasets.py:111)."""
+    try:
+        from torch_em.data import datasets as te_datasets
+    except ImportError:
+        return
+    for choice in dataset_choice:
+        spec = _TORCH_EM_DOWNLOADERS.get(choice)
+        if spec is None:
+            continue
+        module_name, getter, subdir, kwargs = spec
+        kwargs = dict(kwargs)
+        target = os.path.join(path, subdir)
+        call_kwargs = {}
+        if not kwargs.pop("_no_download", False):
+            call_kwargs["download"] = True
+        root_arg = kwargs.pop("_root_arg", False)
+        call_kwargs["root" if root_arg else "path"] = target
+        call_kwargs.update(kwargs)
+        if choice == "mitolab_3d":
+            continue  # multi-id dataset handled below
+        getattr(getattr(te_datasets, module_name), getter)(**call_kwargs)
+    if "mitolab_3d" in dataset_choice:
+        for dataset_id in (1, 2, 3, 4, 5, 6):
+            te_datasets.cem.get_benchmark_data(
+                path=os.path.join(path, "mitolab"), dataset_id=dataset_id,
+                download=True)
+    if "asem_mito" in dataset_choice:
+        te_datasets.asem.get_asem_data(
+            path=os.path.join(path, "asem"),
+            volume_ids=te_datasets.asem.ORGANELLES["mito"], download=True)
+
 
 @contextmanager
 def _filter_warnings(ignore_warnings):
@@ -463,6 +544,7 @@ def run_benchmark_evaluations(
         dataset_choice = DATASETS
     elif isinstance(dataset_choice, str):
         dataset_choice = [dataset_choice]
+    ensure_benchmark_datasets(str(input_folder), dataset_choice)
 
     with _filter_warnings(ignore_warnings):
         for choice in dataset_choice:

@@ -229,26 +229,31 @@ class AutomaticMaskGenerator(AMGBase):
                     "Pass exactly one of points_per_side or point_grids.")
             self.point_grids = point_grids
 
-    def _process_batch(self, points, im_size, crop_box, original_size):
-        # Device-side fast path: decode + threshold + stability + boxes +
-        # bit-packing in ONE jit program; only packed bool masks reach the
-        # host (~32x less transfer than float masks).
+    def _get_amg_decoder(self):
         from .predictor import _AmgDecoder
         if self._amg_decoder is None or self._amg_decoder.predictor is not self._predictor:
             self._amg_decoder = _AmgDecoder(self._predictor, self._stability_score_offset)
+        return self._amg_decoder
 
+    def _dispatch_batch(self, points, im_size):
+        """Launch the device-side fast path asynchronously: decode +
+        threshold + stability + boxes + bit-packing in ONE jit program; only
+        packed bool masks reach the host (~32x less transfer than float
+        masks). Returns device handles for _consume_batch."""
         transformed = self._predictor.transform.apply_coords(points, im_size)
-        packed, iou_preds, stability, boxes = self._amg_decoder(
-            transformed.astype(np.float32)
-        )
+        return self._get_amg_decoder().dispatch(transformed.astype(np.float32))
 
+    def _consume_batch(self, results, points, crop_box, original_size):
+        """Host side of one batch: RLE from the fetched packed bitstream +
+        MaskData assembly. ``results`` are numpy arrays (already fetched)."""
+        packed, iou_preds, stability, boxes = results
         orig_h, orig_w = original_size
         crop_h, crop_w = self._predictor.original_size
         C = iou_preds.shape[1]
-        data = MaskData(iou_preds=np.asarray(iou_preds).reshape(-1))
+        data = MaskData(iou_preds=iou_preds.reshape(-1))
         data["points"] = np.repeat(np.asarray(points), C, axis=0).astype(np.float64)
-        data["stability_score"] = np.asarray(stability).reshape(-1)
-        data["boxes"] = np.asarray(boxes).reshape(-1, 4)
+        data["stability_score"] = stability.reshape(-1)
+        data["boxes"] = boxes.reshape(-1, 4)
 
         is_full_frame = (crop_box == [0, 0, orig_w, orig_h]) or \
             (tuple(crop_box) == (0, 0, orig_w, orig_h))
@@ -262,9 +267,26 @@ class AutomaticMaskGenerator(AMGBase):
             data["rles"] = amg_utils.batched_mask_to_rle(masks)
         return data
 
+    def _process_batch(self, points, im_size, crop_box, original_size):
+        """Synchronous decode of one point batch (dispatch + fetch + RLE)."""
+        handles = self._dispatch_batch(points, im_size)
+        from .predictor import _AmgDecoder
+        return self._consume_batch(
+            _AmgDecoder.fetch(handles), points, crop_box, original_size)
+
     def _process_crop(self, image, crop_box, crop_layer_idx, precomputed_embeddings,
                       pbar_init=None, pbar_update=None):
-        """Decode the full point grid of one crop, batch by batch."""
+        """Decode the full point grid of one crop, batch by batch.
+
+        Three-stage pipeline per batch: the device decodes batch i+1 while a
+        worker thread pulls batch i's packed masks over the transfer link and
+        the main thread runs the C++ RLE on batch i-1 — the host-side
+        transfer+RLE chain was 23x the device decode cost end-to-end, so
+        overlapping them is where AMG wall-clock goes.
+        """
+        from concurrent import futures as _futures
+        from .predictor import _AmgDecoder
+
         x0, y0, x1, y1 = crop_box
         crop = image[y0:y1, x0:x1, :]
         crop_hw = crop.shape[:2]
@@ -273,16 +295,29 @@ class AutomaticMaskGenerator(AMGBase):
 
         # grid is unit-square; scale to crop pixels (xy order)
         grid_xy = self.point_grids[crop_layer_idx] * np.array(crop_hw)[None, ::-1]
-
-        per_batch = self._points_per_batch
+        batches = [pts for (pts,) in amg_utils.batch_iterator(
+            self._points_per_batch, grid_xy)]
         if pbar_init is not None:
-            pbar_init(-(-len(grid_xy) // per_batch), "Predict masks for point grid prompts")
+            pbar_init(len(batches), "Predict masks for point grid prompts")
 
         data = MaskData()
-        for (points,) in amg_utils.batch_iterator(per_batch, grid_xy):
-            data.cat(self._process_batch(points, crop_hw, crop_box, self.original_size))
-            if pbar_update is not None:
-                pbar_update(1)
+        with _futures.ThreadPoolExecutor(max_workers=1) as fetcher:
+            fetch_queue = []  # (future over fetched arrays, points)
+            for points in batches:
+                handles = self._dispatch_batch(points, crop_hw)
+                fetch_queue.append(
+                    (fetcher.submit(_AmgDecoder.fetch, handles), points))
+                if len(fetch_queue) > 1:
+                    fut, pts = fetch_queue.pop(0)
+                    data.cat(self._consume_batch(
+                        fut.result(), pts, crop_box, self.original_size))
+                    if pbar_update is not None:
+                        pbar_update(1)
+            for fut, pts in fetch_queue:
+                data.cat(self._consume_batch(
+                    fut.result(), pts, crop_box, self.original_size))
+                if pbar_update is not None:
+                    pbar_update(1)
 
         if not precomputed_embeddings:
             self._predictor.reset_image()

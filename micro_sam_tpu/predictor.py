@@ -383,9 +383,21 @@ class _AmgDecoder:
     def __call__(self, points_xy: np.ndarray) -> tuple:
         """points_xy: (B, 2) transformed (1024-frame) xy coords.
 
-        Returns numpy (bool_masks (B, 3, H, W), iou (B, 3), stability (B, 3),
-        boxes (B, 3, 4)).
+        Returns numpy (packed_masks (B*3, W, ceil(H/8)), iou (B, 3),
+        stability (B, 3), boxes (B, 3, 4)).
         """
+        return self.fetch(self.dispatch(points_xy))
+
+    @staticmethod
+    def fetch(handles: tuple) -> tuple:
+        """Pull dispatched device results to the host. Safe to call from a
+        worker thread, which is how the AMG loop overlaps this transfer with
+        host-side RLE of the previous batch."""
+        return tuple(np.asarray(h) for h in handles)
+
+    def dispatch(self, points_xy: np.ndarray) -> tuple:
+        """Launch the decode program asynchronously; returns device arrays
+        (fetch() materializes them)."""
         import functools
         import jax
         import jax.numpy as jnp
@@ -437,4 +449,4 @@ class _AmgDecoder:
             iou, stability, boxes = iou[:true_b], stability[:true_b], boxes[:true_b]
         # packed: (B*3, W, ceil(H/8)) Fortran-order bitstreams (see
         # native.rle_from_packed); stays packed — RLE reads the bits directly.
-        return np.asarray(packed), np.asarray(iou), np.asarray(stability), np.asarray(boxes)
+        return packed, iou, stability, boxes
