@@ -83,6 +83,42 @@ def main():
     float(chk)
     out["global_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 2)
 
+    # window-STACK kernel at vit_b window geometry (NW=25, N=196, C=768)
+    from micro_sam_tpu.ops.fused_window_block import (
+        fused_window_stack, window_stack_config)
+    Wn = 14
+    Nw = Wn * Wn
+    NW = 25
+    bw = init_block(jax.random.PRNGKey(4), C, nH, 4.0, (Wn, Wn), use_rel_pos=True)
+    bw["attn"]["rel_pos_h"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), bw["attn"]["rel_pos_h"].shape)
+    bw["attn"]["rel_pos_w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(6), bw["attn"]["rel_pos_w"].shape)
+    bw = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bw)
+    assert window_stack_config(NW, Nw, C, 4 * C, jnp.bfloat16) is not None
+    xw = jax.random.normal(jax.random.PRNGKey(7), (B * NW, Nw, C), jnp.bfloat16)
+
+    fws = jax.jit(lambda x_, p_: fused_window_stack(x_, None, p_, (Wn, Wn), nH, B))
+    t0 = time.perf_counter()
+    yw = np.asarray(fws(xw, bw)).astype(np.float32)
+    out["wstack_compile_s"] = round(time.perf_counter() - t0, 1)
+    refw = np.asarray(jax.jit(
+        lambda x_, p_: _unfused_reference(x_, None, p_, (Wn, Wn), nH))(xw, bw)
+    ).astype(np.float32)
+    out["wstack_rel_err"] = float(
+        np.abs(yw - refw).max() / max(np.abs(refw).max(), 1e-6))
+
+    def wstep(c, _):
+        return fused_window_stack(c, None, bw, (Wn, Wn), nH, B), ()
+    reps = 10
+    timedw = jax.jit(lambda x_: jnp.sum(
+        jax.lax.scan(wstep, x_, (), length=reps)[0].astype(jnp.float32)))
+    float(timedw(xw))
+    t0 = time.perf_counter()
+    chk = timedw(xw)
+    float(chk)
+    out["wstack_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 2)
+
     if args.full_encoder:
         from micro_sam_tpu.models.build_sam import get_config
         from micro_sam_tpu.models.sam import init_sam_params, Sam, preprocess
@@ -107,7 +143,7 @@ def main():
 
     # bf16 kernel vs bf16 reference at matched dtype: expect ~1e-1 absolute
     # on O(30) outputs (bf16 has ~2-3 decimal digits); gate on relative err
-    out["ok"] = out["rel_err"] < 2e-2
+    out["ok"] = out["rel_err"] < 2e-2 and out["wstack_rel_err"] < 2e-2
     print(json.dumps(out))
     return 0 if out["ok"] else 1
 

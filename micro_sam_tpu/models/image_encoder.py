@@ -303,13 +303,29 @@ def apply_image_encoder(
             valid, _ = window_partition(jnp.ones((x.shape[0], H, W, 1), x.dtype), window_size)
         use_fused = _USE_FUSED_BLOCK and not remat and _on_tpu()
         if use_fused:
-            # whole windowed block as ONE Pallas program per window (see
+            # whole windowed block as ONE Pallas program (see
             # ops/fused_window_block.py) — the unfused path spends more HBM
-            # bandwidth on layout copies than on the math
-            from ..ops.fused_window_block import fused_window_block
+            # bandwidth on layout copies than on the math. The window-STACK
+            # variant grids per (image, head) so the qkv/proj/MLP gemms run
+            # over all the image's windows at once (full MXU rows); the
+            # per-window kernel is the fallback for geometries it can't take.
+            from ..ops.fused_window_block import (
+                fused_window_block, fused_window_stack, window_stack_config)
             BWn, ws = xw.shape[0], window_size
             xw2 = xw.reshape(BWn, ws * ws, -1)
             valid2 = valid.reshape(BWn, ws * ws, 1) if needs_mask else None
+            n_images = x.shape[0]
+            hidden = p["blocks"][i]["mlp"]["lin1"]["w"].shape[-1]
+            # the stack kernel measured SLOWER at vit_b geometry (12.2 vs
+            # 8.9 ms/batch-8 block on v5e: the per-window grid's cross-
+            # program pipelining beats its full-occupancy gemms), so it is
+            # opt-in — kept for chips/geometries where the tradeoff flips
+            import os as _os
+            stack_ok = (_os.environ.get("MSAM_TPU_WINDOW_STACK", "0") == "1"
+                        and BWn % n_images == 0
+                        and window_stack_config(
+                            BWn // n_images, ws * ws, xw2.shape[-1], hidden,
+                            xw2.dtype) is not None)
             for k in range(i, j):
                 bp = prep_block(p["blocks"][k])
                 if "lora" in bp["attn"] or "fact" in bp["attn"] \
@@ -322,6 +338,9 @@ def apply_image_encoder(
                         bp["attn"], a.reshape(BWn, ws, ws, -1), num_heads)
                     xw2 = xw2 + att.reshape(BWn, ws * ws, -1)
                     xw2 = _mlp_half(bp, xw2)
+                elif stack_ok:
+                    xw2 = fused_window_stack(
+                        xw2, valid2, bp, (ws, ws), num_heads, n_images)
                 else:
                     xw2 = fused_window_block(xw2, valid2, bp, (ws, ws), num_heads)
             xw = xw2.reshape(BWn, ws, ws, -1)

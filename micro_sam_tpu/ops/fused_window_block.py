@@ -604,3 +604,294 @@ def _fgb_bwd(hw, num_heads, res, g):
 
 
 fused_global_block.defvjp(_fgb_fwd, _fgb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused WINDOW-STACK transformer block: one grid step per (image, head) over
+# ALL of the image's windows. The per-window kernel above runs its qkv/proj/
+# MLP gemms on 196 rows (one window) — ~26% MXU occupancy; here those gemms
+# run over the full window stack (25 x 196 = 4900 rows for 1024^2 inputs) and
+# only the (196, 196) attention cores loop per window.
+# ---------------------------------------------------------------------------
+
+def _fused_window_stack_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref,
+                               w3h_ref, b3h_ref, rhx_ref, rwx_ref,
+                               wph_ref, bp_ref, ln2s_ref, ln2b_ref,
+                               w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                               a_scr, o_acc, q_scr, k_scr, v_scr, *,
+                               num_heads: int, w: int, scale: float,
+                               eps: float, masked: bool,
+                               block_g: int, block_m: int):
+    """block_g: gemm chunk in WINDOWS (large for MXU occupancy); block_m: MLP
+    chunk in WINDOWS (the (rows, hidden) f32 temp bounds it). All scratches
+    are (NW, N, ...) 3d so every dynamic index rides the unconstrained
+    leading dim — N=196 rows are not sublane-tile aligned, so flat (NW*N, ..)
+    scratches with wi*N offsets fail Mosaic's alignment rules."""
+    h = pl.program_id(1)
+    _, nw, n, c = x_ref.shape
+    hd = q_scr.shape[2]
+
+    @pl.when(h == 0)
+    def _prepare():
+        def ln1_body(wi, _):
+            x = x_ref[0, wi].astype(jnp.float32)          # (N, C)
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.var(x, axis=-1, keepdims=True)
+            a = (x - mean) * jax.lax.rsqrt(var + eps)
+            a = a * ln1s_ref[0] + ln1b_ref[0]
+            if masked:
+                a = a * valid_ref[0, wi].astype(jnp.float32)
+            a_scr[wi] = a.astype(a_scr.dtype)
+            o_acc[wi] = jnp.zeros((n, c), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nw, ln1_body, 0)
+
+    fast = x_ref.dtype == jnp.bfloat16
+    cdt = jnp.bfloat16 if fast else jnp.float32
+
+    # qkv over big window chunks — full MXU occupancy is the point here
+    def qkv_body(gi, _):
+        wins = pl.ds(gi * block_g, block_g)
+        ac = a_scr[wins].reshape(block_g * n, c)
+        q = jax.lax.dot_general(
+            ac, w3h_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3h_ref[0, 0]
+        k = jax.lax.dot_general(
+            ac, w3h_ref[0, 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3h_ref[0, 1]
+        v = jax.lax.dot_general(
+            ac, w3h_ref[0, 2], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3h_ref[0, 2]
+        q_scr[wins] = q.reshape(block_g, n, hd)
+        k_scr[wins] = k.reshape(block_g, n, hd).astype(k_scr.dtype)
+        v_scr[wins] = v.reshape(block_g, n, hd).astype(v_scr.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nw // block_g, qkv_body, 0)
+
+    rhx = rhx_ref[:]                                      # (w, hd, n) dt
+    rwx = rwx_ref[:]
+    wp = wph_ref[0]                                       # (hd, C)
+
+    def attn_body(wi, _):
+        qb = q_scr[wi]                                    # (N, hd) f32
+        q_rows = qb.reshape(w, w, hd).astype(cdt)
+        bias_h = jax.lax.dot_general(                     # (qy, qx, n)
+            q_rows, rhx.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, n)
+        bias_w = jax.lax.dot_general(                     # (qx, qy, n)
+            q_rows.transpose(1, 0, 2), rwx.astype(cdt),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).transpose(1, 0, 2).reshape(n, n)
+        kb = k_scr[wi]
+        vb = v_scr[wi]
+        logits = jax.lax.dot_general(
+            (qb * scale).astype(cdt), kb.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_h + bias_w
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        if fast:
+            pr = jnp.exp((logits - m).astype(jnp.bfloat16))
+            s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
+            ov = jax.lax.dot_general(
+                pr, vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / s)
+        else:
+            pr = jnp.exp(logits - m)
+            pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
+            ov = jax.lax.dot_general(
+                pr, vb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_acc[wi] = o_acc[wi] + jax.lax.dot_general(
+            ov.astype(x_ref.dtype), wp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nw, attn_body, 0)
+
+    @pl.when(h == num_heads - 1)
+    def _finish():
+        def mlp_body(mi, _):
+            wins = pl.ds(mi * block_m, block_m)
+            rows = block_m * n
+            xr = x_ref[0, wins].reshape(rows, c)
+            x1 = xr.astype(jnp.float32) \
+                + o_acc[wins].reshape(rows, c) + bp_ref[0]
+            mean2 = jnp.mean(x1, axis=-1, keepdims=True)
+            var2 = jnp.var(x1, axis=-1, keepdims=True)
+            b = (x1 - mean2) * jax.lax.rsqrt(var2 + eps)
+            b = (b * ln2s_ref[0] + ln2b_ref[0]).astype(x_ref.dtype)
+            h1 = jax.lax.dot_general(
+                b, w1_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b1_ref[0]
+            h1 = h1 * 0.5 * (1.0 + _erf_poly(h1 * 0.7071067811865476))
+            out = jax.lax.dot_general(
+                h1.astype(x_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2_ref[0]
+            o_ref[0, wins] = (x1 + out).reshape(
+                block_m, n, c).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, nw // block_m, mlp_body, 0)
+
+
+def window_stack_config(n_windows: int, n: int, c: int, hidden: int, dtype):
+    """(block_g rows, block_m windows) for the window-stack kernel, or None
+    when the geometry doesn't fit its constraints / scoped VMEM."""
+    if jnp.dtype(dtype).itemsize > 2 and jax.default_backend() != "cpu":
+        return None  # bf16 only on the real chip (f32 scratches won't fit);
+        # interpret mode (CPU tests) has no VMEM limit
+    tokens = n_windows * n
+    # gemm chunk in WINDOWS: the largest divisor of n_windows giving <= ~1280
+    # rows per chunk
+    block_g = None
+    for k in range(min(n_windows, max(1280 // n, 1)), 0, -1):
+        if n_windows % k == 0:
+            block_g = k
+            break
+    if block_g is None:
+        return None
+    # MLP chunk: bound the (rows, hidden) f32 temp to ~12 MB
+    block_m = max(1, min(n_windows, (12 * 2 ** 20 // 4) // max(hidden * n, 1)))
+    while n_windows % block_m:
+        block_m -= 1
+    # scoped-VMEM estimate (scratches + weights + the MLP temp), ~25% margin
+    scratch = tokens * c * (2 + 4) + tokens * 64 * (4 + 2 + 2)
+    weights = 2 * c * hidden * 2 + 2 * (n_windows and n) * 64 * n * 2
+    temps = block_m * n * hidden * 4 + block_g * n * c * 2 + 4 * tokens  # rough
+    io = 2 * n_windows * n * c * 2
+    if scratch + weights + temps + io > 80 * 1024 * 1024:
+        return None
+    return block_g, block_m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_window_stack(x, valid, bp_params, hw, num_heads, n_images):
+    """x: (B*NW, N, C) window-partitioned tokens of n_images images.
+    Pallas-fused with per-(image, head) grid; numerically the same block as
+    fused_window_block. Backward falls back to the unfused composition."""
+    return _fused_window_stack_forward(x, valid, bp_params, hw, num_heads, n_images)
+
+
+def _fused_window_stack_forward(x, valid, bp_params, hw, num_heads, n_images):
+    BW, N, C = x.shape
+    H, W = hw
+    assert N == H * W and H == W
+    assert BW % n_images == 0
+    NW = BW // n_images
+    hd = C // num_heads
+    dt = x.dtype
+    f32 = jnp.float32
+
+    att = bp_params["attn"]
+    w3 = att["qkv"]["w"].astype(dt).reshape(C, 3, num_heads, hd)
+    w3 = w3.transpose(2, 1, 0, 3)                        # (nh, 3, C, hd)
+    b3 = att["qkv"]["b"].astype(f32).reshape(3, num_heads, 1, hd)
+    b3 = b3.transpose(1, 0, 2, 3)
+    wp = att["proj"]["w"].astype(dt).reshape(num_heads, hd, C)
+    bpb = att["proj"]["b"].astype(f32).reshape(1, C)
+
+    from ..models.image_encoder import get_rel_pos
+    rh = get_rel_pos(H, H, att["rel_pos_h"])             # (w, w, hd)
+    rw = get_rel_pos(W, W, att["rel_pos_w"])
+    ky = jnp.arange(N) // W
+    kx = jnp.arange(N) % W
+    rhx = rh[:, ky, :].transpose(0, 2, 1).astype(dt)     # (qy, hd, n)
+    rwx = rw[:, kx, :].transpose(0, 2, 1).astype(dt)
+
+    ln1s = bp_params["norm1"]["scale"].astype(f32).reshape(1, C)
+    ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
+    ln2s = bp_params["norm2"]["scale"].astype(f32).reshape(1, C)
+    ln2b = bp_params["norm2"]["bias"].astype(f32).reshape(1, C)
+    mlp = bp_params["mlp"]
+    w1 = mlp["lin1"]["w"].astype(dt)
+    b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
+    w2 = mlp["lin2"]["w"].astype(dt)
+    b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
+    hidden = w1.shape[1]
+
+    cfg = window_stack_config(NW, N, C, hidden, dt)
+    assert cfg is not None, "gate on window_stack_config before calling"
+    block_g, block_m = cfg
+
+    masked = valid is not None
+    xs = x.reshape(n_images, NW, N, C)
+    if masked:
+        vs = valid.reshape(n_images, NW, N, 1)
+    else:
+        vs = jnp.ones((1, 1, N, 1), dt)
+
+    kernel = functools.partial(
+        _fused_window_stack_kernel, num_heads=num_heads, w=W,
+        scale=hd ** -0.5, eps=1e-6, masked=masked,
+        block_g=block_g, block_m=block_m)
+    interpret = jax.default_backend() == "cpu"
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i, h: (0,) * len(shape))
+    tokens = NW * N
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_images, num_heads),
+        in_specs=[
+            pl.BlockSpec((1, NW, N, C), lambda i, h: (i, 0, 0, 0)),
+            pl.BlockSpec((1, NW, N, 1), (lambda i, h: (i, 0, 0, 0)) if masked
+                         else (lambda i, h: (0, 0, 0, 0))),
+            const(1, C), const(1, C),
+            pl.BlockSpec((1, 3, C, hd), lambda i, h: (h, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 1, hd), lambda i, h: (h, 0, 0, 0)),
+            const(H, hd, N), const(W, hd, N),
+            pl.BlockSpec((1, hd, C), lambda i, h: (h, 0, 0)),
+            const(1, C),
+            const(1, C), const(1, C),
+            const(C, hidden), const(1, hidden),
+            const(hidden, C), const(1, C),
+        ],
+        out_specs=pl.BlockSpec((1, NW, N, C), lambda i, h: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_images, NW, N, C), dt),
+        scratch_shapes=[
+            pltpu.VMEM((NW, N, C), dt),                  # a = LN1(x)
+            pltpu.VMEM((NW, N, C), jnp.float32),         # proj accumulator
+            pltpu.VMEM((NW, N, hd), jnp.float32),        # per-head q
+            pltpu.VMEM((NW, N, hd), jnp.bfloat16 if dt == jnp.bfloat16
+                       else jnp.float32),                # per-head k
+            pltpu.VMEM((NW, N, hd), dt),                 # per-head v
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xs, vs, ln1s, ln1b, w3, b3, rhx, rwx, wp, bpb, ln2s, ln2b,
+      w1, b1, w2, b2)
+    return out.reshape(BW, N, C)
+
+
+def _fws_fwd(x, valid, bp_params, hw, num_heads, n_images):
+    return fused_window_stack(x, valid, bp_params, hw, num_heads, n_images), \
+        (x, valid, bp_params)
+
+
+def _fws_bwd(hw, num_heads, n_images, res, g):
+    x, valid, bp_params = res
+    if valid is None:
+        _, vjp = jax.vjp(
+            lambda x_, p_: _unfused_reference(x_, None, p_, hw, num_heads),
+            x, bp_params)
+        dx, dp = vjp(g)
+        return dx, None, dp
+    _, vjp = jax.vjp(
+        lambda x_, v_, p_: _unfused_reference(x_, v_, p_, hw, num_heads),
+        x, valid, bp_params)
+    return vjp(g)
+
+
+fused_window_stack.defvjp(_fws_fwd, _fws_bwd)

@@ -150,3 +150,46 @@ def test_fused_global_block_bf16_fast_softmax():
     relw = float(jnp.max(jnp.abs(yw.astype(jnp.float32) - refw))) / \
         float(jnp.max(jnp.abs(refw)))
     assert relw < 0.05, f"bf16 window fast-softmax drift {relw}"
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_window_stack_matches_unfused(masked):
+    """Window-STACK kernel (per-(image, head) grid over all windows) vs the
+    unfused composition, fwd and bwd."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops.fused_window_block import (
+        fused_window_stack, window_stack_config, _unfused_reference,
+    )
+
+    C, nH, W = 64, 2, 8
+    N = W * W
+    n_images, NW = 2, 4
+    BW = n_images * NW
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (W, W), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    # interpret mode runs the f32 path; force the config gate open by
+    # checking the bf16 shape then running f32 via the kernel's f32 branch
+    assert window_stack_config(NW, N, C, 4 * C, jnp.bfloat16) is not None
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (BW, N, C), jnp.float32)
+    valid = None
+    if masked:
+        valid = (jax.random.uniform(jax.random.PRNGKey(4), (BW, N, 1)) > 0.2
+                 ).astype(jnp.float32)
+
+    from micro_sam_tpu.ops import fused_window_block as fwb
+    y1 = fwb._fused_window_stack_forward(x, valid, bp, (W, W), nH, n_images)
+    y2 = _unfused_reference(x, valid, bp, (W, W), nH)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+    g1 = jax.grad(lambda x_, p_: jnp.sum(jnp.sin(
+        fused_window_stack(x_, valid, p_, (W, W), nH, n_images))),
+        argnums=(0, 1))(x, bp)
+    g2 = jax.grad(lambda x_, p_: jnp.sum(jnp.sin(
+        _unfused_reference(x_, valid, p_, (W, W), nH))), argnums=(0, 1))(x, bp)
+    err = max(float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)))
+    assert err < 5e-4
