@@ -1,5 +1,5 @@
 """Predefined experiment settings for evaluation
-(reference micro_sam/evaluation/experiments.py)."""
+(reference micro_sam/evaluation/experiments.py semantics)."""
 from __future__ import annotations
 
 from typing import Dict, List, Optional
@@ -7,55 +7,46 @@ from typing import Dict, List, Optional
 # The prompt settings for the experiments.
 ExperimentSetting = Dict
 
+_DEFAULT_POSITIVES = (1, 2, 4, 8, 16)
+_DEFAULT_NEGATIVES = (0, 1, 2, 4, 8, 16)
+_BOX_ONLY = {"use_points": False, "use_boxes": True,
+             "n_positives": 0, "n_negatives": 0}
+
+
+def _point_setting(n_pos: int, n_neg: int, with_boxes: bool = False) -> ExperimentSetting:
+    return {"use_points": True, "use_boxes": with_boxes,
+            "n_positives": n_pos, "n_negatives": n_neg}
+
 
 def full_experiment_settings(
     use_boxes: bool = False,
     positive_range: Optional[List[int]] = None,
     negative_range: Optional[List[int]] = None,
 ) -> List[ExperimentSetting]:
-    """The full experiment settings (reference experiments.py:13):
-    p in {1,2,4,8,16} x n in {0,...,16} (+ box settings)."""
-    experiment_settings = []
-    if use_boxes:
-        experiment_settings.append({"use_points": False, "use_boxes": True,
-                                    "n_positives": 0, "n_negatives": 0})
-
-    if positive_range is None:
-        positive_range = [1, 2, 4, 8, 16]
-    if negative_range is None:
-        negative_range = [0, 1, 2, 4, 8, 16]
-
-    for n_positives in positive_range:
-        for n_negatives in negative_range:
-            if n_positives == 0 and n_negatives == 0:
-                continue
-            experiment_settings.append({
-                "use_points": True, "use_boxes": use_boxes,
-                "n_positives": n_positives, "n_negatives": n_negatives,
-            })
-    return experiment_settings
+    """The full prompt-count grid (reference experiments.py:13):
+    p in {1,2,4,8,16} x n in {0,...,16}, plus the box setting when boxes are
+    enabled."""
+    grid = [
+        _point_setting(p, n, with_boxes=use_boxes)
+        for p in (positive_range or _DEFAULT_POSITIVES)
+        for n in (negative_range or _DEFAULT_NEGATIVES)
+        if (p, n) != (0, 0)
+    ]
+    return ([dict(_BOX_ONLY)] if use_boxes else []) + grid
 
 
 def default_experiment_settings() -> List[ExperimentSetting]:
     """The four default settings (reference experiments.py:51):
     p1-n0, p2-n4, p4-n8 and box."""
-    return [
-        {"use_points": True, "use_boxes": False, "n_positives": 1, "n_negatives": 0},
-        {"use_points": True, "use_boxes": False, "n_positives": 2, "n_negatives": 4},
-        {"use_points": True, "use_boxes": False, "n_positives": 4, "n_negatives": 8},
-        {"use_points": False, "use_boxes": True, "n_positives": 0, "n_negatives": 0},
-    ]
+    return [_point_setting(1, 0), _point_setting(2, 4), _point_setting(4, 8),
+            dict(_BOX_ONLY)]
 
 
 def get_experiment_setting_name(setting: ExperimentSetting) -> str:
     """Name for an experiment setting (reference experiments.py:69)."""
     use_points, use_boxes = setting["use_points"], setting["use_boxes"]
     assert use_points or use_boxes
-    prefix = "points" if use_points else "box"
-    if use_points:
-        pos, neg = setting["n_positives"], setting["n_negatives"]
-        name = f"p{pos}-n{neg}"
-        if use_boxes:
-            prefix = "box-and-points"
-        return f"{prefix}-{name}"
-    return prefix
+    if not use_points:
+        return "box"
+    prefix = "box-and-points" if use_boxes else "points"
+    return f"{prefix}-p{setting['n_positives']}-n{setting['n_negatives']}"

@@ -1,8 +1,8 @@
 """Prompt generators for training and evaluation.
 
-Counterpart of micro_sam/prompt_generators.py. Prompt sampling is host-side
-numpy (the coordinates then feed the jitted decode); the kornia dilation the
-reference uses becomes a scipy binary dilation.
+Counterpart of micro_sam/prompt_generators.py (same sampling semantics; the
+kornia dilation the reference uses becomes a scipy binary dilation). Prompt
+sampling is host-side numpy; the coordinates then feed the jitted decode.
 """
 from __future__ import annotations
 
@@ -10,6 +10,19 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 from scipy import ndimage
+
+
+def _sample_from_mask(rng, mask, size=1, replace=None):
+    """`size` (y, x[, z]) coordinates drawn uniformly from True pixels of
+    ``mask``; None when the mask is empty."""
+    flat = np.flatnonzero(mask)
+    if flat.size == 0:
+        return None
+    if replace is None:
+        replace = size > flat.size
+    picks = rng.choice(flat.size, size=size, replace=replace)
+    coords = np.unravel_index(flat[picks], mask.shape)
+    return np.stack(coords, axis=-1).astype(np.int64)
 
 
 class PromptGeneratorBase:
@@ -25,7 +38,7 @@ class PromptGeneratorBase:
 
 class PointAndBoxPromptGenerator(PromptGeneratorBase):
     """Generate point and/or box prompts from an instance segmentation
-    (reference prompt_generators.py:58).
+    (reference prompt_generators.py:58 semantics).
 
     Args:
         n_positive_points: Positive point prompts per mask.
@@ -54,89 +67,58 @@ class PointAndBoxPromptGenerator(PromptGeneratorBase):
         if not self.get_point_prompts and not self.get_box_prompts:
             raise ValueError("You need to request box prompts, point prompts or both.")
 
-    def _sample_positive_points(self, object_mask, center_coordinates, coord_list, label_list):
-        if center_coordinates is not None:
-            coord_list.append(tuple(map(int, center_coordinates)))
-            n_positive_remaining = self.n_positive_points - 1
-        else:
-            n_positive_remaining = self.n_positive_points
+    # -- per-object sampling ------------------------------------------------
 
-        if n_positive_remaining > 0:
-            object_coordinates = np.where(object_mask)
-            n_coordinates = len(object_coordinates[0])
-            indices = self._rng.choice(
-                n_coordinates, size=n_positive_remaining,
-                replace=n_positive_remaining > n_coordinates,
-            )
-            coord_list.extend([
-                [int(object_coordinates[0][idx]), int(object_coordinates[1][idx])]
-                for idx in indices
-            ])
+    def _positives(self, mask, center):
+        """n_positive_points inside the object; the provided center (if any)
+        is always the first one."""
+        out = [] if center is None else [tuple(int(v) for v in center)]
+        remaining = self.n_positive_points - len(out)
+        if remaining > 0:
+            sampled = _sample_from_mask(self._rng, mask, size=remaining)
+            if sampled is not None:
+                out.extend(tuple(pt) for pt in sampled)
+        return out
 
-        label_list.extend([1] * self.n_positive_points)
-        assert len(coord_list) == len(label_list) == self.n_positive_points
-        return coord_list, label_list
+    def _ring_region(self, mask, bbox):
+        """Background pixels inside the dilation-extended bbox but outside
+        the dilated object — where negatives carry signal."""
+        grown = ndimage.binary_dilation(
+            mask, structure=np.ones((3, 3)), iterations=self.dilation_strength
+        )
+        d = self.dilation_strength
+        h, w = mask.shape[-2:]
+        window = np.zeros_like(grown)
+        window[max(bbox[0] - d, 0):min(bbox[2] + d, h),
+               max(bbox[1] - d, 0):min(bbox[3] + d, w)] = True
+        return window & ~grown
 
-    def _sample_negative_points(self, object_mask, bbox_coordinates, coord_list, label_list):
+    def _negatives(self, mask, bbox):
         if self.n_negative_points == 0:
-            return coord_list, label_list
+            return []
+        ring = self._ring_region(mask, bbox)
+        n_avail = int(ring.sum())
+        if n_avail == 0:
+            return []
+        sampled = _sample_from_mask(
+            self._rng, ring, size=min(self.n_negative_points, n_avail),
+            replace=False)
+        return [tuple(pt) for pt in sampled]
 
-        # dilated ring around the object, restricted to the (dilated) bbox
-        dilated_object = ndimage.binary_dilation(
-            object_mask, structure=np.ones((3, 3)), iterations=self.dilation_strength
-        )
-        background_mask = np.zeros(object_mask.shape, dtype=bool)
-        _ds = self.dilation_strength
-        background_mask[
-            max(bbox_coordinates[0] - _ds, 0): min(bbox_coordinates[2] + _ds, object_mask.shape[-2]),
-            max(bbox_coordinates[1] - _ds, 0): min(bbox_coordinates[3] + _ds, object_mask.shape[-1]),
-        ] = True
-        background_mask = background_mask ^ (background_mask & dilated_object)
-
-        background_coordinates = np.where(background_mask)
-        n_coordinates = len(background_coordinates[0])
-        if n_coordinates == 0:
-            return coord_list, label_list
-        indices = self._rng.choice(
-            n_coordinates, replace=False,
-            size=min(self.n_negative_points, n_coordinates),
-        )
-        coord_list.extend([
-            [int(background_coordinates[0][idx]), int(background_coordinates[1][idx])]
-            for idx in indices
-        ])
-        label_list.extend([0] * len(indices))
-        return coord_list, label_list
-
-    def _ensure_num_points(self, object_mask, coord_list, label_list):
-        num_points = self.n_positive_points + self.n_negative_points
-        if len(coord_list) != num_points:
-            needed_points = num_points - len(coord_list)
-            more_neg_points = np.where(object_mask == 0)
-            indices = self._rng.choice(len(more_neg_points[0]), size=needed_points, replace=False)
-            coord_list.extend([
-                (int(more_neg_points[0][idx]), int(more_neg_points[1][idx])) for idx in indices
-            ])
-            label_list.extend([0] * needed_points)
-        assert len(coord_list) == len(label_list) == num_points
-        return coord_list, label_list
-
-    def _sample_points(self, segmentation, bbox_coordinates, center_coordinates):
-        all_coords, all_labels = [], []
-        center_coordinates = [None] * len(segmentation) if center_coordinates is None \
-            else center_coordinates
-        for object_mask, bbox_coords, center_coords in zip(
-                segmentation, bbox_coordinates, center_coordinates):
-            coord_list, label_list = [], []
-            coord_list, label_list = self._sample_positive_points(
-                object_mask[0], center_coords, coord_list, label_list)
-            coord_list, label_list = self._sample_negative_points(
-                object_mask[0], bbox_coords, coord_list, label_list)
-            coord_list, label_list = self._ensure_num_points(
-                object_mask[0], coord_list, label_list)
-            all_coords.append(coord_list)
-            all_labels.append(label_list)
-        return all_coords, all_labels
+    def _prompts_for_object(self, mask, bbox, center):
+        coords = self._positives(mask, center)
+        labels = [1] * len(coords)
+        coords += self._negatives(mask, bbox)
+        labels += [0] * (len(coords) - len(labels))
+        # top up with plain background points if the ring was too small
+        want = self.n_positive_points + self.n_negative_points
+        if len(coords) < want:
+            extra = _sample_from_mask(
+                self._rng, mask == 0, size=want - len(coords), replace=False)
+            coords += [tuple(pt) for pt in extra]
+            labels += [0] * len(extra)
+        assert len(coords) == len(labels) == want
+        return coords, labels
 
     def __call__(
         self,
@@ -148,125 +130,77 @@ class PointAndBoxPromptGenerator(PromptGeneratorBase):
         """Returns (point_coords (N, P, 2) xy, point_labels (N, P), boxes (N, 4)
         xyxy, None)."""
         segmentation = np.asarray(segmentation)
-        if self.get_point_prompts:
-            coord_list, label_list = self._sample_points(
-                segmentation, bbox_coordinates, center_coordinates)
-            # flip to the (x, y) order SAM expects
-            coord_list = np.array(coord_list)[:, :, ::-1].copy()
-            label_list = np.array(label_list)
-        else:
-            coord_list, label_list = None, None
 
+        points = labels = None
+        if self.get_point_prompts:
+            centers = center_coordinates or [None] * len(segmentation)
+            per_object = [
+                self._prompts_for_object(obj[0], bbox, center)
+                for obj, bbox, center in zip(segmentation, bbox_coordinates, centers)
+            ]
+            # flip (y, x) -> the (x, y) order SAM expects
+            points = np.array([c for c, _ in per_object])[:, :, ::-1].copy()
+            labels = np.array([l for _, l in per_object])
+
+        boxes = None
         if self.get_box_prompts:
-            bbox_list = np.array(bbox_coordinates)[:, [1, 0, 3, 2]]
-        else:
-            bbox_list = None
-        return coord_list, label_list, bbox_list, None
+            boxes = np.array(bbox_coordinates)[:, [1, 0, 3, 2]]  # yxyx -> xyxy
+        return points, labels, boxes, None
 
 
 class IterativePromptGenerator(PromptGeneratorBase):
     """Generate corrective point prompts from prediction-vs-GT differences
-    (reference prompt_generators.py:252): one positive point in the
+    (reference prompt_generators.py:252 semantics): one positive point in the
     false-negative region and one negative point in the false-positive region
     per object, with fallbacks for empty regions. 2d and 3d."""
 
     def __init__(self, rng: Optional[np.random.RandomState] = None):
         self._rng = rng or np.random
 
-    def _get_positive_points(self, pos_region, overlap_region, is_3d):
-        positive_locations = [np.where(pos_reg) for pos_reg in pos_region]
-        positive_locations = [
-            np.where(ovlp_reg) if len(pos_loc[0]) == 0 else pos_loc
-            for pos_loc, ovlp_reg in zip(positive_locations, overlap_region)
-        ]
-        # final fallback: a zero coordinate (degenerate empty object AND empty overlap)
-        positive_locations = [
-            tuple(np.zeros(1, dtype=np.int64) for _ in pos_loc) if len(pos_loc[0]) == 0 else pos_loc
-            for pos_loc in positive_locations
-        ]
-        sampled_indices = [self._rng.choice(len(pos_loc[0])) for pos_loc in positive_locations]
-        if is_3d:
-            pos_coordinates = [
-                [int(pos_loc[-1][idx]), int(pos_loc[-2][idx]), int(pos_loc[-3][idx])]
-                for pos_loc, idx in zip(positive_locations, sampled_indices)
-            ]
-        else:
-            pos_coordinates = [
-                [int(pos_loc[-1][idx]), int(pos_loc[-2][idx])]
-                for pos_loc, idx in zip(positive_locations, sampled_indices)
-            ]
-        assert len(pos_coordinates) == pos_region.shape[0]
-        return pos_coordinates, [1] * len(pos_coordinates)
+    def _pick_one(self, *candidate_regions):
+        """One (y, x[, z]) point from the first non-empty candidate region;
+        the origin as the degenerate last resort."""
+        for region in candidate_regions:
+            pt = _sample_from_mask(self._rng, region, size=1)
+            if pt is not None:
+                return pt[0]
+        return np.zeros(candidate_regions[0].ndim, dtype=np.int64)
 
-    def _get_negative_locations_in_obj_bbox(self, true_object, custom_df=3):
-        true_loc = np.where(true_object)
-        if len(true_loc[0]) == 0:
-            return np.where(true_object == 0)
-        bbox = (true_loc[1].min(), true_loc[2].min(), true_loc[1].max() + 1, true_loc[2].max() + 1)
-        bbox_mask = np.zeros(true_object.shape[-2:], dtype=bool)
-        bbox_mask[
-            max(bbox[0] - custom_df, 0): min(bbox[2] + custom_df, true_object.shape[-2]),
-            max(bbox[1] - custom_df, 0): min(bbox[3] + custom_df, true_object.shape[-1]),
-        ] = True
-        background_mask = bbox_mask[None] ^ (bbox_mask[None] & (true_object > 0))
-        return np.where(background_mask)
-
-    def _get_negative_points(self, neg_region, true_object, is_3d):
-        negative_locations = [np.where(neg_reg) for neg_reg in neg_region]
-        negative_locations = [
-            self._get_negative_locations_in_obj_bbox(true_obj) if len(neg_loc[0]) == 0 else neg_loc
-            for neg_loc, true_obj in zip(negative_locations, true_object)
-        ]
-        negative_locations = [
-            np.where(true_obj == 0) if len(neg_loc[0]) == 0 else neg_loc
-            for neg_loc, true_obj in zip(negative_locations, true_object)
-        ]
-        sampled_indices = [self._rng.choice(len(neg_loc[0])) for neg_loc in negative_locations]
-        if is_3d:
-            neg_coordinates = [
-                [int(neg_loc[-1][idx]), int(neg_loc[-2][idx]), int(neg_loc[-3][idx])]
-                for neg_loc, idx in zip(negative_locations, sampled_indices)
-            ]
-        else:
-            neg_coordinates = [
-                [int(neg_loc[-1][idx]), int(neg_loc[-2][idx])]
-                for neg_loc, idx in zip(negative_locations, sampled_indices)
-            ]
-        assert len(neg_coordinates) == neg_region.shape[0]
-        return neg_coordinates, [0] * len(neg_coordinates)
+    @staticmethod
+    def _bbox_ring(true_obj, margin=3):
+        """Background inside the margin-extended object bbox (the negative
+        fallback when there is no false-positive region)."""
+        if not true_obj.any():
+            return ~true_obj
+        obj_slices = ndimage.find_objects(true_obj.astype(np.uint8))[0]
+        h, w = true_obj.shape[-2:]
+        window = np.zeros_like(true_obj)
+        window[...,
+               max(obj_slices[-2].start - margin, 0):min(obj_slices[-2].stop + margin, h),
+               max(obj_slices[-1].start - margin, 0):min(obj_slices[-1].stop + margin, w)] = True
+        return window & ~true_obj
 
     def __call__(self, segmentation: np.ndarray, prediction: np.ndarray, **kwargs):
         """segmentation/prediction: (NUM_OBJECTS, 1, [Z,] H, W) float/bool.
 
         Returns (coords (N, 2, 2|3) xy[z], labels (N, 2), None, None)."""
-        segmentation = np.asarray(segmentation)
-        prediction = np.asarray(prediction)
+        segmentation = np.asarray(segmentation) > 0.5
+        prediction = np.asarray(prediction) > 0.5
         assert segmentation.shape == prediction.shape, \
             "The segmentation and prediction tensors should have the same shape."
-
-        if segmentation.ndim == 5:
-            is_3d = True
-        elif segmentation.ndim == 4:
-            is_3d = False
-        else:
+        if segmentation.ndim not in (4, 5):
             raise ValueError(
                 "The segmentation and prediction tensors should have either '4' or '5' dimensions."
             )
 
-        true_object = segmentation.astype(np.float32)
-        expected_diff = prediction.astype(np.float32) - true_object
-        neg_region = (expected_diff == 1)
-        pos_region = (expected_diff == -1)
-        overlap_region = np.logical_and(prediction == 1, true_object == 1)
+        coords, labels = [], []
+        for gt, pred in zip(segmentation, prediction):
+            missed = gt & ~pred          # false negatives -> positive prompt
+            spurious = pred & ~gt        # false positives -> negative prompt
+            pos = self._pick_one(missed, gt & pred)
+            neg = self._pick_one(spurious, self._bbox_ring(gt), ~gt)
+            # (..., y, x) -> (x, y[, z]): reverse, dropping the channel axis
+            coords.append([pos[:0:-1], neg[:0:-1]])
+            labels.append([1, 0])
 
-        pos_coordinates, pos_labels = self._get_positive_points(pos_region, overlap_region, is_3d)
-        neg_coordinates, neg_labels = self._get_negative_points(neg_region, true_object, is_3d)
-
-        pos_coordinates = np.asarray(pos_coordinates)[:, None]
-        neg_coordinates = np.asarray(neg_coordinates)[:, None]
-        pos_labels = np.asarray(pos_labels)[:, None]
-        neg_labels = np.asarray(neg_labels)[:, None]
-
-        net_coords = np.concatenate([pos_coordinates, neg_coordinates], axis=1)
-        net_labels = np.concatenate([pos_labels, neg_labels], axis=1)
-        return net_coords, net_labels, None, None
+        return np.asarray(coords, dtype=np.int64), np.asarray(labels), None, None

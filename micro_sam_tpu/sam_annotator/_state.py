@@ -1,11 +1,11 @@
-"""Process-wide annotator state singleton (reference sam_annotator/_state.py).
-
-Holds the predictor, image embeddings, AMG/AIS state, tracking lineage state
-and widget references. Framework-free — usable with or without napari.
+"""Process-wide annotator state singleton (reference sam_annotator/_state.py
+semantics). Holds the predictor, image embeddings, AMG/AIS state, tracking
+lineage state and widget references. Framework-free — usable with or without
+napari.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -22,6 +22,20 @@ class Singleton(type):
         if cls not in cls._instances:
             cls._instances[cls] = super().__call__(*args, **kwargs)
         return cls._instances[cls]
+
+
+def _all_or_none(name: str, parts) -> bool:
+    """True when every part is set, False when none is; a partially
+    initialized state is a bug worth failing loudly on."""
+    n_set = sum(p is not None for p in parts)
+    if n_set == len(parts):
+        return True
+    if n_set == 0:
+        return False
+    raise RuntimeError(
+        f"Invalid AnnotatorState ({name}): {n_set} of {len(parts)} parts "
+        "initialized, expected all or none."
+    )
 
 
 @dataclass
@@ -61,6 +75,10 @@ class AnnotatorState(metaclass=Singleton):
 
     annotator: Optional[Any] = None
 
+    # fields that survive reset_state (the widget registry is rebuilt by the
+    # GUI layer, not the state machine; flags keep their defaults)
+    _RESET_KEEP = ("widgets", "skip_recomputing_embeddings", "annotator")
+
     def initialize_predictor(
         self,
         image_data,
@@ -85,92 +103,61 @@ class AnnotatorState(metaclass=Singleton):
         assert ndim in (2, 3)
 
         if predictor is None:
-            state = {}
-            predictor, state = sam_util.get_sam_model(
+            predictor, model_state = sam_util.get_sam_model(
                 device=device, model_type=model_type,
                 checkpoint_path=checkpoint_path, return_state=True,
             )
-            if prefer_decoder and "decoder_state" in state:
-                decoder = get_decoder(decoder_state=state["decoder_state"], device=device)
-
+            if prefer_decoder and "decoder_state" in model_state:
+                decoder = get_decoder(
+                    decoder_state=model_state["decoder_state"], device=device)
         self.predictor = predictor
         self.decoder = decoder
+
         self.image_embeddings = sam_util.precompute_image_embeddings(
-            predictor=self.predictor,
-            input_=image_data,
-            save_path=save_path,
-            ndim=ndim,
-            tile_shape=tile_shape,
-            halo=halo,
-            pbar_init=pbar_init,
-            pbar_update=pbar_update,
+            predictor=self.predictor, input_=image_data, save_path=save_path,
+            ndim=ndim, tile_shape=tile_shape, halo=halo,
+            pbar_init=pbar_init, pbar_update=pbar_update,
         )
         self.embedding_path = save_path
         self.data_signature = sam_util._compute_data_signature(np.asarray(image_data))
 
         if precompute_amg_state:
-            from ..precompute_state import cache_amg_state, cache_is_state
-            if save_path is None:
-                raise RuntimeError(
-                    "Precomputation of the AMG state is only possible with a save_path."
-                )
-            if self.decoder is None:
-                self.amg = cache_amg_state(
-                    self.predictor, image_data, self.image_embeddings, save_path,
-                    verbose=False,
-                )
-            else:
-                self.amg = cache_is_state(
-                    self.predictor, self.decoder, image_data, self.image_embeddings,
-                    save_path, verbose=False,
-                )
+            self.amg = self._cache_auto_segmentation_state(image_data, save_path)
+
+    def _cache_auto_segmentation_state(self, image_data, save_path):
+        """Precompute + persist the AMG (no decoder) or AIS (with decoder)
+        state next to the embeddings."""
+        from ..precompute_state import cache_amg_state, cache_is_state
+        if save_path is None:
+            raise RuntimeError(
+                "Precomputation of the AMG state is only possible with a save_path."
+            )
+        if self.decoder is None:
+            return cache_amg_state(
+                self.predictor, image_data, self.image_embeddings, save_path,
+                verbose=False,
+            )
+        return cache_is_state(
+            self.predictor, self.decoder, image_data, self.image_embeddings,
+            save_path, verbose=False,
+        )
 
     def initialized_for_interactive_segmentation(self) -> bool:
         """Check that predictor and embeddings are initialized (reference
         _state.py:205)."""
-        have_predictor = self.predictor is not None
-        have_embeddings = self.image_embeddings is not None
-        have_shape = self.image_shape is not None
-        init_sum = sum((have_predictor, have_embeddings, have_shape))
-        if init_sum == 3:
-            return True
-        if init_sum == 0:
-            return False
-        raise RuntimeError(
-            f"Invalid AnnotatorState: {init_sum} parts initialized, expected 0 or 3."
+        return _all_or_none(
+            "interactive segmentation",
+            (self.predictor, self.image_embeddings, self.image_shape),
         )
 
     def initialized_for_tracking(self) -> bool:
         """Check that the tracking state is initialized (reference _state.py:227)."""
-        have_track_id = self.current_track_id is not None
-        have_lineage = self.lineage is not None
-        init_sum = sum((have_track_id, have_lineage))
-        if init_sum == 2:
-            return True
-        if init_sum == 0:
-            return False
-        raise RuntimeError(
-            f"Invalid AnnotatorState: {init_sum} parts initialized, expected 0 or 2."
-        )
+        return _all_or_none(
+            "tracking", (self.current_track_id, self.lineage))
 
     def reset_state(self) -> None:
-        """Reset the state (reference _state.py:248)."""
-        self.image_embeddings = None
-        self.predictor = None
-        self.image_shape = None
-        self.image_scale = None
-        self.image_name = None
-        self.embedding_path = None
-        self.data_signature = None
-        self.amg = None
-        self.amg_state = None
-        self.decoder = None
-        self.current_track_id = None
-        self.lineage = None
-        self.committed_lineages = None
-        self.z_range = None
-        self.object_features = None
-        self.seg_ids = None
-        self.object_rf = None
-        self.previous_features = None
-        self.previous_labels = None
+        """Reset every state field to its default (reference _state.py:248)."""
+        for f in fields(self):
+            if f.name in self._RESET_KEEP:
+                continue
+            setattr(self, f.name, None)
