@@ -49,7 +49,7 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                         rhx_ref, rwx_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
                         num_heads: int, w: int, scale: float, eps: float,
-                        masked: bool, group: int):
+                        masked: bool, group: int, pack: int):
     """group windows per program: LN/qkv/proj/MLP matmuls run on
     (group * N) rows (the MXU is badly underutilized at 196 rows); only the
     (N, N) attention cores stay per-window (statically unrolled over the
@@ -60,7 +60,9 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     qy-/qx-batched matmuls per head instead of four expansion matmuls
     (measured 9.89 -> 9.31 ms per batch-8 windowed block on v5e)."""
     g_, n, c = x_ref.shape
-    hd = w3_ref.shape[2]
+    packed_hd = w3_ref.shape[2]        # pack * hd lanes per weight slab
+    hd = packed_hd // pack
+    n_groups = num_heads // pack
     gn = group * n
 
     x = x_ref[...].reshape(gn, c).astype(jnp.float32)   # (G*N, C)
@@ -77,75 +79,84 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     rhx = rhx_ref[:].astype(jnp.float32)                # (w, hd, n)
     rwx = rwx_ref[:].astype(jnp.float32)                # (w, hd, n)
 
-    def head_body(h, _):
-        q = jax.lax.dot_general(                         # (G*N, hd) f32
-            a, w3_ref[h], (((1,), (0,)), ((), ())),
+    # heads ride in PACKS of `pack` (lanes per matmul = pack*hd): per-head
+    # qkv at hd=64 ran the MXU at half its column width, so two heads' weight
+    # slabs are packed to 128 lanes and split with STATIC slices afterwards
+    def head_body(hp, _):
+        q2 = jax.lax.dot_general(                        # (G*N, pack*hd) f32
+            a, w3_ref[hp], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + b3_ref[h]
-        k = jax.lax.dot_general(
-            a, w3_ref[num_heads + h], (((1,), (0,)), ((), ())),
+        ) + b3_ref[hp]
+        k2 = jax.lax.dot_general(
+            a, w3_ref[n_groups + hp], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + b3_ref[num_heads + h]
-        v = jax.lax.dot_general(
-            a, w3_ref[2 * num_heads + h], (((1,), (0,)), ((), ())),
+        ) + b3_ref[n_groups + hp]
+        v2 = jax.lax.dot_general(
+            a, w3_ref[2 * n_groups + hp], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + b3_ref[2 * num_heads + h]
-        q3 = q.reshape(group, n, hd)
-        k3 = k.reshape(group, n, hd)
-        v3 = v.reshape(group, n, hd)
+        ) + b3_ref[2 * n_groups + hp]
 
         fast = x_ref.dtype == jnp.bfloat16
         cdt = jnp.bfloat16 if fast else jnp.float32
 
-        for g in range(group):                           # static unroll
-            qg, kg, vg = q3[g], k3[g], v3[g]
-            q_rows = qg.reshape(w, w, hd).astype(cdt)    # (qy, qx, hd)
-            bias_h = jax.lax.dot_general(                # qy-batched -> (qy, qx, n)
-                q_rows, rhx.astype(cdt), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(n, n)
-            bias_w = jax.lax.dot_general(                # qx-batched -> (qx, qy, n)
-                q_rows.transpose(1, 0, 2), rwx.astype(cdt),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).transpose(1, 0, 2).reshape(n, n)
+        for d in range(pack):                            # static unroll
+            lanes = slice(d * hd, (d + 1) * hd)
+            q3 = q2[:, lanes].reshape(group, n, hd)
+            k3 = k2[:, lanes].reshape(group, n, hd)
+            v3 = v2[:, lanes].reshape(group, n, hd)
+            for g in range(group):                       # static unroll
+                qg, kg, vg = q3[g], k3[g], v3[g]
+                q_rows = qg.reshape(w, w, hd).astype(cdt)  # (qy, qx, hd)
+                bias_h = jax.lax.dot_general(            # qy-batched -> (qy, qx, n)
+                    q_rows, rhx.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(n, n)
+                bias_w = jax.lax.dot_general(            # qx-batched -> (qx, qy, n)
+                    q_rows.transpose(1, 0, 2), rwx.astype(cdt),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).transpose(1, 0, 2).reshape(n, n)
 
-            logits = jax.lax.dot_general(
-                (qg * scale).astype(cdt), kg.astype(cdt), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias_h + bias_w                           # (N, N)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            if x_ref.dtype == jnp.bfloat16:
-                # bf16 fast softmax: exp on half-width VPU lanes and the
-                # probs @ v matmul on bf16 MXU passes; the row sum stays f32
-                # and normalization moves after the matmul (distributive)
-                pr = jnp.exp((logits - m).astype(jnp.bfloat16))
-                s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
-                ov = jax.lax.dot_general(
-                    pr, vg.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                logits = jax.lax.dot_general(
+                    (qg * scale).astype(cdt), kg.astype(cdt),
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                attn_scr[h, g] = ov * (1.0 / s)
-            else:
-                pr = jnp.exp(logits - m)
-                pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
-                attn_scr[h, g] = jax.lax.dot_general(
-                    pr, vg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                ) + bias_h + bias_w                       # (N, N)
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                if fast:
+                    # bf16 fast softmax: exp on half-width VPU lanes and the
+                    # probs @ v matmul on bf16 MXU passes; the row sum stays
+                    # f32, normalization after the matmul (distributive)
+                    pr = jnp.exp((logits - m).astype(jnp.bfloat16))
+                    s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
+                    ov = jax.lax.dot_general(
+                        pr, vg.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    attn_scr[hp * pack + d, g] = ov * (1.0 / s)
+                else:
+                    pr = jnp.exp(logits - m)
+                    pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
+                    attn_scr[hp * pack + d, g] = jax.lax.dot_general(
+                        pr, vg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
         return 0
 
-    jax.lax.fori_loop(0, num_heads, head_body, 0)
+    jax.lax.fori_loop(0, n_groups, head_body, 0)
 
-    # proj from head-major scratch: y = sum_h out_h @ Wp[h]
-    def proj_body(h, acc):
-        out_h = attn_scr[h].reshape(gn, hd).astype(x_ref.dtype)
+    # proj from head-major scratch, pack heads back to K=pack*hd:
+    # y = sum_hp [out_{hp*pack} | ... ] @ Wp_slab[hp]
+    def proj_body(hp, acc):
+        slab = jnp.concatenate(
+            [attn_scr[hp * pack + d].reshape(gn, hd) for d in range(pack)],
+            axis=1).astype(x_ref.dtype)
         return acc + jax.lax.dot_general(
-            out_h, wp_ref[h], (((1,), (0,)), ((), ())),
+            slab, wp_ref[hp], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    y = jax.lax.fori_loop(0, num_heads, proj_body,
+    y = jax.lax.fori_loop(0, n_groups, proj_body,
                           jnp.zeros((gn, c), jnp.float32))
     x1 = x + y + bp_ref[0]                                # (G*N, C) f32
 
@@ -178,12 +189,16 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     f32 = jnp.float32
 
     att = bp_params["attn"]
-    # (C, 3C) -> (3*nH, C, hd): per-head slices index the leading dim
-    w3 = att["qkv"]["w"].astype(dt).reshape(C, 3, num_heads, hd)
-    w3 = w3.transpose(1, 2, 0, 3).reshape(3 * num_heads, C, hd)
-    b3 = att["qkv"]["b"].astype(f32).reshape(3, num_heads, 1, hd)
-    b3 = b3.reshape(3 * num_heads, 1, hd)
-    wp = att["proj"]["w"].astype(dt).reshape(num_heads, hd, C)
+    # pack heads so each qkv matmul spans pack*hd >= 128 lanes (hd=64 alone
+    # runs the MXU at half its column width)
+    pack = 2 if (hd * 2 <= 128 and num_heads % 2 == 0) else 1
+    n_groups = num_heads // pack
+    # (C, 3C) -> (3*nG, C, pack*hd): per-slab slices index the leading dim
+    w3 = att["qkv"]["w"].astype(dt).reshape(C, 3, n_groups, pack, hd)
+    w3 = w3.transpose(1, 2, 0, 3, 4).reshape(3 * n_groups, C, pack * hd)
+    b3 = att["qkv"]["b"].astype(f32).reshape(3, n_groups, pack, hd)
+    b3 = b3.reshape(3 * n_groups, 1, pack * hd)
+    wp = att["proj"]["w"].astype(dt).reshape(n_groups, pack * hd, C)
     bpb = att["proj"]["b"].astype(f32).reshape(1, C)
 
     from ..models.image_encoder import get_rel_pos
@@ -225,7 +240,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
 
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
-        eps=1e-6, masked=masked, group=group)
+        eps=1e-6, masked=masked, group=group, pack=pack)
     interpret = jax.default_backend() == "cpu"
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
@@ -237,9 +252,9 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
             pl.BlockSpec((group, N, 1), (lambda i: (i, 0, 0)) if masked
                          else (lambda i: (0, 0, 0))),
             const(1, C), const(1, C),
-            const(3 * num_heads, C, hd), const(3 * num_heads, 1, hd),
+            const(3 * n_groups, C, pack * hd), const(3 * n_groups, 1, pack * hd),
             const(H, hd, N), const(W, hd, N),
-            const(num_heads, hd, C), const(1, C),
+            const(n_groups, pack * hd, C), const(1, C),
             const(1, C), const(1, C),
             const(C, hidden), const(1, hidden),
             const(hidden, C), const(1, C),
@@ -311,7 +326,7 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
                          w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                          a_scr, o_acc, q_scr, k_scr, v_scr, *,
                          num_heads: int, w: int, scale: float, eps: float,
-                         block_q: int, block_m: int):
+                         block_q: int, block_m: int, pack: int):
     """Global-attention block, one grid step per (image, head).
 
     Heads ride the GRID instead of an in-kernel fori_loop so Mosaic pipelines
@@ -330,12 +345,13 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
     stored tile is bf16). Together these hold the scoped stack ~25 MB under
     the ~104 MB hardware cap — validated with a cold compilation cache.
     """
-    h = pl.program_id(1)
+    hp = pl.program_id(1)
     _, n, c = x_ref.shape
-    hd = q_scr.shape[1]
+    hd = q_scr.shape[1] // pack
+    n_groups = num_heads // pack
     rk = n // w
 
-    @pl.when(h == 0)
+    @pl.when(hp == 0)
     def _prepare():
         # LN1 into the bf16 scratch + zero the proj accumulator, chunked
         def ln1_body(mi, _):
@@ -397,60 +413,72 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
         return 0
 
     jax.lax.fori_loop(0, n // block_m, qkv_body, 0)
-    # key-side operand of the combined logits matmul: (N, hd + rk + w)
-    ke = jnp.concatenate([k_scr[...].astype(cdt), expand_t], axis=1)
-    v = v_scr[...]
-    wp = wph_ref[0]                                      # (hd, C)
+    # per-head key-side operands of the combined logits matmul (static lane
+    # slices of the packed k slab): each is (N, hd + rk + w)
+    k_slab = k_scr[...]
+    kes = [
+        jnp.concatenate(
+            [k_slab[:, d * hd:(d + 1) * hd].astype(cdt), expand_t], axis=1)
+        for d in range(pack)
+    ]
+    v_slab = v_scr[...]                                  # (N, pack*hd)
+    wp = wph_ref[0]                                      # (pack*hd, C)
 
     def q_body(qi, __):
         rows = pl.ds(qi * block_q, block_q)
-        qb = q_scr[rows, :]
-        q_rows = qb.reshape(rq, w, hd)
+        q_packed = q_scr[rows, :]                        # (BQ, pack*hd) f32
         rh_blk = rh_ref[pl.ds(qi * rq, rq), :, :].astype(jnp.float32)
-        q_rh = jax.lax.dot_general(                      # (RQ, W, RK=rk)
-            q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        q_rw = jax.lax.dot_general(                      # (W, RQ, W)
-            q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).transpose(1, 0, 2)
-        qfull = jnp.concatenate(
-            [(qb * scale).astype(cdt),
-             q_rh.reshape(block_q, rk).astype(cdt),
-             q_rw.reshape(block_q, w).astype(cdt)],
-            axis=1)                                      # (BQ, hd + rk + w)
-        logits = jax.lax.dot_general(                    # (BQ, N) f32
-            qfull, ke, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        if x_ref.dtype == jnp.bfloat16:
-            # bf16 fast softmax: bf16 exp + bf16 probs @ v on the MXU,
-            # f32 row sums, normalization after the matmul (distributive)
-            pr = jnp.exp((logits - m).astype(jnp.bfloat16))
-            s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
-            ov = jax.lax.dot_general(
-                pr, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (1.0 / s)
-        else:
-            pr = jnp.exp(logits - m)
-            pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
-            ov = jax.lax.dot_general(
-                pr, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        ovs = []
+        for d in range(pack):                            # static unroll
+            qb = q_packed[:, d * hd:(d + 1) * hd]
+            q_rows = qb.reshape(rq, w, hd)
+            q_rh = jax.lax.dot_general(                  # (RQ, W, RK=rk)
+                q_rows, rh_blk, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        # project this head's rows and accumulate (proj fuses into the loop)
+            q_rw = jax.lax.dot_general(                  # (W, RQ, W)
+                q_rows.transpose(1, 0, 2), rw, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).transpose(1, 0, 2)
+            qfull = jnp.concatenate(
+                [(qb * scale).astype(cdt),
+                 q_rh.reshape(block_q, rk).astype(cdt),
+                 q_rw.reshape(block_q, w).astype(cdt)],
+                axis=1)                                  # (BQ, hd + rk + w)
+            logits = jax.lax.dot_general(                # (BQ, N) f32
+                qfull, kes[d], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            vd = v_slab[:, d * hd:(d + 1) * hd]
+            if x_ref.dtype == jnp.bfloat16:
+                # bf16 fast softmax: bf16 exp + bf16 probs @ v on the MXU,
+                # f32 row sums, normalization after the matmul (distributive)
+                pr = jnp.exp((logits - m).astype(jnp.bfloat16))
+                s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
+                ov = jax.lax.dot_general(
+                    pr, vd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (1.0 / s)
+            else:
+                pr = jnp.exp(logits - m)
+                pr = pr / jnp.sum(pr, axis=-1, keepdims=True)
+                ov = jax.lax.dot_general(
+                    pr, vd.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ovs.append(ov)
+        # lane-concat the pack's heads and project with ONE K=pack*hd matmul
+        slab = (jnp.concatenate(ovs, axis=1) if pack > 1 else ovs[0])
         o_acc[rows, :] = o_acc[rows, :] + jax.lax.dot_general(
-            ov.astype(x_ref.dtype), wp, (((1,), (0,)), ((), ())),
+            slab.astype(x_ref.dtype), wp, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return 0
 
     jax.lax.fori_loop(0, n // block_q, q_body, 0)
 
-    @pl.when(h == num_heads - 1)
+    @pl.when(hp == n_groups - 1)
     def _finish():
         # residual + LN2 + MLP + residual, chunked over token rows
         def mlp_body(mi, _):
@@ -494,12 +522,16 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     f32 = jnp.float32
 
     att = bp_params["attn"]
-    # (C, 3C) -> (nh, 3, C, hd): one (q, k, v) weight block per grid step
-    w3 = att["qkv"]["w"].astype(dt).reshape(C, 3, num_heads, hd)
-    w3 = w3.transpose(2, 1, 0, 3)                        # (nh, 3, C, hd)
-    b3 = att["qkv"]["b"].astype(f32).reshape(3, num_heads, 1, hd)
-    b3 = b3.transpose(1, 0, 2, 3)                        # (nh, 3, 1, hd)
-    wp = att["proj"]["w"].astype(dt).reshape(num_heads, hd, C)
+    # heads ride the grid in PACKS so the qkv/proj matmuls span pack*hd >=
+    # 128 lanes (hd=64 alone halves the MXU column width)
+    pack = 2 if (hd * 2 <= 128 and num_heads % 2 == 0) else 1
+    n_groups = num_heads // pack
+    # (C, 3C) -> (nG, 3, C, pack*hd): one packed (q, k, v) slab per grid step
+    w3 = att["qkv"]["w"].astype(dt).reshape(C, 3, n_groups, pack, hd)
+    w3 = w3.transpose(2, 1, 0, 3, 4).reshape(n_groups, 3, C, pack * hd)
+    b3 = att["qkv"]["b"].astype(f32).reshape(3, n_groups, pack * hd)
+    b3 = b3.transpose(1, 0, 2).reshape(n_groups, 3, 1, pack * hd)
+    wp = att["proj"]["w"].astype(dt).reshape(n_groups, pack * hd, C)
     bpb = att["proj"]["b"].astype(f32).reshape(1, C)
 
     from ..models.image_encoder import get_rel_pos
@@ -517,22 +549,30 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
     hidden = w1.shape[1]
 
+    if pack == 2 and block_q == 512:
+        # two statically unrolled heads double the per-q-block temporaries;
+        # halving block_q keeps the scoped-VMEM peak where the pack=1 kernel
+        # had it (same total work, M=256 still feeds the MXU well)
+        block_q = 256
+        rq_ok = block_q % W == 0 and N % block_q == 0
+        if not rq_ok:
+            block_q = 512
     kernel = functools.partial(
         _fused_global_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
-        eps=1e-6, block_q=block_q, block_m=block_m)
+        eps=1e-6, block_q=block_q, block_m=block_m, pack=pack)
     interpret = jax.default_backend() == "cpu"
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i, h: (0,) * len(shape))
     return pl.pallas_call(
         kernel,
-        grid=(B, num_heads),
+        grid=(B, n_groups),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda i, h: (i, 0, 0)),
             const(1, C), const(1, C),
-            pl.BlockSpec((1, 3, C, hd), lambda i, h: (h, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 1, hd), lambda i, h: (h, 0, 0, 0)),
+            pl.BlockSpec((1, 3, C, pack * hd), lambda i, h: (h, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 1, pack * hd), lambda i, h: (h, 0, 0, 0)),
             const(H, H, hd), const(W, W, hd),
-            pl.BlockSpec((1, hd, C), lambda i, h: (h, 0, 0)),
+            pl.BlockSpec((1, pack * hd, C), lambda i, h: (h, 0, 0)),
             const(1, C),
             const(1, C), const(1, C),
             const(C, hidden), const(1, hidden),
@@ -543,10 +583,10 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
         scratch_shapes=[
             pltpu.VMEM((N, C), dt),                      # a = LN1(x)
             pltpu.VMEM((N, C), jnp.float32),             # proj accumulator
-            pltpu.VMEM((N, hd), jnp.float32),            # per-head q
-            pltpu.VMEM((N, hd), jnp.bfloat16 if dt == jnp.bfloat16
-                       else jnp.float32),                # per-head k
-            pltpu.VMEM((N, hd), dt),                     # per-head v
+            pltpu.VMEM((N, pack * hd), jnp.float32),     # packed q
+            pltpu.VMEM((N, pack * hd), jnp.bfloat16 if dt == jnp.bfloat16
+                       else jnp.float32),                # packed k
+            pltpu.VMEM((N, pack * hd), dt),              # packed v
         ],
         # request WELL below the ~104-106 MB hardware cap: the round-2 driver
         # bench OOMed on a fresh compile with a 1.2 MB margin. If an edit
