@@ -549,7 +549,9 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
     hidden = w1.shape[1]
 
-    if pack == 2 and block_q == 512:
+    import os as _os
+    if pack == 2 and block_q == 512 and \
+            _os.environ.get("MSAM_TPU_GLOBAL_BQ512", "0") != "1":
         # two statically unrolled heads double the per-q-block temporaries;
         # halving block_q keeps the scoped-VMEM peak where the pack=1 kernel
         # had it (same total work, M=256 still feeds the MXU well)
