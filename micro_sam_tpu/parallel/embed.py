@@ -79,56 +79,17 @@ def precompute_image_embeddings_sharded(
 ):
     """Tiled 2d embedding precompute with the encoder sharded over the mesh.
 
-    Produces the same ImageEmbeddings structure / cache layout as
-    util.precompute_image_embeddings (drop-in, cache-compatible).
+    Compatibility alias: the mesh is wired into the PRODUCTION precompute
+    (get_sam_model(mesh=...) / SamPredictor.shard_on_mesh), so this delegates
+    to util.precompute_image_embeddings on a meshed predictor — same
+    ImageEmbeddings structure and cache layout, drop-in.
     """
     from .. import util
-    from ..utils import zarr_lite
-    from ..utils.blocking import Blocking
 
-    encoder = ShardedEncoder(predictor.model, mesh=mesh, batch_size=batch_size)
-
-    if save_path is None:
-        f = zarr_lite.open(zarr_lite.MemoryStore())
-    else:
-        f = zarr_lite.open(str(save_path), mode="a")
-
-    signature = util._embedding_signature(predictor, input_, tile_shape, halo)
-    if util._check_saved_embeddings(f, signature):
-        return util._load_cached_embeddings(f, input_, tile_shape, halo, lazy_loading=False)
-
-    shape_2d = input_.shape[:2]
-    blocking = Blocking((0, 0), shape_2d, tile_shape)
-    features = f.require_group("features")
-    features.attrs.update({
-        "shape": list(shape_2d), "tile_shape": list(tile_shape), "halo": list(halo),
-    })
-
-    # group tiles by their (resized) shape so each group runs one program
-    groups = {}
-    for tile_id in range(len(blocking)):
-        tile = blocking.get_block_with_halo(tile_id, list(halo)).outer_block
-        tile_input = input_[tile.slicing]
-        resized = util._resize_for_encoder(predictor, tile_input)
-        groups.setdefault(resized.shape, []).append(
-            (tile_id, resized, tuple(resized.shape[:2]), tuple(tile_input.shape[:2]))
-        )
-
-    mem = {}
-    for shape_key, entries in groups.items():
-        tiles = [e[1] for e in entries]
-        feats = encoder.encode_tiles(tiles)
-        for (tile_id, _, in_size, orig_size), feat in zip(entries, feats):
-            tf = np.transpose(feat, (2, 0, 1))[None]  # NCHW cache layout
-            mem[tile_id] = {"features": tf, "input_size": in_size, "original_size": orig_size}
-            ds = features.create_dataset(str(tile_id), data=tf, chunks=tf.shape, overwrite=True)
-            ds.attrs.update({"input_size": list(in_size), "original_size": list(orig_size)})
-
-    f.attrs.update(signature)
-    f.attrs["input_size"] = None
-    f.attrs["original_size"] = None
-    f.attrs["done"] = True
-    return {
-        "features": mem, "input_size": None, "original_size": None,
-        "tile_shape": tuple(tile_shape), "halo": tuple(halo), "shape": tuple(shape_2d),
-    }
+    if predictor.mesh is None:
+        predictor.shard_on_mesh(mesh or make_mesh())
+    return util.precompute_image_embeddings(
+        predictor, input_, save_path=save_path, ndim=2,
+        tile_shape=tuple(tile_shape), halo=tuple(halo),
+        batch_size=batch_size or predictor.batch_multiple, verbose=verbose,
+    )
