@@ -137,3 +137,70 @@ def test_ctc_export(tmp_path):
     import os
     assert os.path.exists(os.path.join(out, "mask000.tif"))
     assert os.path.exists(os.path.join(out, "res_track.txt"))
+
+
+def test_preprocess_closing_reconciliation():
+    """Gap closing must fill a 1-slice hole in an isolated object (adopting
+    the closed component) but must NOT fuse two objects a single closed
+    component would span; ids come out globally unique across slices."""
+    import numpy as np
+    from micro_sam_tpu.multi_dimensional_segmentation import _preprocess_closing
+
+    Z, H, W = 7, 32, 32
+    seg = np.zeros((Z, H, W), dtype="uint32")
+    # object A: present every slice except z=3 (a gap the closing bridges)
+    for z in range(Z):
+        if z != 3:
+            seg[z, 4:10, 4:10] = 1
+    # objects B and C: adjacent boxes on every slice — their closed
+    # foreground is one component per slice, which would FUSE them
+    for z in range(Z):
+        seg[z, 18:24, 4:12] = 2
+        seg[z, 18:24, 12:20] = 3
+
+    out = _preprocess_closing(seg.copy(), gap_closing=1, pbar_update=lambda *a: None)
+
+    # the A-gap got filled
+    assert (out[3, 4:10, 4:10] > 0).any(), "closed gap was not filled"
+    # B and C keep distinct labels on an interior slice
+    b_ids = set(np.unique(out[3, 18:24, 4:12])) - {0}
+    c_ids = set(np.unique(out[3, 18:24, 12:20])) - {0}
+    assert b_ids and c_ids and b_ids.isdisjoint(c_ids), (b_ids, c_ids)
+    # labels are globally unique across slices (running offset)
+    seen = set()
+    for z in range(Z):
+        ids = set(np.unique(out[z])) - {0}
+        assert seen.isdisjoint(ids)
+        seen |= ids
+
+
+def test_segment_mask_in_volume_bridges_interior_gaps(tiny_setup):
+    """The volume walk fills slices strictly between two user-segmented
+    anchors (even and odd gaps) and respects stop_lower/stop_upper."""
+    import numpy as np
+    from micro_sam_tpu.multi_dimensional_segmentation import segment_mask_in_volume
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    from micro_sam_tpu.sample_data import synthetic_data
+
+    predictor, _, _ = tiny_setup
+    image2d, _ = synthetic_data(shape=(128, 128), seed=13, n_objects=3)
+    volume = np.stack([image2d] * 8)   # 8 slices, constant content
+    n_slices = volume.shape[0]
+    emb = precompute_image_embeddings(predictor, volume, ndim=3, verbose=False)
+
+    seg = np.zeros(volume.shape, dtype="uint32")
+    # anchors at z=1 and z=6: odd gap of 4 interior slices (2..5)
+    for z in (1, 6):
+        seg[z, 20:40, 20:40] = 1
+
+    out, (zmin, zmax) = segment_mask_in_volume(
+        seg.copy(), predictor, emb, np.array([1, 6]),
+        stop_lower=True, stop_upper=True, iou_threshold=0.5, projection="box",
+    )
+    for z in range(2, 6):
+        assert (out[z] > 0).any(), f"interior slice {z} not segmented"
+    # stop flags: nothing outside the anchors
+    assert not (out[0] > 0).any() and zmin == 1 and zmax == 6
+    if n_slices > 7:
+        assert not (out[7:] > 0).any()

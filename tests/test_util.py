@@ -256,3 +256,47 @@ def test_embedding_signature_carries_model_hash(tiny_predictor):
     tiny_predictor._hash = "xxh128:deadbeef"
     sig = _embedding_signature(tiny_predictor, np.zeros((8, 8), "uint8"), None, None)
     assert sig["model_hash"] == "xxh128:deadbeef"
+
+
+def test_pairwise_overlap_varshape_matches_dense():
+    """The tiled-NMS overlap computed on bbox-intersection windows must match
+    a dense full-frame computation (new round-3 path for masks living in
+    different tile frames)."""
+    import numpy as np
+    from micro_sam_tpu.util import _pairwise_overlap_varshape
+
+    rng = np.random.RandomState(3)
+    H = W = 64
+    n = 6
+    full, masks, offsets, boxes = [], [], [], []
+    for _ in range(n):
+        cy, cx = rng.randint(10, 54, 2)
+        r = rng.randint(4, 12)
+        yy, xx = np.ogrid[:H, :W]
+        frame = (yy - cy) ** 2 + (xx - cx) ** 2 <= r ** 2
+        full.append(frame)
+        ys, xs = np.nonzero(frame)
+        y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+        # each mask lives in its own cropped frame with a random margin
+        my0 = max(0, y0 - rng.randint(0, 4)); mx0 = max(0, x0 - rng.randint(0, 4))
+        my1 = min(H, y1 + rng.randint(0, 4)); mx1 = min(W, x1 + rng.randint(0, 4))
+        masks.append(frame[my0:my1, mx0:mx1])
+        offsets.append([mx0, my0])
+        boxes.append([x0, y0, x1, y1])
+    offsets = np.asarray(offsets, np.int64)
+    boxes = np.asarray(boxes, np.float64)
+
+    for iomin in (False, True):
+        got = _pairwise_overlap_varshape(masks, offsets, boxes, iomin)
+        dense = np.eye(n)
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                inter = np.logical_and(full[i], full[j]).sum()
+                if iomin:
+                    denom = min(full[i].sum(), full[j].sum()) + 1e-6
+                else:
+                    denom = full[i].sum() + full[j].sum() - inter + 1e-6
+                dense[i, j] = inter / denom
+        np.testing.assert_allclose(got, dense, atol=1e-6)
