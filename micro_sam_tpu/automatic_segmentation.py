@@ -218,6 +218,7 @@ def automatic_instance_segmentation(
             segmentation_result=instances,
             tile_shape=tile_shape, halo=halo,
             return_viewer=True,
+            predictor=predictor,  # reuse the exact model (custom checkpoints)
         )
         napari.run()
         instances = viewer.layers["committed_objects"].data

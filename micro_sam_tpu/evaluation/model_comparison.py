@@ -177,9 +177,11 @@ def _paint_outline(rgb, mask, color, dilation=0):
 
 
 def _paint_prompt(rgb, obj_attrs, is_box, point_radius, offset):
+    # attrs store points as (y, x) and boxes as (y0, x0, y1, x1) — the same
+    # conventions segment_from_points / segment_from_box consume
     if is_box:
-        x0, y0, x1, y1 = (obj_attrs["box"]
-                          - np.array([offset[1], offset[0], offset[1], offset[0]]))
+        y0, x0, y1, x1 = (obj_attrs["box"]
+                          - np.array([offset[0], offset[1], offset[0], offset[1]]))
         box_mask = np.zeros(rgb.shape[:2], dtype=bool)
         yy = np.clip([int(y0), int(y1)], 0, rgb.shape[0] - 1)
         xx = np.clip([int(x0), int(x1)], 0, rgb.shape[1] - 1)
@@ -192,7 +194,7 @@ def _paint_prompt(rgb, obj_attrs, is_box, point_radius, offset):
         return rgb
     ys, xs = np.ogrid[:rgb.shape[0], :rgb.shape[1]]
     rgb = rgb.copy()
-    for (px, py), label in zip(obj_attrs["point_coords"],
+    for (py, px), label in zip(obj_attrs["point_coords"],
                                obj_attrs.get("point_labels", [1])):
         cy, cx = py - offset[0], px - offset[1]
         disk = (ys - cy) ** 2 + (xs - cx) ** 2 <= point_radius ** 2
@@ -299,13 +301,14 @@ def _browse_object_in_napari(obj, image, show_points):
         viewer.add_labels(obj[f"{prefix}/mask{k}"][:], name=f"model{k}")
         k += 1
     if show_points:
+        # attrs store (y, x) — napari's native point order, no flip
         viewer.add_points(
-            np.asarray(obj.attrs["point_coords"])[:, ::-1],
+            np.asarray(obj.attrs["point_coords"]),
             symbol="o", face_color="transparent",
             border_color="#00FF00", border_width=0.5, size=12,
         )
     else:
-        x0, y0, x1, y1 = obj.attrs["box"]
+        y0, x0, y1, x1 = obj.attrs["box"]
         viewer.add_shapes(
             np.array([[y0, x0], [y1, x1]]), shape_type="rectangle",
             face_color="transparent", edge_color="green", edge_width=4,

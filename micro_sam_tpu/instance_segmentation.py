@@ -944,14 +944,18 @@ def _derive_box_prompts(predictions, box_extension, bbox_key="bbox", shape=None)
     tiled inference attaches, with ``shape`` bounding the extension."""
     if shape is None:
         shape = predictions[0]["segmentation"].shape
+    height, width = shape[:2]
     prompts = []
     for pred in predictions:
         x, y, w, h = pred[bbox_key]
+        # x clamps to the WIDTH and y to the HEIGHT (the reference clamps
+        # against the swapped axes, instance_segmentation.py:1391-1392, which
+        # produces degenerate boxes on non-square images)
         prompts.append([
             max(x - w * box_extension, 0),
             max(y - h * box_extension, 0),
-            min(x + (1 + box_extension) * w, shape[0]),
-            min(y + (1 + box_extension) * h, shape[1]),
+            min(x + (1 + box_extension) * w, width),
+            min(y + (1 + box_extension) * h, height),
         ])
     return {"boxes": np.array(prompts)}
 

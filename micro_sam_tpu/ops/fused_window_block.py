@@ -872,7 +872,9 @@ def _fused_window_stack_forward(x, valid, bp_params, hw, num_heads, n_images):
     if masked:
         vs = valid.reshape(n_images, NW, N, 1)
     else:
-        vs = jnp.ones((1, 1, N, 1), dt)
+        # placeholder must cover a full (1, NW, N, 1) block: the BlockSpec
+        # window may not exceed the operand's extent
+        vs = jnp.ones((1, NW, N, 1), dt)
 
     kernel = functools.partial(
         _fused_window_stack_kernel, num_heads=num_heads, w=W,

@@ -19,7 +19,9 @@ import numpy as np
 
 from . import instance_segmentation, util
 
-_AIS_STATE_KEYS = ("foreground", "center_distances", "boundary_distances")
+# the decoder-map names are owned by the segmenter class (single source of
+# truth for get_state/set_state)
+_AIS_STATE_KEYS = instance_segmentation.InstanceSegmentationWithDecoder._STATE_KEYS
 
 
 class _PickleStateStore:

@@ -133,7 +133,8 @@ class PointAndBoxPromptGenerator(PromptGeneratorBase):
 
         points = labels = None
         if self.get_point_prompts:
-            centers = center_coordinates or [None] * len(segmentation)
+            centers = [None] * len(segmentation) if center_coordinates is None \
+                else center_coordinates
             per_object = [
                 self._prompts_for_object(obj[0], bbox, center)
                 for obj, bbox, center in zip(segmentation, bbox_coordinates, centers)

@@ -29,6 +29,7 @@ def annotator_2d(
     device=None,
     prefer_decoder: bool = True,
     d4_data=None,
+    predictor=None,
 ):
     """Start the 2d annotator (reference annotator_2d.py:40).
 
@@ -39,9 +40,12 @@ def annotator_2d(
     state.image_shape = image.shape[:2]
 
     if isinstance(embedding_path, dict):
+        # precomputed embeddings: reuse the caller's predictor when given
+        # (the annotate hand-off passes the model that computed them; a
+        # fresh get_sam_model would drop custom checkpoints)
         state.image_embeddings = embedding_path
-        predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint_path)
-        state.predictor = predictor
+        state.predictor = predictor if predictor is not None else \
+            util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint_path)
     else:
         state.initialize_predictor(
             image, model_type=model_type, save_path=embedding_path, ndim=2,

@@ -23,14 +23,17 @@ def annotator_3d(
     checkpoint_path: Optional[str] = None,
     device=None,
     prefer_decoder: bool = True,
+    predictor=None,
 ):
     """Start the 3d annotator (reference annotator_3d.py:50)."""
     state = AnnotatorState()
     state.image_shape = image.shape[:3]
 
     if isinstance(embedding_path, dict):
+        # precomputed embeddings: reuse the caller's predictor when given
         state.image_embeddings = embedding_path
-        state.predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint_path)
+        state.predictor = predictor if predictor is not None else \
+            util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint_path)
     else:
         state.initialize_predictor(
             image, model_type=model_type, save_path=embedding_path, ndim=3,
