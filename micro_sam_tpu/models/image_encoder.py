@@ -284,7 +284,10 @@ def apply_image_encoder(
                 from ..ops.fused_window_block import (
                     fused_global_block, global_block_config)
                 Bh, Hh, Wh, Ch = x.shape
-                if global_block_config(Hh, Wh, x.dtype) is not None:
+                hidden_dim = bp["mlp"]["lin1"]["w"].shape[-1]
+                if global_block_config(Hh, Wh, x.dtype, channels=Ch,
+                                       mlp_hidden=hidden_dim,
+                                       num_heads=num_heads) is not None:
                     x2 = fused_global_block(
                         x.reshape(Bh, Hh * Wh, Ch), bp, (Hh, Wh), num_heads)
                     x = x2.reshape(Bh, Hh, Wh, Ch)

@@ -509,7 +509,10 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     B, N, C = x.shape
     H, W = hw
     if block_q is None:
-        cfg = global_block_config(H, W, x.dtype)
+        hidden_dim = bp_params["mlp"]["lin1"]["w"].shape[-1]
+        cfg = global_block_config(
+            H, W, x.dtype, channels=x.shape[-1], mlp_hidden=hidden_dim,
+            num_heads=num_heads)
         assert cfg is not None, (
             f"fused global block does not fit VMEM for {x.dtype} at N={H*W}; "
             "gate on global_block_config before calling")
@@ -600,7 +603,8 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     )(x, ln1s, ln1b, w3, b3, rh, rw, wp, bpb, ln2s, ln2b, w1, b1, w2, b2)
 
 
-def global_block_config(H: int, W: int, dtype=None):
+def global_block_config(H: int, W: int, dtype=None, channels=None,
+                        mlp_hidden=None, num_heads=None):
     """(block_q, block_m) for the fused global kernel, or None if the token
     grid doesn't satisfy the kernel's tiling constraints or the scratch
     working set cannot fit scoped VMEM.
@@ -616,14 +620,35 @@ def global_block_config(H: int, W: int, dtype=None):
         return None
     if N <= 1024:
         return N, N
-    for bq in (512, 256, 128, 1024):
-        # larger q blocks first: M=512 runs the expansion/logits matmuls at
-        # far better MXU occupancy than M=128 (measured 17.3 vs 15.2 ms).
-        # q_scr is sliced at qi*bq rows (sublane dim): bq must be 8-aligned;
-        # the rel-table slice indexes the (unconstrained) leading dim
-        if bq % W == 0 and N % bq == 0 and bq % 8 == 0:
-            bm = 512 if N % 512 == 0 else N
-            return bq, bm
+
+    # channel geometry (defaults: vit_b). Wider models need SMALLER blocks:
+    # the vit_b-tuned (512, 512) choice OOMed scoped VMEM at vit_h's C=1280.
+    c = 768 if channels is None else int(channels)
+    hidden = 4 * c if mlp_hidden is None else int(mlp_hidden)
+    hd = c // (num_heads or max(c // 64, 1))
+    pack = 2 if (hd * 2 <= 128 and (num_heads or 12) % 2 == 0) else 1
+    rk = N // W
+
+    def scoped_estimate(bq, bm):
+        """Rough scoped-VMEM bytes at (bq, bm): persistent scratches plus the
+        larger of the q-loop / MLP transient stages plus resident operands."""
+        kw = hd + rk + W                                     # combined K dim
+        scratch = N * c * (2 + 4) + N * pack * hd * (4 + 2 + 2)
+        ke = pack * N * kw * 2
+        q_loop = pack * (bq * N * (4 + 2) + bq * kw * 2) + bq * c * 4 * 2
+        mlp = bm * hidden * 4 + bm * c * 4 * 3
+        io = 2 * N * c * 2 + 2 * c * hidden * 2 + 2 * H * H * hd * 2
+        return scratch + ke + max(q_loop, mlp) + io
+
+    budget = 84 * 1024 * 1024   # ~12 MB of headroom under the 96 MB request
+    for bq in (512, 256, 128):
+        if bq % W or N % bq or bq % 8:
+            continue
+        for bm in (512, 256, 128):
+            if N % bm:
+                continue
+            if scoped_estimate(bq, bm) <= budget:
+                return bq, bm
     return None
 
 
