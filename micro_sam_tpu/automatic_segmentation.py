@@ -200,34 +200,40 @@ def automatic_instance_segmentation(
             print(f"The automatic segmentation results are stored at '{os.path.abspath(_output_path)}'.")
 
     if annotate:
-        # hand the result to the annotator for corrections (reference
-        # automatic_segmentation.py:287-312); the corrected committed_objects
-        # replace the automatic result once the GUI closes
-        try:
-            import napari
-        except ImportError as e:
-            raise RuntimeError(
-                "annotate=True needs napari, which is not installed."
-            ) from e
-        from .sam_annotator import annotator_2d, annotator_3d
-        annotator_function = annotator_2d if ndim == 2 else annotator_3d
-        viewer = annotator_function(
-            image=image_data,
-            model_type=predictor.model_name,
-            embedding_path=image_embeddings,
-            segmentation_result=instances,
-            tile_shape=tile_shape, halo=halo,
-            return_viewer=True,
-            predictor=predictor,  # reuse the exact model (custom checkpoints)
-        )
-        napari.run()
-        instances = viewer.layers["committed_objects"].data
+        instances = _correct_with_annotator(
+            predictor, image_data, image_embeddings, instances, ndim,
+            tile_shape, halo)
         if output_path is not None:
             _write_tif(output_path, instances)
 
     if return_embeddings:
         return instances, image_embeddings
     return instances
+
+
+def _correct_with_annotator(predictor, image_data, image_embeddings, instances,
+                            ndim, tile_shape, halo):
+    """Open the annotator on an automatic result for manual corrections;
+    whatever ends up committed replaces the result once the GUI closes
+    (reference automatic_segmentation.py:287-312)."""
+    try:
+        import napari
+    except ImportError as e:
+        raise RuntimeError("annotate=True needs napari, which is not installed.") from e
+    from .sam_annotator import annotator_2d, annotator_3d
+
+    open_annotator = annotator_2d if ndim == 2 else annotator_3d
+    viewer = open_annotator(
+        image=image_data,
+        model_type=predictor.model_name,
+        embedding_path=image_embeddings,
+        segmentation_result=instances,
+        tile_shape=tile_shape, halo=halo,
+        return_viewer=True,
+        predictor=predictor,  # reuse the exact model (custom checkpoints)
+    )
+    napari.run()
+    return viewer.layers["committed_objects"].data
 
 
 def _get_inputs_from_paths(paths, pattern):
