@@ -55,10 +55,11 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     (N, N) attention cores stay per-window (statically unrolled over the
     group, heads via fori_loop).
 
-    Rel-pos bias comes from key-expanded tables rhx/rwx (w, hd, n) built
-    outside the kernel: bias_h[q, k] = q[q] . Rh[qy(q), ky(k)] is then TWO
-    qy-/qx-batched matmuls per head instead of four expansion matmuls
-    (measured 9.89 -> 9.31 ms per batch-8 windowed block on v5e)."""
+    Rel-pos bias folds into the logits matmul: u_h[q, ky] = q . Rh[qy(q), ky]
+    and u_w[q, kx] are two SMALL batched matmuls, then
+    logits = [q*scale | u_h | u_w] @ [k | rows | cols]^T in ONE K = hd + 2w
+    contraction (same fold as the global kernel; replaces two key-expanded
+    (N, N)-wide bias matmuls and the half-rate K=hd qk matmul)."""
     g_, n, c = x_ref.shape
     packed_hd = w3_ref.shape[2]        # pack * hd lanes per weight slab
     hd = packed_hd // pack
@@ -76,8 +77,22 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
         a = a * valid_ref[...].reshape(gn, 1).astype(jnp.float32)
     a = a.astype(x_ref.dtype)
 
-    rhx = rhx_ref[:].astype(jnp.float32)                # (w, hd, n)
-    rwx = rwx_ref[:].astype(jnp.float32)                # (w, hd, n)
+    fast0 = x_ref.dtype == jnp.bfloat16
+    cdt0 = jnp.bfloat16 if fast0 else jnp.float32
+    rh = rhx_ref[:]                                     # (w, w, hd) raw table
+    rw = rwx_ref[:]                                     # (w, w, hd)
+    # 0/1 key-expansion columns of the combined logits matmul (built
+    # arithmetically — Mosaic rejects i1 vectors at these layouts):
+    # logits = [q*scale | u_h | u_w] @ [k | rows | cols]^T with K = hd + 2w,
+    # where u_h[q, ky] = q . Rh[qy(q), ky] (one small batched matmul) — the
+    # same fold that cut the global kernel's bias cost
+    krow_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) // w
+    kcol_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    rows_t = jnp.maximum(
+        1.0 - jnp.abs((krow_y - kcol_y).astype(jnp.float32)), 0.0).astype(cdt0)
+    krow_x = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) % w
+    cols_t = jnp.maximum(
+        1.0 - jnp.abs((krow_x - kcol_y).astype(jnp.float32)), 0.0).astype(cdt0)
 
     # heads ride in PACKS of `pack` (lanes per matmul = pack*hd): per-head
     # qkv at hd=64 ran the MXU at half its column width, so two heads' weight
@@ -107,21 +122,24 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
             for g in range(group):                       # static unroll
                 qg, kg, vg = q3[g], k3[g], v3[g]
                 q_rows = qg.reshape(w, w, hd).astype(cdt)  # (qy, qx, hd)
-                bias_h = jax.lax.dot_general(            # qy-batched -> (qy, qx, n)
-                    q_rows, rhx.astype(cdt), (((2,), (1,)), ((0,), (0,))),
+                u_h = jax.lax.dot_general(               # qy-batched -> (qy, qx, w)
+                    q_rows, rh.astype(cdt), (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                ).reshape(n, n)
-                bias_w = jax.lax.dot_general(            # qx-batched -> (qx, qy, n)
-                    q_rows.transpose(1, 0, 2), rwx.astype(cdt),
-                    (((2,), (1,)), ((0,), (0,))),
+                ).reshape(n, w)
+                u_w = jax.lax.dot_general(               # qx-batched -> (qx, qy, w)
+                    q_rows.transpose(1, 0, 2), rw.astype(cdt),
+                    (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                ).transpose(1, 0, 2).reshape(n, n)
-
-                logits = jax.lax.dot_general(
-                    (qg * scale).astype(cdt), kg.astype(cdt),
-                    (((1,), (1,)), ((), ())),
+                ).transpose(1, 0, 2).reshape(n, w)
+                qfull = jnp.concatenate(
+                    [(qg * scale).astype(cdt), u_h.astype(cdt),
+                     u_w.astype(cdt)], axis=1)           # (N, hd + 2w)
+                kfull = jnp.concatenate(
+                    [kg.astype(cdt), rows_t, cols_t], axis=1)
+                logits = jax.lax.dot_general(            # one K=hd+2w matmul
+                    qfull, kfull, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) + bias_h + bias_w                       # (N, N)
+                )                                        # (N, N)
                 m = jnp.max(logits, axis=-1, keepdims=True)
                 if fast:
                     # bf16 fast softmax: exp on half-width VPU lanes and the
@@ -202,14 +220,9 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     bpb = att["proj"]["b"].astype(f32).reshape(1, C)
 
     from ..models.image_encoder import get_rel_pos
-    rh = get_rel_pos(H, H, att["rel_pos_h"])             # (w, w, hd) [qy, ky, hd]
-    rw = get_rel_pos(W, W, att["rel_pos_w"])
-    # expand over the flattened key index k = ky*W + kx, laid out (q_axis, hd, n)
-    # so the kernel's bias is a batched (w, w, hd) @ (w, hd, n) matmul
-    ky = jnp.arange(N) // W
-    kx = jnp.arange(N) % W
-    rhx = rh[:, ky, :].transpose(0, 2, 1).astype(dt)     # (qy, hd, n)
-    rwx = rw[:, kx, :].transpose(0, 2, 1).astype(dt)     # (qx, hd, n)
+    rhx = get_rel_pos(H, H, att["rel_pos_h"]).astype(dt)  # (w, w, hd) [qy, ky, hd]
+    rwx = get_rel_pos(W, W, att["rel_pos_w"]).astype(dt)  # raw tables; the
+    # kernel folds them into the combined logits matmul via 0/1 expansions
 
     ln1s = bp_params["norm1"]["scale"].astype(f32).reshape(1, C)
     ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
@@ -253,7 +266,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
                          else (lambda i: (0, 0, 0))),
             const(1, C), const(1, C),
             const(3 * n_groups, C, pack * hd), const(3 * n_groups, 1, pack * hd),
-            const(H, hd, N), const(W, hd, N),
+            const(H, H, hd), const(W, W, hd),
             const(n_groups, pack * hd, C), const(1, C),
             const(1, C), const(1, C),
             const(C, hidden), const(1, hidden),
