@@ -153,6 +153,42 @@ def test_fused_global_block_bf16_fast_softmax():
 
 
 @pytest.mark.parametrize("masked", [False, True])
+def test_fused_window_block_merged_qkv(masked):
+    """pack*hd == 128 geometry activates the merged single-matmul qkv/proj
+    path (the production vit_* shape class); it must match the unfused oracle
+    like the per-pair loop does."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops import fused_window_block as fwb
+
+    C, nH, W = 256, 4, 7   # hd=64 -> pack=2 -> merged active by default
+    N = W * W
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (W, W), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, N, C), jnp.float32)
+    valid = None
+    if masked:
+        valid = (jax.random.uniform(jax.random.PRNGKey(4), (3, N, 1)) > 0.2
+                 ).astype(jnp.float32)
+
+    assert fwb._MERGED_QKV, "merged qkv path should be the default"
+    y1 = fwb.fused_window_block(x, valid, bp, (W, W), nH)
+    y2 = fwb._unfused_reference(x, valid, bp, (W, W), nH)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+    # and the per-pair loop fallback still matches on the same geometry
+    old = fwb._MERGED_QKV
+    try:
+        fwb._MERGED_QKV = False
+        y3 = fwb.fused_window_block(x, valid, bp, (W, W), nH)
+    finally:
+        fwb._MERGED_QKV = old
+    assert float(jnp.max(jnp.abs(y3 - y2))) < 5e-5
+
+
+@pytest.mark.parametrize("masked", [False, True])
 def test_fused_window_stack_matches_unfused(masked):
     """Window-STACK kernel (per-(image, head) grid over all windows) vs the
     unfused composition, fwd and bwd."""
