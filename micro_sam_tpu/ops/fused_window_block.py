@@ -60,7 +60,7 @@ def _erf_poly(z):
 
 
 def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
-                        rhx_ref, rwx_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+                        rhw_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
                         num_heads: int, w: int, scale: float, eps: float,
                         masked: bool, group: int, pack: int,
@@ -94,13 +94,11 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
 
     fast0 = x_ref.dtype == jnp.bfloat16
     cdt0 = jnp.bfloat16 if fast0 else jnp.float32
-    rh = rhx_ref[:]                                     # (w, w, hd) raw table
-    rw = rwx_ref[:]                                     # (w, w, hd)
+    rhw_t = rhw_ref[...]                # (hd, 2n): [Rh^T | Rw^T], col j<n is
+    # Rh[j//w, j%w, :], col n+j is Rw[j//w, j%w, :] (transposed outside)
     # 0/1 key-expansion columns of the combined logits matmul (built
     # arithmetically — Mosaic rejects i1 vectors at these layouts):
-    # logits = [q*scale | u_h | u_w] @ [k | rows | cols]^T with K = hd + 2w,
-    # where u_h[q, ky] = q . Rh[qy(q), ky] (one small batched matmul) — the
-    # same fold that cut the global kernel's bias cost
+    # logits = [q*scale | u_h | u_w] @ [k | rows | cols]^T with K = hd + 2w
     krow_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) // w
     kcol_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
     rows_t = jnp.maximum(
@@ -108,6 +106,32 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     krow_x = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) % w
     cols_t = jnp.maximum(
         1.0 - jnp.abs((krow_x - kcol_y).astype(jnp.float32)), 0.0).astype(cdt0)
+
+    # q-side bias terms u_h[q, ky] = q . Rh[qy(q), ky] / u_w[q, kx] via two
+    # FULL-SIZE aligned matmuls + a mask instead of per-(head, window)
+    # qy/qx-batched 14-row dots: those lowered to ~23-cycle tiny MXU ops plus
+    # sublane-splitting reshapes — 1.65 ms of the 6.9 ms vit_b block
+    # (isolated by kernel variants). Here:
+    #   u_full = q @ [Rh^T | Rw^T]            (n, 2n), one K=hd matmul
+    #   u_hw   = (u_full * mask) @ G          (n, 2w), one 0/1 gather matmul
+    # where mask[q, j] keeps table row y==qy(q) (resp. x==qx(q)) and
+    # G[j, kk] = [section match][j%w == kk%w]. Exactly one j survives per
+    # (q, kk), so the result is EXACT in f32 (single-term sum).
+    mq_y = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // w
+    mq_x = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % w
+    mj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // w
+    mask_h = jnp.maximum(
+        1.0 - jnp.abs((mq_y - mj).astype(jnp.float32)), 0.0)
+    mask_w = jnp.maximum(
+        1.0 - jnp.abs((mq_x - mj).astype(jnp.float32)), 0.0)
+    mask_hw = jnp.concatenate([mask_h, mask_w], axis=1).astype(cdt0)  # (n, 2n)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * w), 0)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * w), 1)
+    g_sect = jnp.maximum(
+        1.0 - jnp.abs((gj // n - gk // w).astype(jnp.float32)), 0.0)
+    g_pos = jnp.maximum(
+        1.0 - jnp.abs((gj % w - gk % w).astype(jnp.float32)), 0.0)
+    gather_g = (g_sect * g_pos).astype(cdt0)                          # (2n, 2w)
 
     # heads ride in PACKS of `pack` (lanes per matmul = pack*hd): per-head
     # qkv at hd=64 ran the MXU at half its column width, so two heads' weight
@@ -126,19 +150,18 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
             v3 = v2[:, lanes].reshape(group, n, hd)
             for g in range(group):                       # static unroll
                 qg, kg, vg = q3[g], k3[g], v3[g]
-                q_rows = qg.reshape(w, w, hd).astype(cdt)  # (qy, qx, hd)
-                u_h = jax.lax.dot_general(               # qy-batched -> (qy, qx, w)
-                    q_rows, rh.astype(cdt), (((2,), (2,)), ((0,), (0,))),
+                u_full = jax.lax.dot_general(            # (N, 2n) f32
+                    qg.astype(cdt), rhw_t.astype(cdt), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).reshape(n, w)
-                u_w = jax.lax.dot_general(               # qx-batched -> (qx, qy, w)
-                    q_rows.transpose(1, 0, 2), rw.astype(cdt),
-                    (((2,), (2,)), ((0,), (0,))),
+                )
+                u_hw = jax.lax.dot_general(              # (N, 2w) f32
+                    u_full.astype(cdt) * mask_hw, gather_g,
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).transpose(1, 0, 2).reshape(n, w)
+                )
                 qfull = jnp.concatenate(
-                    [(qg * scale).astype(cdt), u_h.astype(cdt),
-                     u_w.astype(cdt)], axis=1)           # (N, hd + 2w)
+                    [(qg * scale).astype(cdt),
+                     u_hw.astype(cdt)], axis=1)          # (N, hd + 2w)
                 kfull = jnp.concatenate(
                     [kg.astype(cdt), rows_t, cols_t], axis=1)
                 logits = jax.lax.dot_general(            # one K=hd+2w matmul
@@ -284,8 +307,11 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
 
     from ..models.image_encoder import get_rel_pos
     rhx = get_rel_pos(H, H, att["rel_pos_h"]).astype(dt)  # (w, w, hd) [qy, ky, hd]
-    rwx = get_rel_pos(W, W, att["rel_pos_w"]).astype(dt)  # raw tables; the
-    # kernel folds them into the combined logits matmul via 0/1 expansions
+    rwx = get_rel_pos(W, W, att["rel_pos_w"]).astype(dt)
+    # transposed-flattened [Rh^T | Rw^T] (hd, 2N) so the kernel's q-side bias
+    # terms come from full-size aligned matmuls (see the kernel comment)
+    rhw_t = jnp.concatenate([rhx.reshape(N, hd).T, rwx.reshape(N, hd).T],
+                            axis=1)                       # (hd, 2N)
 
     ln1s = bp_params["norm1"]["scale"].astype(f32).reshape(1, C)
     ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
@@ -336,7 +362,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
                          else (lambda i: (0, 0, 0))),
             const(1, C), const(1, C),
             *qkv_specs,
-            const(H, H, hd), const(W, W, hd),
+            const(hd, 2 * N),
             proj_spec, const(1, C),
             const(1, C), const(1, C),
             const(C, hidden), const(1, hidden),
@@ -348,7 +374,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, valid, ln1s, ln1b, w3, b3, rhx, rwx, wp, bpb, ln2s, ln2b, w1, b1,
+    )(x, valid, ln1s, ln1b, w3, b3, rhw_t, wp, bpb, ln2s, ln2b, w1, b1,
       w2, b2)
 
 
