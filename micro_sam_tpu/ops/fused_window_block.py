@@ -173,7 +173,12 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                     # f32 exp, bf16 probs; deletes the max-reduction pass
                     z = jnp.minimum(logits - _SKIPMAX_OFFSET, 60.0)
                     pr = jnp.exp(z).astype(jnp.bfloat16)
-                    s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
+                    # the row sum can underflow to 0 only if EVERY logit sits
+                    # ~87 below the offset (bf16 prob underflow); guard the
+                    # reciprocal so such out-of-distribution rows produce ~0
+                    # attention output instead of 0/0 NaNs
+                    s = jnp.maximum(jnp.sum(
+                        pr.astype(jnp.float32), axis=-1, keepdims=True), 1e-20)
                     ov = jax.lax.dot_general(
                         pr, vg.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -570,7 +575,10 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
                 # for all realistic logit ranges it is exact softmax.
                 z = jnp.minimum(logits - _SKIPMAX_OFFSET, 60.0)
                 pr = jnp.exp(z).astype(jnp.bfloat16)
-                s = jnp.sum(pr.astype(jnp.float32), axis=-1, keepdims=True)
+                # guard: all-underflowed rows (max logit ~87 below the
+                # offset) give ~0 output instead of 0/0 NaNs
+                s = jnp.maximum(jnp.sum(
+                    pr.astype(jnp.float32), axis=-1, keepdims=True), 1e-20)
                 ov = jax.lax.dot_general(
                     pr, vd, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -680,10 +688,11 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
 
     import os as _os
     if pack == 2 and block_q == 512 and \
-            _os.environ.get("MSAM_TPU_GLOBAL_BQ512", "0") != "1":
-        # two statically unrolled heads double the per-q-block temporaries;
-        # halving block_q keeps the scoped-VMEM peak where the pack=1 kernel
-        # had it (same total work, M=256 still feeds the MXU well)
+            _os.environ.get("MSAM_TPU_GLOBAL_BQ512", "1") == "0":
+        # opt-out escape: two statically unrolled heads double the per-q-block
+        # temporaries (~+12.6 MB scoped at vit_b); 512 measured +0.7% encoder
+        # throughput over 256 post-skipmax and fits the budget with ~18 MB
+        # headroom (cold-compile validated), so it is the default now
         block_q = 256
         rq_ok = block_q % W == 0 and N % block_q == 0
         if not rq_ok:

@@ -152,6 +152,47 @@ def test_fused_global_block_bf16_fast_softmax():
     assert relw < 0.05, f"bf16 window fast-softmax drift {relw}"
 
 
+def test_skipmax_softmax_underflow_guard():
+    """Skip-max softmax replaces the per-row max with a fixed offset; if every
+    logit in a row sits far below it, the bf16 probs underflow to zero and the
+    row sum hits the 1e-20 guard. Rig the qkv weights so k = -q with huge
+    magnitudes (all logits << offset - 87) and require FINITE outputs from
+    both kernels — without the guard these rows are 0/0 NaN."""
+    import numpy as np
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops.fused_window_block import (
+        _fused_global_forward, fused_window_block,
+    )
+
+    C, nH, H = 32, 2, 16
+    N = H * H
+    hd = C // nH
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (H, H), use_rel_pos=True)
+    # q = 40*x, k = -40*x  ->  logits = -1600*||x||^2/sqrt(hd), far below the
+    # skip-max offset for every pair; v stays random, rel-pos bias zeroed
+    wq = 40.0 * jnp.eye(C)
+    w3 = np.zeros((C, 3 * C), np.float32)
+    w3[:, :C] = np.asarray(wq)
+    w3[:, C:2 * C] = -np.asarray(wq)
+    w3[:, 2 * C:] = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (C, C)))
+    bp["attn"]["qkv"]["w"] = jnp.asarray(w3)
+    bp["attn"]["qkv"]["b"] = jnp.zeros((3 * C,))
+    bp["attn"]["rel_pos_h"] = jnp.zeros_like(bp["attn"]["rel_pos_h"])
+    bp["attn"]["rel_pos_w"] = jnp.zeros_like(bp["attn"]["rel_pos_w"])
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, N, C), jnp.float32) + 1.0
+    y = _fused_global_forward(
+        x.astype(jnp.bfloat16), bp, (H, H), nH, block_q=64, block_m=128)
+    assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32)))), \
+        "global skip-max produced NaN/inf on all-underflow logits"
+
+    xw = x.reshape(1, N, C)
+    yw = fused_window_block(xw.astype(jnp.bfloat16), None, bp, (H, H), nH)
+    assert bool(jnp.all(jnp.isfinite(yw.astype(jnp.float32)))), \
+        "window skip-max produced NaN/inf on all-underflow logits"
+
+
 @pytest.mark.parametrize("masked", [False, True])
 def test_fused_window_block_merged_qkv(masked):
     """pack*hd == 128 geometry activates the merged single-matmul qkv/proj
