@@ -40,6 +40,14 @@ import os as _os
 # 13.6, identical checksum); neutral in the window kernel. Read at trace time.
 _SKIPMAX = _os.environ.get("MSAM_TPU_SKIPMAX", "1") != "0"
 _SKIPMAX_OFFSET = 16.0
+# Upper clamp on the shifted logits: exp(80) = 5.5e34 fits bf16 probs, and an
+# all-clamped f32 row sum stays finite up to N = 4096 keys (4096 * e^80 =
+# 2.25e38 < f32 max) — the encoder's largest attention. Softmax is therefore
+# EXACT for any row whose max logit is <= offset + clamp = 96; rows beyond
+# that (far outside trained-SAM logit ranges) flatten toward uniform over
+# their clamped entries instead of overflowing. Set MSAM_TPU_SKIPMAX=0 to
+# restore exact max-subtraction softmax for such checkpoints.
+_SKIPMAX_CLAMP = 80.0
 # One merged (N, C) @ (C, 3C) qkv matmul + single merged proj matmul in the
 # window kernel instead of 3 matmuls per head-pair: fewer MXU setups per
 # program. Measured 6.91 vs 7.32 ms per vit_b batch-8 window block on v5e,
@@ -140,8 +148,7 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
         """Attention for one head pack: q2/k2/v2 are (G*N, pack*hd) f32;
         writes the per-head outputs into attn_scr. hp may be traced (fori)
         or a Python int (merged static unroll)."""
-        fast = x_ref.dtype == jnp.bfloat16
-        cdt = jnp.bfloat16 if fast else jnp.float32
+        fast, cdt = fast0, cdt0
 
         for d in range(pack):                            # static unroll
             lanes = slice(d * hd, (d + 1) * hd)
@@ -171,7 +178,7 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                 if fast and _SKIPMAX:
                     # skip-max softmax (see the global kernel): fixed offset,
                     # f32 exp, bf16 probs; deletes the max-reduction pass
-                    z = jnp.minimum(logits - _SKIPMAX_OFFSET, 60.0)
+                    z = jnp.minimum(logits - _SKIPMAX_OFFSET, _SKIPMAX_CLAMP)
                     pr = jnp.exp(z).astype(jnp.bfloat16)
                     # the row sum can underflow to 0 only if EVERY logit sits
                     # ~87 below the offset (bf16 prob underflow); guard the
@@ -336,8 +343,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     # g=1 8.9ms, g=2 9.3, g=4 9.9, g=8 9.4 per batch-8 block) — the
     # sequential grid already pipelines small programs well. Env knob kept
     # for tuning on other chip generations.
-    import os
-    group = int(os.environ.get("MSAM_TPU_WINDOW_GROUP", "1"))
+    group = int(_os.environ.get("MSAM_TPU_WINDOW_GROUP", "1"))
     if BW % group != 0:
         group = 1
 
@@ -573,7 +579,7 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
                 # The clamp bounds exp at e^60 so even pathological logits
                 # (> ~76) cannot overflow the f32 row sum or the bf16 probs;
                 # for all realistic logit ranges it is exact softmax.
-                z = jnp.minimum(logits - _SKIPMAX_OFFSET, 60.0)
+                z = jnp.minimum(logits - _SKIPMAX_OFFSET, _SKIPMAX_CLAMP)
                 pr = jnp.exp(z).astype(jnp.bfloat16)
                 # guard: all-underflowed rows (max logit ~87 below the
                 # offset) give ~0 output instead of 0/0 NaNs
@@ -647,9 +653,13 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
         cfg = global_block_config(
             H, W, x.dtype, channels=x.shape[-1], mlp_hidden=hidden_dim,
             num_heads=num_heads)
-        assert cfg is not None, (
-            f"fused global block does not fit VMEM for {x.dtype} at N={H*W}; "
-            "gate on global_block_config before calling")
+        if cfg is None:
+            # The caller's gate may have used global_block_config without the
+            # channel geometry (its channels/mlp_hidden default to vit_b), so
+            # a wider model can pass the gate yet not fit scoped VMEM here.
+            # Fall back to the unfused composition instead of crashing — it
+            # measured within 10% of the fused kernel anyway.
+            return _unfused_reference(x, None, bp_params, hw, num_heads)
         block_q, block_m = cfg
     assert N == H * W
     assert block_q % W == 0 and N % block_q == 0 and N % block_m == 0
@@ -686,7 +696,6 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
     hidden = w1.shape[1]
 
-    import os as _os
     if pack == 2 and block_q == 512 and \
             _os.environ.get("MSAM_TPU_GLOBAL_BQ512", "1") == "0":
         # opt-out escape: two statically unrolled heads double the per-q-block

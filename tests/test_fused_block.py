@@ -152,6 +152,26 @@ def test_fused_global_block_bf16_fast_softmax():
     assert relw < 0.05, f"bf16 window fast-softmax drift {relw}"
 
 
+def test_fused_global_block_falls_back_when_config_rejects():
+    """A caller may gate on global_block_config WITHOUT the channel geometry
+    (its channels/mlp_hidden default to vit_b) and then call with a model the
+    real geometry rejects; the forward must fall back to the unfused
+    composition instead of raising (f32 at N=4096 is such a config)."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops.fused_window_block import (
+        _fused_global_forward, _unfused_reference, global_block_config,
+    )
+
+    C, nH, H = 32, 2, 64
+    assert global_block_config(H, H, jnp.float32, channels=C) is None
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (H, H), use_rel_pos=True)
+    x = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(3), (1, H * H, C), jnp.float32)
+    y = _fused_global_forward(x, bp, (H, H), nH)     # must not raise
+    ref = _unfused_reference(x, None, bp, (H, H), nH)
+    assert float(jnp.max(jnp.abs(y - ref))) < 1e-5
+
+
 def test_skipmax_softmax_underflow_guard():
     """Skip-max softmax replaces the per-row max with a fixed offset; if every
     logit in a row sits far below it, the bf16 probs underflow to zero and the
@@ -163,6 +183,9 @@ def test_skipmax_softmax_underflow_guard():
     from micro_sam_tpu.ops.fused_window_block import (
         _fused_global_forward, fused_window_block,
     )
+    import micro_sam_tpu.ops.fused_window_block as fwb
+    assert fwb._SKIPMAX, \
+        "MSAM_TPU_SKIPMAX=0 in the env makes this test vacuous"
 
     C, nH, H = 32, 2, 16
     N = H * H
