@@ -38,3 +38,8 @@ def get_model_settings(model_type: str, kind: str) -> dict:
         if key.startswith(base):
             return dict(val)
     return {}
+
+
+# Reference name for the nd-segmentation settings table
+# (reference _model_settings.py:100).
+ND_SEGMENT_SETTINGS = ND_SEGMENTATION_SETTINGS

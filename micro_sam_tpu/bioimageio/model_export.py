@@ -20,6 +20,22 @@ import numpy as np
 from .. import util, __version__
 from .predictor_adaptor import PredictorAdaptor
 
+
+class _ParameterizedSize:
+    """Offline stand-in for bioimageio.spec ParameterizedSize: an axis size
+    of min + n*step for any n >= 0 (reference model_export.py:41)."""
+
+    def __init__(self, min: int = 1, step: int = 1):
+        self.min = min
+        self.step = step
+
+    def __repr__(self):
+        return f"ParameterizedSize(min={self.min}, step={self.step})"
+
+
+# Arbitrary spatial axis size used in exported rdf axis specs.
+ARBITRARY_SIZE = _ParameterizedSize(min=1, step=1)
+
 DEFAULTS = {
     "authors": [{"name": "micro_sam_tpu"}],
     "description": "Segment Anything for Microscopy (TPU-native build)",

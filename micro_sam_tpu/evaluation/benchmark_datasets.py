@@ -80,6 +80,13 @@ DATASET_CONTAINER_KEYS = {
     "asem_mito": ("raw", "labels"),
 }
 
+# Datasets whose fetchers return a folder of per-image files rather than
+# path lists; the glob selects the images (reference benchmark_datasets.py:82).
+DATASET_RETURNS_FOLDER = {
+    "deepbacs": "*.tif",
+    "mitolab_tem": "*.tiff",
+}
+
 DEFAULT_SEGMENTATION_MODE_WITH_DECODER = "ais"
 
 # torch_em downloader spec: {dataset: (module, getter, subdir, kwargs)} —

@@ -162,6 +162,23 @@ def evaluate_instance_segmentation_grid_search(
     return best_kwargs, float(best_row[criterion])
 
 
+def save_grid_search_best_params(best_kwargs: Dict[str, Any], best_msa: float,
+                                 grid_search_result_dir=None) -> str:
+    """Persist the winning grid-search parameters + score to a results CSV
+    (reference evaluation/instance_segmentation.py:413)."""
+    row = {"best_msa": best_msa, **best_kwargs}
+    is_amg = "pred_iou_thresh" in best_kwargs or "stability_score_thresh" in best_kwargs
+    fname = ("grid_search_params_amg.csv" if is_amg
+             else "grid_search_params_instance_segmentation_with_decoder.csv")
+    if grid_search_result_dir is not None:
+        os.makedirs(os.path.join(str(grid_search_result_dir), "results"), exist_ok=True)
+        path = os.path.join(str(grid_search_result_dir), "results", fname)
+    else:
+        path = fname
+    pd.DataFrame([row]).to_csv(path)
+    return path
+
+
 def run_instance_segmentation_inference(
     segmenter,
     image_paths: List,
@@ -215,6 +232,11 @@ def run_instance_segmentation_grid_search_and_inference(
     )
     if verbose_gs:
         print("Best grid-search result:", best_score, "with", best_kwargs)
+    gs_parent = os.path.dirname(str(result_dir).rstrip(os.sep))
+    if os.path.basename(str(result_dir).rstrip(os.sep)) == "grid_search":
+        # conventional layout <experiment>/<mode>/grid_search -> <experiment>
+        gs_parent = os.path.dirname(gs_parent)
+    save_grid_search_best_params(best_kwargs, best_score, gs_parent or None)
     generate_kwargs = dict(fixed_generate_kwargs or {})
     generate_kwargs.update(best_kwargs)
     run_instance_segmentation_inference(

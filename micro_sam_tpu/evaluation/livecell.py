@@ -88,13 +88,120 @@ def run_livecell_evaluation(input_folder: str, experiment_folder: str) -> None:
         run_evaluation(gt_paths[:len(pred_paths)], pred_paths, save_path=save_path)
 
 
+def livecell_inference(
+    checkpoint: Optional[str],
+    input_folder: str,
+    model_type: str,
+    experiment_folder: str,
+    use_points: bool,
+    use_boxes: bool,
+    n_positives: Optional[int] = None,
+    n_negatives: Optional[int] = None,
+    prompt_folder: Optional[str] = None,
+    predictor=None,
+) -> None:
+    """Run LIVECell inference for ONE fixed prompt setting (reference
+    livecell.py:80). Results land under
+    ``<experiment_folder>/<setting_name>/``; prompts are pickled so other
+    experiments can reuse them."""
+    if not (use_boxes or use_points):
+        raise ValueError("You need to use at least one of point or box prompts.")
+    image_paths, gt_paths = _get_livecell_paths(input_folder)
+    if predictor is None:
+        predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint)
+
+    if use_boxes and use_points:
+        if n_positives is None or n_negatives is None:
+            raise ValueError("Point counts are required when point prompts are used.")
+        setting_name = f"box/p{n_positives}-n{n_negatives}"
+    elif use_boxes:
+        setting_name = "box/p0-n0"
+    elif use_points:
+        if n_positives is None or n_negatives is None:
+            raise ValueError("Point counts are required when point prompts are used.")
+        setting_name = f"points/p{n_positives}-n{n_negatives}"
+    else:
+        raise ValueError("You need to use at least one of point or box prompts.")
+
+    prediction_dir = os.path.join(experiment_folder, setting_name)
+    os.makedirs(prediction_dir, exist_ok=True)
+    embedding_dir = os.path.join(experiment_folder, "embeddings")
+    os.makedirs(embedding_dir, exist_ok=True)
+    if prompt_folder is None:
+        prompt_folder = os.path.join(experiment_folder, "prompts")
+        os.makedirs(prompt_folder, exist_ok=True)
+
+    inference_mod.run_inference_with_prompts(
+        predictor, image_paths, gt_paths, embedding_dir, prediction_dir,
+        use_points=use_points, use_boxes=use_boxes,
+        n_positives=0 if n_positives is None else n_positives,
+        n_negatives=0 if n_negatives is None else n_negatives,
+        prompt_save_dir=prompt_folder,
+    )
+
+
+def run_livecell_precompute_embeddings(
+    checkpoint: Optional[str],
+    input_folder: str,
+    model_type: str,
+    experiment_folder: str,
+    n_val_per_cell_type: int = 25,
+) -> None:
+    """Precompute val+test LIVECell embeddings (reference livecell.py:147)."""
+    embedding_dir = os.path.join(experiment_folder, "embeddings")
+    os.makedirs(embedding_dir, exist_ok=True)
+    predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint)
+    val_image_paths, _ = _get_livecell_paths(input_folder, "val",
+                                             n_val_per_cell_type=n_val_per_cell_type)
+    test_image_paths, _ = _get_livecell_paths(input_folder, "test")
+    inference_mod.precompute_all_embeddings(predictor, val_image_paths, embedding_dir)
+    inference_mod.precompute_all_embeddings(predictor, test_image_paths, embedding_dir)
+
+
+def run_livecell_iterative_prompting(
+    checkpoint: Optional[str],
+    input_folder: str,
+    model_type: str,
+    experiment_folder: str,
+    start_with_box: bool = False,
+    use_masks: bool = False,
+) -> str:
+    """Iterative-prompting inference on LIVECell (reference livecell.py:175)."""
+    embedding_dir = os.path.join(experiment_folder, "embeddings")
+    os.makedirs(embedding_dir, exist_ok=True)
+    predictor = util.get_sam_model(model_type=model_type, checkpoint_path=checkpoint)
+    prediction_dir = os.path.join(
+        experiment_folder, "start_with_box" if start_with_box else "start_with_point")
+    image_paths, gt_paths = _get_livecell_paths(input_folder, "test")
+    inference_mod.run_inference_with_iterative_prompting(
+        predictor=predictor, image_paths=image_paths, gt_paths=gt_paths,
+        embedding_dir=embedding_dir, prediction_dir=prediction_dir,
+        start_with_box_prompt=start_with_box, use_masks=use_masks,
+    )
+    return prediction_dir
+
+
 def run_livecell_amg(checkpoint, input_folder, model_type, experiment_folder,
-                     n_val_per_cell_type: int = 25, **kwargs) -> None:
-    """LIVECell AMG with grid search (reference livecell.py:150)."""
+                     n_val_per_cell_type: int = 25, **kwargs) -> str:
+    """LIVECell AMG with grid search (reference livecell.py:218)."""
     val_image_paths, val_gt_paths = _get_livecell_paths(
         input_folder, "val", n_val_per_cell_type=n_val_per_cell_type)
     test_image_paths, _ = _get_livecell_paths(input_folder, "test")
-    inference_mod.run_amg(
+    return inference_mod.run_amg(
+        checkpoint, model_type, experiment_folder,
+        val_image_paths, val_gt_paths, test_image_paths, **kwargs,
+    )
+
+
+def run_livecell_instance_segmentation_with_decoder(
+    checkpoint, input_folder, model_type, experiment_folder,
+    n_val_per_cell_type: int = 25, **kwargs,
+) -> str:
+    """LIVECell AIS with grid search (reference livecell.py:275)."""
+    val_image_paths, val_gt_paths = _get_livecell_paths(
+        input_folder, "val", n_val_per_cell_type=n_val_per_cell_type)
+    test_image_paths, _ = _get_livecell_paths(input_folder, "test")
+    return inference_mod.run_instance_segmentation_with_decoder(
         checkpoint, model_type, experiment_folder,
         val_image_paths, val_gt_paths, test_image_paths, **kwargs,
     )

@@ -63,6 +63,21 @@ sam_model_registry = {
 }
 
 
+def build_sam_vit_b(**kwargs) -> "Sam":
+    """ViT-B SAM builder (reference models/build_sam.py:40)."""
+    return build_sam("vit_b", **kwargs)
+
+
+def build_sam_vit_l(**kwargs) -> "Sam":
+    """ViT-L SAM builder (reference models/build_sam.py:55)."""
+    return build_sam("vit_l", **kwargs)
+
+
+def build_sam_vit_h(**kwargs) -> "Sam":
+    """ViT-H SAM builder (reference models/build_sam.py:70)."""
+    return build_sam("vit_h", **kwargs)
+
+
 def _validate_model_type(model_type: str) -> None:
     base = model_type[:5]
     if base not in SAM_CONFIGS:

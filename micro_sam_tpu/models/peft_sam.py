@@ -217,14 +217,96 @@ def get_peft_mask(params: dict, peft_module: str = "lora",
     return mask
 
 
-# Backwards-compatible names mirroring the reference class surface.
+# -----------------------------------------------------------------------------
+# Reference class surface (peft_sam.py:16-391). The reference implements each
+# surgery as an nn.Module that wraps torch layers; here the surgeries are
+# functional parameter transformations (apply_peft above), and these classes
+# are the selectors users pass as ``PEFT_Sam(sam, peft_module=LoRASurgery)``.
+# Each carries the functional module name it dispatches to.
+# -----------------------------------------------------------------------------
+
+class _SurgeryName:
+    """Base for the reference's surgery selector classes."""
+    peft_module_name = "lora"
+
+
+class LoRASurgery(_SurgeryName):
+    """Low-rank adaptation of the attention (+ optionally MLP) matrices
+    (reference peft_sam.py:16)."""
+    peft_module_name = "lora"
+
+
+class AttentionLoRA(_SurgeryName):
+    """LoRA over attention projection matrices (reference peft_sam.py:50)."""
+    peft_module_name = "lora"
+
+
+class MLPLoRA(_SurgeryName):
+    """LoRA over the MLP layers (reference peft_sam.py:113). Select MLP
+    updates via ``update_matrices=("q", "v", "mlp")``."""
+    peft_module_name = "lora"
+
+
+class FacTSurgery(_SurgeryName):
+    """Factorized-tuning: shared low-rank cores + per-layer scales
+    (reference peft_sam.py:149)."""
+    peft_module_name = "fact"
+
+
+class ScaleShiftLayer(_SurgeryName):
+    """Per-feature scale + shift (the SSF building block, reference
+    peft_sam.py:207)."""
+    peft_module_name = "ssf"
+
+
+class SSFSurgery(_SurgeryName):
+    """Scale-shift tuning of attention and MLP features (reference
+    peft_sam.py:226)."""
+    peft_module_name = "ssf"
+
+
+class AdaptFormer(_SurgeryName):
+    """Bottleneck adapter parallel to the MLP (reference peft_sam.py:290)."""
+    peft_module_name = "adaptformer"
+
+
+class SelectiveSurgery(_SurgeryName):
+    """Base for freeze-mask-only surgeries (reference peft_sam.py:254)."""
+    peft_module_name = "classical"
+
+
+class AttentionSurgery(SelectiveSurgery):
+    """Unfreeze only the attention layers (reference peft_sam.py:352)."""
+    peft_module_name = "attention_tuning"
+
+
+class BiasSurgery(SelectiveSurgery):
+    """Unfreeze only bias terms (reference peft_sam.py:361)."""
+    peft_module_name = "bias_tuning"
+
+
+class LayerNormSurgery(SelectiveSurgery):
+    """Unfreeze only layer norms (reference peft_sam.py:370)."""
+    peft_module_name = "layernorm_tuning"
+
+
+class ClassicalSurgery(SelectiveSurgery):
+    """Unfreeze the last k encoder blocks (reference peft_sam.py:379)."""
+    peft_module_name = "classical"
+
+
 class PEFT_Sam:
     """Functional stand-in for the reference PEFT_Sam wrapper: applies the
     surgery and keeps the freeze mask."""
 
     def __init__(self, sam, rank: Optional[int] = None, peft_module="lora", **kwargs):
-        module_name = peft_module if isinstance(peft_module, str) else getattr(
-            peft_module, "__name__", "lora").lower().replace("surgery", "")
+        if isinstance(peft_module, str):
+            module_name = peft_module
+        elif isinstance(peft_module, type) and issubclass(peft_module, _SurgeryName):
+            module_name = peft_module.peft_module_name
+        else:
+            module_name = getattr(
+                peft_module, "__name__", "lora").lower().replace("surgery", "")
         self.peft_module = module_name
         self.sam = sam
         sam.params = apply_peft(sam.params, sam.config, rank=rank,

@@ -162,3 +162,74 @@ def get_simple_sam_3d_model(model_type: str = "vit_b", **kwargs) -> SimpleSam3DW
     from .build_sam import build_sam
     sam = build_sam(model_type, **kwargs)
     return SimpleSam3DWrapper(sam)
+
+
+# -----------------------------------------------------------------------------
+# Reference class surface. The reference (torch) wraps the encoder and each
+# ViT block in nn.Modules (sam_3d_wrapper.py ImageEncoderViT3DWrapper /
+# NDBlockWrapper); here the same structure is functional, and these classes
+# are callable views over the param tree for users porting reference code.
+# -----------------------------------------------------------------------------
+
+class ImageEncoderViT3DWrapper:
+    """Depth-adapted encoder as a callable (reference sam_3d_wrapper.py:60):
+    ``enc(params, preprocessed_slices, d_size)`` -> (B*D, e, e, 256)."""
+
+    def __init__(self, config: SamConfig, num_heads: int = None, embed_dim: int = None):
+        self.config = config
+
+    def __call__(self, params: dict, volume_pixels: jnp.ndarray, d_size: int) -> jnp.ndarray:
+        return apply_sam_3d_encoder(params, self.config, volume_pixels, d_size)
+
+
+class NDBlockWrapper:
+    """One ViT block with its pre/post depth adapters (reference
+    sam_3d_wrapper.py:120): ``block(block_params, x, d_size)``."""
+
+    def __init__(self, config: SamConfig, block_index: int):
+        self.config = config
+        self.block_index = block_index
+
+    def __call__(self, block_params: dict, x: jnp.ndarray, d_size: int) -> jnp.ndarray:
+        cfg = self.config
+        ws = 0 if self.block_index in tuple(cfg.global_attn_indexes) else cfg.window_size
+        if "adapter_pre" in block_params:
+            x = _apply_depth_adapter(block_params["adapter_pre"], x, d_size)
+        x = ie.apply_block(block_params, x, cfg.num_heads, ws)
+        if "adapter_post" in block_params:
+            x = _apply_depth_adapter(block_params["adapter_post"], x, d_size)
+        return x
+
+
+class BasicBlock:
+    """Conv3d->norm->act (x2) residual-free block of the simple 3d decoder
+    (reference simple_sam_3d_wrapper.py:36). Functional: init once, then
+    ``block(params, x)`` on (B, H, W, C) feature maps."""
+
+    def __init__(self, key, in_channels: int, out_channels: int):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
+        self.params = {
+            "conv1": cm.init_conv(k1, 3, 3, in_channels, out_channels),
+            "ln1": cm.init_layer_norm(out_channels),
+            "conv2": cm.init_conv(k2, 3, 3, out_channels, out_channels),
+            "ln2": cm.init_layer_norm(out_channels),
+        }
+
+    def __call__(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        x = cm.conv2d(params["conv1"], x, stride=1, padding=1)
+        x = jax.nn.relu(cm.layer_norm_2d(params["ln1"], x))
+        x = cm.conv2d(params["conv2"], x, stride=1, padding=1)
+        x = jax.nn.relu(cm.layer_norm_2d(params["ln2"], x))
+        return x
+
+
+class SegmentationHead:
+    """1x1 conv head mapping decoder features to class logits
+    (reference simple_sam_3d_wrapper.py:80)."""
+
+    def __init__(self, key, in_channels: int, out_channels: int):
+        k = jax.random.PRNGKey(key) if isinstance(key, int) else key
+        self.params = {"head": cm.init_conv(k, 1, 1, in_channels, out_channels)}
+
+    def __call__(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        return cm.conv2d(params["head"], x, stride=1, padding="VALID")

@@ -104,6 +104,8 @@ def relabel_consecutive(segmentation: np.ndarray, start_label: int = 1, block_sh
     """Relabel to consecutive ids starting at start_label; 0 stays background.
     Returns (relabeled, max_id, mapping)."""
     seg = np.asarray(segmentation)
+    if seg.dtype == bool:
+        seg = seg.astype(np.uint32)
     ids = np.unique(seg)
     ids = ids[ids != 0]
     mapping = {0: 0}

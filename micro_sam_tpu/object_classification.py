@@ -47,7 +47,8 @@ def compute_object_features_2d(image_embeddings, segmentation: np.ndarray) -> Tu
 
 
 def compute_object_features(
-    image_embeddings, segmentation: np.ndarray, n_threads: Optional[int] = None
+    image_embeddings, segmentation: np.ndarray, n_threads: Optional[int] = None,
+    verbose: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Compute object features for 2d / tiled / 3d embeddings
     (reference object_classification.py:109)."""
@@ -126,3 +127,52 @@ def train_classifier(features: np.ndarray, labels: np.ndarray,
 
 def run_prediction_with_classifier(rf, features: np.ndarray) -> np.ndarray:
     return rf.predict(features)
+
+
+def run_prediction_with_object_classifier(
+    images, segmentations, predictor, rf_path, image_key=None,
+    segmentation_key=None, project_prediction: bool = True, ndim=None,
+):
+    """Predict with a pretrained object classifier over an image series
+    (reference object_classification.py:224).
+
+    Returns per-image predictions: projected label images when
+    ``project_prediction`` else raw per-object class vectors.
+    """
+    import pickle
+
+    from . import util
+
+    if len(images) != len(segmentations):
+        raise ValueError("images and segmentations must pair up")
+    try:
+        from joblib import load as _load_rf
+        rf = _load_rf(rf_path)
+    except Exception:
+        with open(rf_path, "rb") as f:
+            rf = pickle.load(f)
+
+    def _load_arr(source, key):
+        if isinstance(source, np.ndarray):
+            return source
+        path = str(source)
+        if key is not None:
+            import h5py
+            with h5py.File(path, "r") as f:
+                return f[key][:]
+        return util.load_image_data(path)
+
+    predictions = []
+    for image, segmentation in zip(images, segmentations):
+        image = _load_arr(image, image_key)
+        segmentation = _load_arr(segmentation, segmentation_key)
+        embeddings = util.precompute_image_embeddings(
+            predictor, image, verbose=False, ndim=ndim)
+        seg_ids, features = compute_object_features(
+            embeddings, segmentation, verbose=False)
+        prediction = rf.predict(features)
+        if project_prediction:
+            prediction = project_prediction_to_segmentation(
+                segmentation, prediction, seg_ids)
+        predictions.append(prediction)
+    return predictions

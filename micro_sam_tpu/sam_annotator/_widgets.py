@@ -1045,3 +1045,199 @@ class SettingsWidget(FormWidget):
 def settings_widget(parent=None) -> SettingsWidget:
     """Factory for the napari 'Settings' widget contribution."""
     return SettingsWidget(parent=parent)
+
+
+# -----------------------------------------------------------------------------
+# Module-level widget surface (reference _widgets.py:359-1110): the reference
+# exposes these as magicgui factories / Qt classes; here they are viewer-level
+# functions over the same internals, runnable under real napari or headless.
+# -----------------------------------------------------------------------------
+
+from ._compat import Signal as _Signal  # noqa: E402
+
+
+class PBarSignals:
+    """Progress-bar signal bundle (reference _widgets.py:359): connect
+    callbacks to ``pbar_total`` / ``pbar_update`` / ``pbar_description`` /
+    ``pbar_stop`` / ``pbar_reset`` and pass the emitters into workers."""
+
+    def __init__(self):
+        self.pbar_total = _Signal()
+        self.pbar_update = _Signal()
+        self.pbar_description = _Signal()
+        self.pbar_stop = _Signal()
+        self.pbar_reset = _Signal()
+
+
+class InfoDialog:
+    """Ok/Cancel message dialog (reference _widgets.py:367). Renders a real
+    QDialog when Qt is available; headless it auto-accepts."""
+
+    def __init__(self, title: str, message: str):
+        self.title = title
+        self.message = message
+        self._dialog = None
+        if HAVE_QT:
+            try:
+                from qtpy import QtWidgets
+
+                dialog = QtWidgets.QDialog()
+                dialog.setWindowTitle(title)
+                layout = QtWidgets.QVBoxLayout()
+                layout.addWidget(QtWidgets.QLabel(message))
+                buttons = QtWidgets.QHBoxLayout()
+                ok = QtWidgets.QPushButton("OK")
+                ok.clicked.connect(dialog.accept)
+                buttons.addWidget(ok)
+                cancel = QtWidgets.QPushButton("Cancel")
+                cancel.clicked.connect(dialog.reject)
+                buttons.addWidget(cancel)
+                layout.addLayout(buttons)
+                dialog.setLayout(layout)
+                self._dialog = dialog
+            except Exception:
+                self._dialog = None
+
+    def exec_(self) -> int:
+        if self._dialog is not None:
+            return self._dialog.exec_()
+        return 1  # headless: accepted
+
+    exec = exec_
+
+
+def clear(viewer) -> None:
+    """Clear the prompt annotations (reference _widgets.py:435)."""
+    import gc
+
+    clear_annotations(viewer.layers.get("point_prompts"), viewer.layers.get("prompts"))
+    gc.collect()
+
+
+def clear_volume(viewer, all_slices: bool = True) -> None:
+    """Clear 3d annotations, either all slices or the current one
+    (reference _widgets.py:448)."""
+    import gc
+
+    if all_slices:
+        clear_annotations(
+            viewer.layers.get("point_prompts"), viewer.layers.get("prompts"))
+    else:
+        vutil.clear_annotations_slice(viewer, i=int(viewer.dims.point[0]))
+    gc.collect()
+
+
+def clear_track(viewer, all_frames: bool = True) -> None:
+    """Clear tracking annotations and state (reference _widgets.py:466)."""
+    import gc
+
+    if all_frames:
+        _reset_tracking_state(viewer)
+        clear_annotations(
+            viewer.layers.get("point_prompts"), viewer.layers.get("prompts"))
+    else:
+        vutil.clear_annotations_slice(viewer, i=int(viewer.dims.point[0]))
+    gc.collect()
+
+
+def segment(viewer, batched: bool = False) -> None:
+    """Segment the current object from the prompt layers
+    (reference _widgets.py:995)."""
+    if _validate_embeddings(viewer) or _validate_layers(viewer):
+        return None
+    layer = viewer.layers["current_object"]
+    seg = segment_2d(
+        AnnotatorState(), viewer.layers.get("point_prompts"),
+        viewer.layers.get("prompts"), layer.data.shape, batched=batched,
+        previous_segmentation=layer.data,
+    )
+    if seg is None:
+        print("You either haven't provided any prompts or invalid prompts. "
+              "The segmentation will be skipped.")
+        return None
+    layer.data = seg.astype("uint32")
+    layer.refresh()
+
+
+def segment_frame(viewer) -> None:
+    """Segment the current track in the current timeframe
+    (reference _widgets.py:1071)."""
+    if _validate_embeddings(viewer) or _validate_layers(viewer):
+        return None
+    state = AnnotatorState()
+    t = int(viewer.dims.point[0])
+    shape = viewer.layers["current_object"].data.shape[1:]
+
+    point_prompts = vutil.point_layer_to_prompts(
+        viewer.layers["point_prompts"], i=t, track_id=state.current_track_id)
+    if point_prompts is None:
+        return None
+    boxes, masks = vutil.shape_layer_to_prompts(
+        viewer.layers["prompts"], shape, i=t, track_id=state.current_track_id)
+    points, labels = point_prompts
+
+    seg = vutil.prompt_segmentation(
+        state.predictor, points, labels, boxes, masks, shape,
+        multiple_box_prompts=False, image_embeddings=state.image_embeddings, i=t,
+    )
+    if seg is None:
+        print("You either haven't provided any prompts or invalid prompts. "
+              "The segmentation will be skipped.")
+        return None
+
+    frame = viewer.layers["current_object"].data[t]
+    frame[frame == state.current_track_id] = 0
+    frame[np.squeeze(seg) == 1] = state.current_track_id
+    viewer.layers["current_object"].data[t] = frame
+    viewer.layers["current_object"].refresh()
+
+
+def commit(viewer, layer: str = "current_object", preserve_mode: str = "objects",
+           commit_path=None) -> None:
+    """Commit the selected layer into 'committed_objects'
+    (reference _widgets.py:735)."""
+    widget = CommitWidget(viewer)
+    widget.layer = layer
+    widget.preserve_mode = preserve_mode
+    widget.commit_path = commit_path
+    widget()
+
+
+def commit_track(viewer, layer: str = "current_object",
+                 preserve_mode: str = "objects", commit_path=None) -> None:
+    """Commit the current track and reset the tracking state
+    (reference _widgets.py:781)."""
+    widget = CommitWidget(viewer, tracking=True)
+    widget.layer = layer
+    widget.preserve_mode = preserve_mode
+    widget.commit_path = commit_path
+    widget()
+
+
+def create_prompt_menu(points_layer, labels, menu_name: str = "prompt",
+                       label_name: str = "label"):
+    """Menu for toggling the point-prompt label (reference _widgets.py:846).
+    Returns a FormWidget whose ``label`` field mirrors the points layer's
+    current properties in both directions."""
+    widget = FormWidget()
+    field = widget._add_choice_param(label_name, str(labels[0]), [str(l) for l in labels],
+                                     title=menu_name)
+
+    def label_changed(new_label):
+        current = dict(getattr(points_layer, "current_properties", {}) or {})
+        current[label_name] = np.array([new_label])
+        points_layer.current_properties = current
+        if hasattr(points_layer, "refresh_colors"):
+            points_layer.refresh_colors()
+
+    field.changed.connect(label_changed)
+
+    events = getattr(points_layer, "events", None)
+    if events is not None and hasattr(events, "current_properties"):
+        def update_menu(event):
+            new_label = str(points_layer.current_properties[label_name][0])
+            if new_label != field.get():
+                field.set(new_label)
+        events.current_properties.connect(update_menu)
+
+    return widget

@@ -125,3 +125,34 @@ if __name__ == "__main__":
 # (constructible from the viewer alone), matching the reference pattern
 # (reference napari.yaml:36-50)
 from ._annotator import AnnotatorTracking  # noqa: E402,F401
+
+
+# Color cycle for the track-state (track / division) points display
+# (reference annotator_tracking.py:19).
+STATE_COLOR_CYCLE = ["#00FFFF", "#FF00FF"]
+
+
+def create_tracking_menu(points_layer, box_layer, states, track_ids,
+                         tracking_widget=None):
+    """Build the track-id / state menu wired to the prompt layers
+    (reference annotator_tracking.py:24). Returns the TrackingMenuWidget."""
+    from ._state import AnnotatorState
+    from ._widgets import TrackingMenuWidget
+
+    state = AnnotatorState()
+    viewer = getattr(state.annotator, "_viewer", None)
+    widget = tracking_widget or TrackingMenuWidget(viewer)
+    widget.state_field.setChoices([str(s) for s in states])
+    widget.track_id_field.setChoices([str(t) for t in track_ids])
+
+    def _sync_from_layer(event=None):
+        props = getattr(points_layer, "current_properties", {}) or {}
+        if "track_id" in props:
+            widget.track_id_field.set(str(props["track_id"][0]))
+        if "state" in props:
+            widget.state_field.set(str(props["state"][0]))
+
+    events = getattr(points_layer, "events", None)
+    if events is not None and hasattr(events, "current_properties"):
+        events.current_properties.connect(_sync_from_layer)
+    return widget

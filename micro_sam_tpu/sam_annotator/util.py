@@ -471,3 +471,38 @@ def toggle_label(prompt_layer) -> None:
 
 
 LABEL_COLOR_CYCLE = ["#00FF00", "#FF0000"]
+
+
+def clear_annotations_slice(viewer, i: int, clear_segmentations: bool = True) -> None:
+    """Remove the prompts (and optionally the segmentation) of one z-slice /
+    timeframe (reference sam_annotator/util.py:135)."""
+    points_layer = viewer.layers.get("point_prompts") if hasattr(viewer.layers, "get") \
+        else viewer.layers["point_prompts"]
+    if points_layer is not None:
+        coords = np.asarray(points_layer.data)
+        if coords.ndim == 2 and coords.shape[1] == 3:
+            keep = coords[:, 0] != i
+            points_layer.data = coords[keep]
+            for key, values in getattr(points_layer, "properties", {}).items():
+                values = np.asarray(values)
+                if len(values) == len(keep):
+                    points_layer.properties[key] = values[keep]
+        points_layer.refresh()
+
+    shapes_layer = viewer.layers.get("prompts") if hasattr(viewer.layers, "get") \
+        else viewer.layers["prompts"]
+    if shapes_layer is not None and isinstance(shapes_layer.data, list):
+        shapes_layer.data = [
+            s for s in shapes_layer.data
+            if not (np.asarray(s).ndim == 2 and np.asarray(s).shape[1] == 3
+                    and (np.asarray(s)[:, 0] == i).all())
+        ]
+        shapes_layer.refresh()
+
+    if not clear_segmentations:
+        return
+    seg_layer = viewer.layers.get("current_object") if hasattr(viewer.layers, "get") \
+        else viewer.layers["current_object"]
+    if seg_layer is not None and np.asarray(seg_layer.data).ndim == 3:
+        seg_layer.data[i] = 0
+        seg_layer.refresh()

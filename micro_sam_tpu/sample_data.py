@@ -162,3 +162,23 @@ def sample_data_segmentation():
     image, seg = synthetic_data(shape=(512, 512), seed=15)
     return [(image, {"name": "image"}, "image"),
             (seg, {"name": "segmentation"}, "labels")]
+
+
+def sample_data_image_series():
+    """Image series sample: one napari image layer per file in the series
+    (reference sample_data.py:58). Falls back to three synthetic images of
+    different sizes when no cached series exists."""
+    from .util import microsam_cachedir
+    base = os.path.join(microsam_cachedir(), "sample_data")
+    try:
+        data_dir = fetch_image_series_example_data(base)
+        import imageio.v3 as imageio
+        layers = []
+        for i, fname in enumerate(sorted(os.listdir(data_dir))):
+            layers.append((imageio.imread(os.path.join(data_dir, fname)),
+                           {"name": f"series_{i}"}, "image"))
+        return layers
+    except Exception:
+        shapes = [(512, 512), (512, 512), (256, 384)]
+        return [(synthetic_data(shape=s, seed=20 + i)[0],
+                 {"name": f"series_{i}"}, "image") for i, s in enumerate(shapes)]

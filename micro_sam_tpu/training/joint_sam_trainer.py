@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .sam_trainer import SamTrainer, dice_score
+from .sam_trainer import SamLogger, SamTrainer, dice_score
 from .util import value_and_grad_allow_int
 from ..models import unetr as unetr_mod
 
@@ -130,3 +130,21 @@ class JointSamTrainer(SamTrainer):
         if "decoder_state" in state:
             self.unetr_params = jax.tree.map(jnp.asarray, state["decoder_state"])
         return state
+
+
+class JointSamLogger(SamLogger):
+    """TensorBoard logger for the joint trainer (reference
+    joint_sam_trainer.py JointSamLogger): adds the decoder's instance-
+    segmentation sample images next to the SAM samples."""
+
+    def add_image(self, x, y, samples, name, step):
+        if self.tb is None or x is None:
+            return
+        import numpy as _np
+        self.tb.add_image(f"{name}/input", self._chw(_np.asarray(x)[0]), step)
+        if y is not None:
+            self.tb.add_image(f"{name}/target", self._chw(_np.asarray(y)[0]), step)
+        if samples:
+            for i, sample in enumerate(samples[:4]):
+                self.tb.add_image(
+                    f"{name}/samples/{i}", self._chw(_np.asarray(sample)[0]), step)

@@ -137,7 +137,14 @@ class SamTrainer:
         self.mesh = mesh
         self.train_metrics: list = []
         self._tb = None
-        if logger in ("tensorboard", None):
+        if isinstance(logger, type) and issubclass(logger, SamLogger):
+            # torch_em calling convention: pass the logger CLASS; the trainer
+            # instantiates it (reference sam_trainer.py:489, torch_em
+            # DefaultTrainer logger handling).
+            logger = logger(self, self.save_root)
+        if isinstance(logger, SamLogger):
+            self._tb = logger.tb
+        elif logger in ("tensorboard", None):
             # TensorBoard logging (reference SamLogger, sam_trainer.py:489);
             # enabled by default when the tensorboard package is available.
             try:
@@ -522,3 +529,70 @@ class SamTrainer:
         self._iteration = state.get("iteration", 0)
         self._epoch = state.get("epoch", 0)
         return state
+
+
+class SamLogger:
+    """TensorBoard logger with the reference's surface (reference
+    sam_trainer.py:489): ``add_image``, ``log_train``, ``log_validation``.
+
+    Construct directly or pass the class as ``SamTrainer(logger=SamLogger)``
+    (the torch_em calling convention); the trainer then routes its scalar
+    logging through this instance's writer. Works on numpy or jnp arrays.
+    """
+
+    def __init__(self, trainer, save_root, **unused_kwargs):
+        root = "./logs" if save_root is None else os.path.join(save_root, "logs")
+        self.log_dir = os.path.join(root, getattr(trainer, "name", "sam"))
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.log_image_interval = getattr(trainer, "log_image_interval", 100)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(self.log_dir)
+        except Exception:
+            self.tb = None
+
+    @staticmethod
+    def _chw(img):
+        img = np.asarray(img, dtype=np.float32)
+        if img.ndim == 2:
+            img = img[None]
+        return img
+
+    def add_image(self, x, y, samples, name, step):
+        if self.tb is None or x is None:
+            return
+        self.tb.add_image(f"{name}/input", self._chw(np.asarray(x)[0]), step)
+        if y is not None:
+            self.tb.add_image(f"{name}/target", self._chw(np.asarray(y)[0]), step)
+        if samples:
+            for i, sample in enumerate(samples[:4]):
+                self.tb.add_image(f"{name}/samples/{i}", self._chw(np.asarray(sample)[0]), step)
+
+    def log_train(self, step, loss, lr, x=None, y=None, samples=None,
+                  mask_loss=None, iou_regression_loss=None, model_iou=None):
+        if self.tb is None:
+            return
+        self.tb.add_scalar("train/loss", float(loss), step)
+        if mask_loss is not None:
+            self.tb.add_scalar("train/mask_loss", float(mask_loss), step)
+        if iou_regression_loss is not None:
+            self.tb.add_scalar("train/iou_loss", float(iou_regression_loss), step)
+        if model_iou is not None:
+            self.tb.add_scalar("train/model_iou", float(model_iou), step)
+        if lr is not None:
+            self.tb.add_scalar("train/learning_rate", float(lr), step)
+        if step % self.log_image_interval == 0:
+            self.add_image(x, y, samples, "train", step)
+
+    def log_validation(self, step, metric, loss, x=None, y=None, samples=None,
+                       mask_loss=None, iou_regression_loss=None, model_iou=None):
+        if self.tb is None:
+            return
+        self.tb.add_scalar("validation/loss", float(loss), step)
+        self.tb.add_scalar("validation/metric", float(metric), step)
+        if mask_loss is not None:
+            self.tb.add_scalar("validation/mask_loss", float(mask_loss), step)
+        if iou_regression_loss is not None:
+            self.tb.add_scalar("validation/iou_loss", float(iou_regression_loss), step)
+        if model_iou is not None:
+            self.tb.add_scalar("validation/model_iou", float(model_iou), step)

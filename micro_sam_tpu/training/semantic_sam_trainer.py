@@ -13,6 +13,30 @@ from .sam_trainer import SamTrainer, dice_score
 from .util import ConvertToSemanticSamInputs, value_and_grad_allow_int
 
 
+class CustomDiceLoss:
+    """Dice over one-hot class labels (reference semantic_sam_trainer.py:11).
+
+    Callable on ``(B, num_classes, H, W)`` logits and ``(B, 1, H, W)`` (or
+    ``(B, H, W)``) integer targets; returns the scalar mean dice loss as a
+    jnp array.
+    """
+
+    def __init__(self, num_classes: int, softmax: bool = True) -> None:
+        self.num_classes = num_classes
+        self.softmax = softmax
+
+    def _one_hot(self, target: jnp.ndarray) -> jnp.ndarray:
+        target = jnp.squeeze(target, axis=1) if target.ndim == 4 else target
+        return jax.nn.one_hot(target.astype(jnp.int32), self.num_classes, axis=1)
+
+    def __call__(self, pred, target) -> jnp.ndarray:
+        pred = jnp.asarray(pred)
+        if self.softmax:
+            pred = jax.nn.softmax(pred, axis=1)
+        one_hot = self._one_hot(jnp.asarray(target))
+        return jnp.mean(1.0 - dice_score(pred, one_hot))
+
+
 class SemanticSamTrainer(SamTrainer):
     """Trains SAM encoder + decoder for semantic (class-map) segmentation with
     a compound dice + cross-entropy loss and no prompt inputs."""

@@ -45,6 +45,87 @@ def normalize_percentile(raw, lower=1.0, upper=99.0):
     return normalize(raw, v_lower, v_upper)
 
 
+def to_rgb(image: np.ndarray) -> np.ndarray:
+    """Ensure a 3-channel channel-first image by replicating a single channel
+    (reference training/util.py to_rgb usage in ResizeRawTrafo)."""
+    image = np.asarray(image)
+    if image.ndim == 2:
+        image = image[None]
+    if image.shape[0] == 1:
+        image = np.concatenate([image] * 3, axis=0)
+    return image
+
+
+def get_raw_transform(preprocess: Optional[str] = None):
+    """Select the raw-data normalization transform (reference
+    training/util.py:53): ``None`` -> 8-bit passthrough, ``normalize_minmax``
+    or ``normalize_percentile`` -> rescaled to [0, 255]."""
+    if preprocess is None:
+        return require_8bit
+    if preprocess == "normalize_minmax":
+        return normalize_to_8bit
+    if preprocess == "normalize_percentile":
+        def _percentile_to_8bit(raw):
+            return np.clip(normalize_percentile(raw), 0, 1) * 255
+        return _percentile_to_8bit
+    raise ValueError(f"'{preprocess}' is not a supported preprocessing.")
+
+
+class ResizeRawTrafo:
+    """Pad (and optionally rescale) raw data to a fixed shape
+    (reference training/util.py:293)."""
+
+    def __init__(self, desired_shape: Tuple[int, ...], do_rescaling: bool = False,
+                 valid_channels=None, padding: str = "constant",
+                 ensure_rgb: bool = True):
+        self.desired_shape = tuple(desired_shape)
+        self.do_rescaling = do_rescaling
+        self.valid_channels = valid_channels
+        self.padding = padding
+        self.ensure_rgb = ensure_rgb
+
+    def __call__(self, raw: np.ndarray) -> np.ndarray:
+        raw = np.asarray(raw)
+        if self.ensure_rgb:
+            raw = to_rgb(raw)
+        if self.do_rescaling:
+            raw = normalize_percentile(raw)
+            raw = normalize(raw) * 255
+        pad_width = []
+        for want, have in zip(self.desired_shape, raw.shape):
+            gap = max(want - have, 0)
+            pad_width.append((int(np.ceil(gap / 2)), gap // 2))
+        raw = np.pad(raw, pad_width=pad_width, mode=self.padding)
+        assert raw.shape == self.desired_shape, (raw.shape, self.desired_shape)
+        return raw
+
+
+class ResizeLabelTrafo:
+    """Distance-transform labels, then pad to a fixed 2d shape
+    (reference training/util.py:327)."""
+
+    def __init__(self, desired_shape: Tuple[int, ...], min_size: int = 0,
+                 padding: str = "constant"):
+        self.desired_shape = tuple(desired_shape)
+        self.min_size = min_size
+        self.padding = padding
+
+    def __call__(self, labels: np.ndarray) -> np.ndarray:
+        from .training import PerObjectDistanceTransform
+
+        channels = PerObjectDistanceTransform(
+            distances=True, boundary_distances=True, directed_distances=False,
+            foreground=True, instances=True, min_size=self.min_size,
+        )(np.asarray(labels))
+        pad_width = [(0, 0)]
+        for want, have in zip(self.desired_shape, channels.shape[1:]):
+            gap = max(want - have, 0)
+            pad_width.append((int(np.ceil(gap / 2)), gap // 2))
+        channels = np.pad(channels, pad_width=pad_width, mode=self.padding)
+        assert channels.shape[1:] == self.desired_shape, channels.shape
+        return channels
+
+
 def get_trainable_sam_model(
     model_type: str = util._DEFAULT_MODEL,
     device=None,

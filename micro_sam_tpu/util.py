@@ -47,6 +47,12 @@ def microsam_cachedir() -> str:
     return cache_dir
 
 
+def get_cache_directory() -> str:
+    """The micro-sam cache directory (reference util.py:62); honors the
+    MICROSAM_CACHEDIR environment variable."""
+    return microsam_cachedir()
+
+
 # Known xxh128 content hashes of the zoo checkpoints (same artifacts the
 # reference distributes; values from micro_sam/util.py:102-141). Used to
 # validate locally cached model files before loading.
