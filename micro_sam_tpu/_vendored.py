@@ -27,10 +27,15 @@ def mask_to_rle_numpy(tensor) -> List[Dict[str, Any]]:
     return [mask_to_rle(m) for m in arr]
 
 
-def mask_to_rle_pytorch(tensor) -> List[Dict[str, Any]]:
+def mask_to_rle_pytorch(tensor, rle_implementation: str = "default") -> List[Dict[str, Any]]:
     """Uncompressed RLE (name kept for API parity; dispatches to the C++
-    backend when built — reference _vendored.py:111)."""
+    backend when built — reference _vendored.py:111). ``rle_implementation``
+    mirrors the reference knob (default/numpy/numba/nifty); all variants
+    produce identical RLEs here, so it only selects numpy vs the native
+    backend ("numpy" forces numpy, anything else prefers C++)."""
     arr = np.asarray(tensor, dtype=bool)
     if arr.ndim == 2:
         arr = arr[None]
+    if rle_implementation == "numpy":
+        return mask_to_rle_numpy(arr)
     return batched_mask_to_rle(arr)

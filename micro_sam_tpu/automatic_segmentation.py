@@ -299,8 +299,12 @@ def main():
     parser.add_argument("-m", "--model_type", default=util._DEFAULT_MODEL,
                         help=f"The segment anything model to use. One of: {available_models}.")
     parser.add_argument("-c", "--checkpoint", default=None, help="Checkpoint path.")
-    parser.add_argument("--segmentation_mode", default="auto",
-                        choices=("auto", "amg", "ais", "apg"))
+    parser.add_argument("--mode", "--segmentation_mode", dest="mode",
+                        default="auto", choices=("auto", "amg", "ais", "apg"),
+                        help="The automatic segmentation mode (reference CLI "
+                        "flag --mode; --segmentation_mode kept as an alias).")
+    parser.add_argument("--annotate", action="store_true",
+                        help="Open the annotator on the result for correction.")
     parser.add_argument("--tile_shape", nargs="+", type=int, default=None)
     parser.add_argument("--halo", nargs="+", type=int, default=None)
     parser.add_argument("-n", "--ndim", type=int, default=None)
@@ -317,7 +321,7 @@ def main():
 
     predictor, segmenter = get_predictor_and_segmenter(
         model_type=args.model_type, checkpoint=args.checkpoint, device=args.device,
-        segmentation_mode=args.segmentation_mode,
+        segmentation_mode=args.mode,
         is_tiled=args.tile_shape is not None, **init_kwargs,
     )
 
@@ -347,7 +351,8 @@ def main():
                 tile_shape=None if args.tile_shape is None else tuple(args.tile_shape),
                 halo=None if args.halo is None else tuple(args.halo),
                 mask_path=args.mask_path, mask_key=args.mask_key,
-                verbose=args.verbose, batch_size=args.batch_size, **generate_kwargs,
+                verbose=args.verbose, batch_size=args.batch_size,
+                annotate=args.annotate, **generate_kwargs,
             )
 
 

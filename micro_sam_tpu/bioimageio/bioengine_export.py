@@ -104,6 +104,9 @@ def export_onnx_model(
     return_path: bool = False,
     quantize_model: bool = False,
     return_single_mask: bool = False,
+    gelu_approximate: bool = False,
+    use_stability_score: bool = False,
+    return_extra_metrics: bool = False,
 ) -> Optional[str]:
     """Export the prompt-decode path to ONNX (reference bioengine_export.py:106).
 
@@ -125,9 +128,15 @@ def export_onnx_model(
     cfg = predictor.model.config
     sd_np = export_torch_state_dict(predictor.model.params, cfg)
     sd = {k: torch.from_numpy(np.ascontiguousarray(v)).float() for k, v in sd_np.items()}
+    if gelu_approximate:
+        # tanh-approximated GELU for ONNX backends without an Erf op
+        from .onnx_decoder import set_gelu_approximate
+        set_gelu_approximate("tanh")
     decoder = OnnxSamDecoder(
         sd, img_size=cfg.img_size, embedding_size=cfg.embedding_size,
         return_single_mask=return_single_mask,
+        use_stability_score=use_stability_score,
+        return_extra_metrics=return_extra_metrics,
     ).eval()
 
     e = cfg.embedding_size
@@ -181,6 +190,11 @@ def export_bioengine_model(
     output_root: Union[str, os.PathLike],
     opset: int = 17,
     checkpoint_path: Optional[Union[str, os.PathLike]] = None,
+    export_name: str = "onnx",
+    return_single_mask: bool = True,
+    gelu_approximate: bool = False,
+    use_stability_score: bool = False,
+    return_extra_metrics: bool = False,
 ) -> str:
     """Export the Triton model-repository layout (reference
     bioengine_export.py:229): encoder (StableHLO) + decoder config."""

@@ -25,6 +25,21 @@ dynamic point count N and the dynamic output size ride ONNX dynamic axes.
 """
 from __future__ import annotations
 
+# GELU used throughout the traced decoder. set_gelu_approximate switches to
+# the tanh approximation for ONNX backends without an Erf op
+# (reference SamOnnxModel gelu_approximate flag).
+_GELU_APPROXIMATE = "none"
+
+
+def set_gelu_approximate(approximate: str = "tanh") -> None:
+    global _GELU_APPROXIMATE
+    _GELU_APPROXIMATE = approximate
+
+
+def _gelu(x):
+    return F.gelu(x, approximate=_GELU_APPROXIMATE)
+
+
 import math
 from typing import Dict
 
@@ -109,7 +124,7 @@ class _TwoWayBlock(nn.Module):
         queries = self.norm1(queries)
         queries = queries + self.t2i(queries + query_pe, keys + key_pe, keys)
         queries = self.norm2(queries)
-        queries = self.norm3(queries + self.lin2(F.gelu(self.lin1(queries))))
+        queries = self.norm3(queries + self.lin2(_gelu(self.lin1(queries))))
         keys = keys + self.i2t(keys + key_pe, queries + query_pe, queries)
         return queries, self.norm4(keys)
 
@@ -132,11 +147,17 @@ class OnnxSamDecoder(nn.Module):
     """Prompt encoder + mask decoder with the SAM ONNX model's IO contract."""
 
     def __init__(self, sd: Dict[str, torch.Tensor], img_size: int = 1024,
-                 embedding_size: int = 64, return_single_mask: bool = False):
+                 embedding_size: int = 64, return_single_mask: bool = False,
+                 use_stability_score: bool = False,
+                 return_extra_metrics: bool = False,
+                 stability_score_offset: float = 1.0):
         super().__init__()
         self.img_size = img_size
         self.embedding_size = embedding_size
         self.return_single_mask = return_single_mask
+        self.use_stability_score = use_stability_score
+        self.return_extra_metrics = return_extra_metrics
+        self.stability_score_offset = stability_score_offset
 
         pe = "prompt_encoder"
         self.register_buffer(
@@ -207,7 +228,7 @@ class OnnxSamDecoder(nn.Module):
     def _embed_mask(self, mask_input, has_mask_input):
         x = mask_input
         for conv, ln_ in zip(self.mask_down, self.mask_down_ln):
-            x = F.gelu(ln_(conv(x)))
+            x = _gelu(ln_(conv(x)))
         dense = self.mask_down_final(x)
         no_mask = self.no_mask_embed.reshape(1, -1, 1, 1)
         return has_mask_input * dense + (1.0 - has_mask_input) * no_mask
@@ -240,8 +261,8 @@ class OnnxSamDecoder(nn.Module):
         mask_tokens_out = queries[:, 1:5]
 
         src_out = keys.transpose(1, 2).reshape(b, c, h, w)
-        up = F.gelu(self.up_ln(self.up1(src_out)))
-        up = F.gelu(self.up2(up))
+        up = _gelu(self.up_ln(self.up1(src_out)))
+        up = _gelu(self.up2(up))
 
         hyper_in = torch.stack(
             [mlp(mask_tokens_out[:, i]) for i, mlp in enumerate(self.hyper_mlps)], dim=1)
@@ -255,6 +276,11 @@ class OnnxSamDecoder(nn.Module):
         dense = self._embed_mask(mask_input, has_mask_input)
         low_res_masks, iou_predictions = self._decode(
             image_embeddings, sparse, dense)
+
+        if self.use_stability_score:
+            # replace model scores with the stability score
+            # (reference SamOnnxModel behavior)
+            iou_predictions = self._stability_scores(low_res_masks)
 
         if self.return_single_mask:
             # best-of-multimask selection, trace-friendly (argmax over scores
@@ -276,4 +302,16 @@ class OnnxSamDecoder(nn.Module):
         size = orig_im_size.to(torch.int64)
         masks = F.interpolate(
             masks, size=(size[0], size[1]), mode="bilinear", align_corners=False)
+        if self.return_extra_metrics:
+            stability = self._stability_scores(low_res_masks)
+            areas = (masks > 0.0).to(torch.float32).sum(dim=(-2, -1))
+            return masks, iou_predictions, stability, areas, low_res_masks
         return masks, iou_predictions, low_res_masks
+
+    def _stability_scores(self, masks):
+        """Stability score: IoU between thresholds +-offset around 0
+        (segment_anything amg convention)."""
+        o = self.stability_score_offset
+        hi = (masks > o).to(torch.float32).sum(dim=(-2, -1))
+        lo = (masks > -o).to(torch.float32).sum(dim=(-2, -1))
+        return hi / torch.clamp(lo, min=1.0)

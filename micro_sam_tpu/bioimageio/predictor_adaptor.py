@@ -17,7 +17,11 @@ class PredictorAdaptor:
     """Wraps a SamPredictor into a single call with the bioimage.io tensor
     contract: image (1, C, H, W), optional box/point/mask prompts."""
 
-    def __init__(self, predictor_or_model_type, checkpoint_path: Optional[str] = None):
+    def __init__(self, predictor_or_model_type=None, checkpoint_path: Optional[str] = None,
+                 model_type: Optional[str] = None):
+        # reference convention: PredictorAdaptor(model_type="vit_b")
+        if predictor_or_model_type is None:
+            predictor_or_model_type = model_type
         if isinstance(predictor_or_model_type, SamPredictor):
             self.sam = predictor_or_model_type
         else:

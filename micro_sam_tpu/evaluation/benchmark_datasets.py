@@ -681,6 +681,9 @@ def main():
     parser.add_argument("-c", "--checkpoint_path", type=str, default=None)
     parser.add_argument("-d", "--dataset_choice", type=str, nargs="*", default=None)
     parser.add_argument("-o", "--output_folder", type=str, required=True)
+    parser.add_argument("--amg", action="store_true",
+                        help="Run automatic segmentation in AMG mode "
+                        "(reference --amg flag; same as --segmentation_mode amg).")
     parser.add_argument("--segmentation_mode", type=str, default=None,
                         choices=(None, "amg", "ais", "apg"),
                         help="Explicit automatic mode to run in addition to "
@@ -690,6 +693,8 @@ def main():
     parser.add_argument("--evaluate", type=str, default="all",
                         choices=("all", "automatic", "interactive"))
     args = parser.parse_args()
+    if args.amg:
+        args.segmentation_mode = "amg"
 
     run_benchmark_evaluations(
         input_folder=args.input_folder,

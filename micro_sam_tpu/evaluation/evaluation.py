@@ -43,16 +43,21 @@ def run_evaluation(
     for gt_path, pred_path in zip(gt_paths, prediction_paths):
         gt = _load_image(gt_path)
         pred = _load_image(pred_path)
-        msa, scores = mean_segmentation_accuracy(pred, gt, return_accuracies=True)
+        msa, scores = mean_segmentation_accuracy(
+            pred, gt, thresholds=thresholds, return_accuracies=True)
         msas.append(msa)
-        sa50s.append(scores[0])
-        sa75s.append(scores[5])
+        if thresholds is None:
+            sa50s.append(scores[0])
+            sa75s.append(scores[5])
 
-    results = pd.DataFrame.from_dict({
-        "mSA": [float(np.mean(msas))],
-        "SA50": [float(np.mean(sa50s))],
-        "SA75": [float(np.mean(sa75s))],
-    })
+    if thresholds is None:
+        results = pd.DataFrame.from_dict({
+            "mSA": [float(np.mean(msas))],
+            "SA50": [float(np.mean(sa50s))],
+            "SA75": [float(np.mean(sa75s))],
+        })
+    else:
+        results = pd.DataFrame.from_dict({"mSA": [float(np.mean(msas))]})
     if save_path is not None:
         os.makedirs(Path(save_path).parent, exist_ok=True)
         results.to_csv(save_path, index=False)
@@ -98,24 +103,43 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser(description="Evaluate segmentation vs ground truth.")
-    parser.add_argument("-g", "--gt_paths", required=True, nargs="+")
-    parser.add_argument("-p", "--prediction_paths", required=True, nargs="+")
-    parser.add_argument("-o", "--save_path", default=None)
-    parser.add_argument("--pattern", default=None)
+    # reference flag names (reference evaluation/evaluation.py main); the
+    # earlier -g/-p spellings stay as aliases
+    parser.add_argument("--labels", "-g", "--gt_paths", dest="labels",
+                        required=True, nargs="+",
+                        help="Ground-truth label image paths or a directory.")
+    parser.add_argument("--predictions", "-p", "--prediction_paths",
+                        dest="predictions", required=True, nargs="+",
+                        help="Predicted label image paths or a directory.")
+    parser.add_argument("--label_key", default=None,
+                        help="Pattern / container key for the label data.")
+    parser.add_argument("--prediction_key", default=None,
+                        help="Pattern / container key for the prediction data.")
+    parser.add_argument("-o", "--output_path", "--save_path", dest="output_path",
+                        default=None, help="Where to store the results csv.")
+    parser.add_argument("--pattern", default=None,
+                        help="Glob pattern for directory inputs (alias for the keys).")
+    parser.add_argument("--threshold", default=None, type=float, nargs="+",
+                        help="Overlap threshold(s) for the segmentation accuracy.")
+    parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
 
-    def expand(paths):
+    def expand(paths, key):
+        pattern = key or args.pattern
         out = []
         for p in paths:
             if os.path.isdir(p):
-                assert args.pattern is not None
-                out.extend(sorted(glob(os.path.join(p, args.pattern))))
+                assert pattern is not None,                     f"A key/pattern is required for directory input {p}"
+                out.extend(sorted(glob(os.path.join(p, pattern))))
             else:
                 out.append(p)
         return out
 
     results = run_evaluation(
-        expand(args.gt_paths), expand(args.prediction_paths), save_path=args.save_path
+        expand(args.labels, args.label_key),
+        expand(args.predictions, args.prediction_key),
+        save_path=args.output_path, verbose=args.verbose,
+        thresholds=args.threshold,
     )
     print(results.to_string(index=False))
 

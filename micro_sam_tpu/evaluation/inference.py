@@ -271,6 +271,7 @@ def run_amg(
     val_image_paths: List,
     val_gt_paths: List,
     test_image_paths: List,
+    tiling_window_params: Optional[Dict[str, Tuple[int, int]]] = None,
     iou_thresh_values: Optional[List[float]] = None,
     stability_score_values: Optional[List[float]] = None,
     peft_kwargs: Optional[Dict] = None,
@@ -299,6 +300,7 @@ def run_amg(
         embedding_dir=embedding_folder,
         prediction_dir=os.path.join(experiment_folder, amg_prefix, "inference"),
         result_dir=gs_result_folder, verbose_gs=verbose_gs,
+        experiment_folder=experiment_folder, tiling_window_params=tiling_window_params,
     )
     return prediction_folder
 
@@ -310,6 +312,7 @@ def run_instance_segmentation_with_decoder(
     val_image_paths: List,
     val_gt_paths: List,
     test_image_paths: List,
+    tiling_window_params: Optional[Dict[str, Tuple[int, int]]] = None,
     peft_kwargs: Optional[Dict] = None,
     cache_embeddings: bool = False,
     verbose_gs: bool = False,
@@ -334,6 +337,7 @@ def run_instance_segmentation_with_decoder(
         embedding_dir=embedding_folder,
         prediction_dir=os.path.join(experiment_folder, seg_prefix, "inference"),
         result_dir=gs_result_folder, verbose_gs=verbose_gs,
+        experiment_folder=experiment_folder, tiling_window_params=tiling_window_params,
     )
     return prediction_folder
 
@@ -345,6 +349,7 @@ def run_apg(
     val_image_paths: List,
     val_gt_paths: List,
     test_image_paths: List,
+    tiling_window_params: Optional[Dict[str, Tuple[int, int]]] = None,
     peft_kwargs: Optional[Dict] = None,
     cache_embeddings: bool = False,
     verbose_gs: bool = False,
@@ -368,5 +373,6 @@ def run_apg(
         embedding_dir=embedding_folder,
         prediction_dir=os.path.join(experiment_folder, prefix, "inference"),
         result_dir=gs_result_folder, verbose_gs=verbose_gs,
+        experiment_folder=experiment_folder, tiling_window_params=tiling_window_params,
     )
     return prediction_folder

@@ -48,6 +48,7 @@ def default_grid_search_values_instance_segmentation_with_decoder(
     center_distance_threshold_values: Optional[List[float]] = None,
     boundary_distance_threshold_values: Optional[List[float]] = None,
     distance_smoothing_values: Optional[List[float]] = None,
+    min_size_values: Optional[List[float]] = None,
 ) -> Dict[str, List[float]]:
     """Default grid-search values for AIS (reference
     evaluation/instance_segmentation.py:59)."""
@@ -57,30 +58,53 @@ def default_grid_search_values_instance_segmentation_with_decoder(
         boundary_distance_threshold_values = np.arange(0.3, 0.8, 0.1).round(2).tolist()
     if distance_smoothing_values is None:
         distance_smoothing_values = [1.0, 1.6, 2.2]
-    return {
+    grid = {
         "center_distance_threshold": center_distance_threshold_values,
         "boundary_distance_threshold": boundary_distance_threshold_values,
         "distance_smoothing": distance_smoothing_values,
     }
+    if min_size_values is not None:
+        grid["min_size"] = min_size_values
+    return grid
 
 
 def default_grid_search_values_apg(
+    min_distance_values: Optional[List[float]] = None,
+    threshold_abs_values: Optional[List[float]] = None,
+    multimasking_values: Optional[List[float]] = None,
+    prompt_selection_values: Optional[List[float]] = None,
+    min_size_values: Optional[List[float]] = None,
+    nms_threshold_values: Optional[List[float]] = None,
+    intersection_over_min_values: Optional[List[bool]] = None,
+    mask_threshold_values: Optional[List] = None,
     center_distance_threshold_values: Optional[List[float]] = None,
     boundary_distance_threshold_values: Optional[List[float]] = None,
-    nms_threshold_values: Optional[List[float]] = None,
 ) -> Dict[str, List[float]]:
-    """Default grid-search values for APG."""
+    """Default grid-search values for APG (reference
+    evaluation/instance_segmentation.py:103). Like the reference, the
+    distance-based parameters (min_distance/threshold_abs/multimasking/
+    prompt_selection) are accepted but excluded from the default grid —
+    connected-components prompting doesn't use them."""
     if center_distance_threshold_values is None:
-        center_distance_threshold_values = [0.4, 0.5, 0.6]
+        center_distance_threshold_values = np.arange(0.3, 0.8, 0.1).round(2).tolist()
     if boundary_distance_threshold_values is None:
-        boundary_distance_threshold_values = [0.4, 0.5, 0.6]
+        boundary_distance_threshold_values = np.arange(0.3, 0.8, 0.1).round(2).tolist()
+    if min_size_values is None:
+        min_size_values = [50, 100, 200]
     if nms_threshold_values is None:
-        nms_threshold_values = [0.7, 0.8, 0.9]
-    return {
+        nms_threshold_values = np.arange(0.5, 1.0, 0.1).round(2).tolist()
+    if intersection_over_min_values is None:
+        intersection_over_min_values = [True, False]
+    grid = {
         "center_distance_threshold": center_distance_threshold_values,
         "boundary_distance_threshold": boundary_distance_threshold_values,
+        "min_size": min_size_values,
         "nms_threshold": nms_threshold_values,
+        "intersection_over_min": intersection_over_min_values,
     }
+    if mask_threshold_values is not None:
+        grid["mask_threshold"] = mask_threshold_values
+    return grid
 
 
 def _load(path):
@@ -104,11 +128,16 @@ def run_instance_segmentation_grid_search(
     verbose_gs: bool = False,
     image_key: Optional[str] = None,
     gt_key: Optional[str] = None,
+    rois: Optional[Tuple] = None,
+    tiling_window_params: Optional[Dict[str, Tuple[int, int]]] = None,
 ) -> None:
     """Grid search per image: initialize once, re-generate per parameter combo
-    (reference evaluation/instance_segmentation.py:103)."""
+    (reference evaluation/instance_segmentation.py:103). ``rois`` restricts
+    each image/gt pair to a region of interest; ``tiling_window_params``
+    (tile_shape/halo) switches precompute + initialize to the tiled path."""
     assert len(image_paths) == len(gt_paths)
     fixed_generate_kwargs = fixed_generate_kwargs or {}
+    tiling_window_params = tiling_window_params or {}
     os.makedirs(result_dir, exist_ok=True)
 
     gs_combinations = [
@@ -125,11 +154,15 @@ def run_instance_segmentation_grid_search(
 
         image = _load(image_path)
         gt = _load(gt_path)
+        if rois is not None:
+            image, gt = image[rois[idx]], gt[rois[idx]]
 
         embedding_path = None if embedding_dir is None else \
             os.path.join(embedding_dir, f"{name}.zarr")
-        emb = util.precompute_image_embeddings(predictor, image, embedding_path, verbose=False)
-        segmenter.initialize(image, image_embeddings=emb, verbose=False)
+        emb = util.precompute_image_embeddings(
+            predictor, image, embedding_path, verbose=False, **tiling_window_params)
+        segmenter.initialize(image, image_embeddings=emb, verbose=False,
+                             **tiling_window_params)
 
         rows = []
         for gs_kwargs in gs_combinations:
@@ -185,10 +218,12 @@ def run_instance_segmentation_inference(
     prediction_dir: Union[str, os.PathLike],
     embedding_dir: Optional[Union[str, os.PathLike]],
     generate_kwargs: Optional[Dict[str, Any]] = None,
+    tiling_window_params: Optional[Dict[str, Tuple[int, int]]] = None,
 ) -> None:
     """Run inference with fixed generate kwargs (reference
     evaluation/instance_segmentation.py:324)."""
     generate_kwargs = generate_kwargs or {}
+    tiling_window_params = tiling_window_params or {}
     os.makedirs(prediction_dir, exist_ok=True)
     predictor = segmenter._predictor
 
@@ -200,8 +235,10 @@ def run_instance_segmentation_inference(
         image = _load(image_path)
         embedding_path = None if embedding_dir is None else \
             os.path.join(embedding_dir, f"{name}.zarr")
-        emb = util.precompute_image_embeddings(predictor, image, embedding_path, verbose=False)
-        segmenter.initialize(image, image_embeddings=emb, verbose=False)
+        emb = util.precompute_image_embeddings(
+            predictor, image, embedding_path, verbose=False, **tiling_window_params)
+        segmenter.initialize(image, image_embeddings=emb, verbose=False,
+                             **tiling_window_params)
         seg = segmenter.generate(**generate_kwargs)
         if isinstance(seg, list):
             seg = np.zeros(image.shape[:2], dtype="uint32")
@@ -219,27 +256,36 @@ def run_instance_segmentation_grid_search_and_inference(
     result_dir: Union[str, os.PathLike],
     fixed_generate_kwargs: Optional[Dict[str, Any]] = None,
     verbose_gs: bool = True,
+    experiment_folder: Optional[Union[str, os.PathLike]] = None,
+    tiling_window_params: Optional[Dict[str, Tuple[int, int]]] = None,
 ) -> str:
     """Grid search on val, then inference on test with the best parameters
-    (reference evaluation/instance_segmentation.py:380)."""
+    (reference evaluation/instance_segmentation.py:431). ``experiment_folder``
+    overrides where the best-parameter CSV is written (defaults to the
+    grid-search layout's parent)."""
     run_instance_segmentation_grid_search(
         segmenter, grid_search_values, val_image_paths, val_gt_paths,
         result_dir=result_dir, embedding_dir=embedding_dir,
         fixed_generate_kwargs=fixed_generate_kwargs, verbose_gs=verbose_gs,
+        tiling_window_params=tiling_window_params,
     )
     best_kwargs, best_score = evaluate_instance_segmentation_grid_search(
         result_dir, list(grid_search_values.keys())
     )
     if verbose_gs:
         print("Best grid-search result:", best_score, "with", best_kwargs)
-    gs_parent = os.path.dirname(str(result_dir).rstrip(os.sep))
-    if os.path.basename(str(result_dir).rstrip(os.sep)) == "grid_search":
-        # conventional layout <experiment>/<mode>/grid_search -> <experiment>
-        gs_parent = os.path.dirname(gs_parent)
+    if experiment_folder is not None:
+        gs_parent = str(experiment_folder)
+    else:
+        gs_parent = os.path.dirname(str(result_dir).rstrip(os.sep))
+        if os.path.basename(str(result_dir).rstrip(os.sep)) == "grid_search":
+            # conventional layout <experiment>/<mode>/grid_search -> <experiment>
+            gs_parent = os.path.dirname(gs_parent)
     save_grid_search_best_params(best_kwargs, best_score, gs_parent or None)
     generate_kwargs = dict(fixed_generate_kwargs or {})
     generate_kwargs.update(best_kwargs)
     run_instance_segmentation_inference(
-        segmenter, test_image_paths, prediction_dir, embedding_dir, generate_kwargs
+        segmenter, test_image_paths, prediction_dir, embedding_dir, generate_kwargs,
+        tiling_window_params=tiling_window_params,
     )
     return str(prediction_dir)

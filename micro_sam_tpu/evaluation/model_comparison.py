@@ -34,12 +34,14 @@ from ..prompt_generators import PointAndBoxPromptGenerator
 from .matching import mean_segmentation_accuracy
 
 
-def _load_predictors(model_types, checkpoints):
+def _load_predictors(model_types, checkpoints, peft_kwargs=None):
     predictors, names = [], []
-    for model_type, ckpt in zip(model_types, checkpoints):
+    peft_kwargs = peft_kwargs or (None,) * len(model_types)
+    for model_type, ckpt, peft in zip(model_types, checkpoints, peft_kwargs):
         if model_type is None:
             continue
-        predictors.append(util.get_sam_model(model_type=model_type, checkpoint_path=ckpt))
+        predictors.append(util.get_sam_model(
+            model_type=model_type, checkpoint_path=ckpt, peft_kwargs=peft))
         names.append(model_type)
     return predictors, names
 
@@ -62,6 +64,9 @@ def generate_data_for_model_comparison(
     checkpoint1: Optional[str] = None,
     checkpoint2: Optional[str] = None,
     checkpoint3: Optional[str] = None,
+    peft_kwargs1: Optional[Dict] = None,
+    peft_kwargs2: Optional[Dict] = None,
+    peft_kwargs3: Optional[Dict] = None,
 ) -> None:
     """Predict identical prompts with 2-3 models into per-sample h5 files
     (reference model_comparison.py:117)."""
@@ -74,6 +79,7 @@ def generate_data_for_model_comparison(
     predictors, names = _load_predictors(
         (model_type1, model_type2, model_type3),
         (checkpoint1, checkpoint2, checkpoint3),
+        (peft_kwargs1, peft_kwargs2, peft_kwargs3),
     )
 
     for sample_idx, (image, gt) in enumerate(loader):
@@ -202,9 +208,25 @@ def _paint_prompt(rgb, obj_attrs, is_box, point_radius, offset):
     return rgb
 
 
+def _enhance_image(im):
+    """Contrast-enhance a crop for display (reference model_comparison.py:218
+    uses CLAHE; adaptive histogram equalization via skimage when available,
+    min-max stretch otherwise)."""
+    im = np.asarray(im, dtype="float32")
+    im -= im.min()
+    im /= (im.max() + 1e-6)
+    try:
+        from skimage import exposure
+        im = exposure.equalize_adapthist(im)
+    except Exception:
+        pass
+    return (im * 255).astype("uint8")
+
+
 def _plot_advantage_gallery(f, scores, advantage_column, n_rows, prefix,
                             sample_name, plot_folder, point_radius,
-                            outline_dilation, have_model3):
+                            outline_dilation, have_model3,
+                            enhance_image=True):
     """Crops of the objects where one model most outperforms the other
     (reference model_comparison.py:267 _compare_eval)."""
     import matplotlib
@@ -216,6 +238,8 @@ def _plot_advantage_gallery(f, scores, advantage_column, n_rows, prefix,
     if not len(top):
         return
     image = f["image"][:]
+    if enhance_image:
+        image = _enhance_image(image)
     n_models = 3 if have_model3 else 2
     n_cols = 1 + n_models
     fig, axes = plt.subplots(len(top), n_cols,
@@ -264,6 +288,7 @@ def model_comparison(
     point_radius: int = 4,
     outline_dilation: int = 0,
     have_model3: bool = False,
+    enhance_image: bool = True,
 ) -> None:
     """Render comparison galleries ranked by per-object IoU advantage
     (reference model_comparison.py:414)."""
@@ -286,6 +311,7 @@ def model_comparison(
                         f, scores, advantage, n_images_per_sample, prefix,
                         sample_name, plot_folder, point_radius,
                         outline_dilation, have_model3,
+                        enhance_image=enhance_image,
                     )
 
 

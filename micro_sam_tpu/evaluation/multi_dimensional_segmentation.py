@@ -144,6 +144,7 @@ def run_multi_dimensional_segmentation_grid_search(
     grid_search_values: Optional[Dict[str, List]] = None,
     min_size: int = 0,
     evaluation_metric: str = "sa",
+    store_segmentation: bool = False,
 ) -> str:
     """Grid search over (iou_threshold, projection, box_extension)
     (reference evaluation/multi_dimensional_segmentation.py:266)."""
@@ -160,13 +161,22 @@ def run_multi_dimensional_segmentation_grid_search(
     rows = []
     for combo in product(*grid_search_values.values()):
         kwargs = dict(zip(grid_search_values.keys(), combo))
-        scores = segment_slices_from_ground_truth(
+        result = segment_slices_from_ground_truth(
             volume, ground_truth, model_type=model_type,
             embedding_path=embedding_path,
             interactive_seg_mode=interactive_seg_mode, verbose=verbose,
             min_size=min_size, evaluation_metric=evaluation_metric,
-            predictor=predictor, **kwargs,
+            predictor=predictor, return_segmentation=store_segmentation, **kwargs,
         )
+        if store_segmentation:
+            scores, seg = result
+            import imageio.v3 as imageio
+            combo_name = "-".join(f"{k}_{v}" for k, v in kwargs.items())
+            imageio.imwrite(
+                os.path.join(result_dir, f"segmentation-{combo_name}.tif"),
+                np.asarray(seg).astype("uint32"))
+        else:
+            scores = result
         row = dict(kwargs)
         row.update({k: v for k, v in scores.items() if np.isscalar(v)})
         rows.append(row)

@@ -523,8 +523,14 @@ class DecoderAdapter:
     """Jitted UNETR decoder over precomputed embeddings (reference
     instance_segmentation.py:691). Call with NHWC or NCHW features."""
 
-    def __init__(self, params: dict, out_channels: int = 3):
+    def __init__(self, params: dict = None, out_channels: int = 3, unetr=None):
         from .models import unetr as unetr_mod
+        if params is None:
+            # reference calling convention: DecoderAdapter(unetr) with the
+            # decoder module/param-tree (reference instance_segmentation.py:697)
+            if unetr is None:
+                raise ValueError("Pass the decoder param tree (params= or unetr=).")
+            params = getattr(unetr, "params", unetr)
         self.params = params
         self.out_channels = out_channels
         self._apply = jax.jit(unetr_mod.apply_unetr_decoder)

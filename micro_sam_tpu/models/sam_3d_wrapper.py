@@ -91,10 +91,20 @@ class Sam3DWrapper:
     """Promptless semantic 3d segmentation with depth-adapted encoder
     (reference sam_3d_wrapper.py:14)."""
 
-    def __init__(self, sam: Sam, d_size: int = 8):
+    def __init__(self, sam: Sam = None, d_size: int = 8,
+                 sam_model: Sam = None, freeze_encoder: bool = False,
+                 model_type: str = None):
+        # reference calling convention: Sam3DWrapper(sam_model, freeze_encoder,
+        # model_type) — reference sam_3d_wrapper.py:48. freeze_encoder is an
+        # optimizer-mask concern in this functional design; the flag is kept
+        # and exposed via encoder_frozen for trainer integration.
+        sam = sam if sam is not None else sam_model
+        if sam is None:
+            raise ValueError("Pass the Sam model (sam= or sam_model=).")
         self.sam = sam
         self.config = sam.config
         self.d_size = d_size
+        self.encoder_frozen = bool(freeze_encoder)
         self.params = init_sam_3d_params(
             jax.random.PRNGKey(17), sam.config, sam.params
         )
@@ -116,8 +126,14 @@ class SimpleSam3DWrapper:
     """Per-slice encoder + 3d conv decoder pyramid (reference
     simple_sam_3d_wrapper.py:12)."""
 
-    def __init__(self, sam: Sam, out_channels: int = 1, seed: int = 23):
+    def __init__(self, sam: Sam, out_channels: int = 1, seed: int = 23,
+                 num_classes: int = None, freeze_encoder: bool = False):
+        # reference convention: SimpleSam3DWrapper(sam, num_classes,
+        # freeze_encoder) — reference simple_sam_3d_wrapper.py:116
+        if num_classes is not None:
+            out_channels = num_classes
         self.sam = sam
+        self.encoder_frozen = bool(freeze_encoder)
         self.config = sam.config
         key = jax.random.PRNGKey(seed)
         dims = [256, 128, 64, 32]
@@ -175,7 +191,12 @@ class ImageEncoderViT3DWrapper:
     """Depth-adapted encoder as a callable (reference sam_3d_wrapper.py:60):
     ``enc(params, preprocessed_slices, d_size)`` -> (B*D, e, e, 256)."""
 
-    def __init__(self, config: SamConfig, num_heads: int = None, embed_dim: int = None):
+    def __init__(self, config: SamConfig = None, num_heads: int = None,
+                 embed_dim: int = None, image_encoder=None):
+        # reference convention: ImageEncoderViT3DWrapper(image_encoder,
+        # num_heads, embed_dim) — here the "encoder" is its config
+        if config is None:
+            config = getattr(image_encoder, "config", image_encoder)
         self.config = config
 
     def __call__(self, params: dict, volume_pixels: jnp.ndarray, d_size: int) -> jnp.ndarray:
@@ -186,7 +207,14 @@ class NDBlockWrapper:
     """One ViT block with its pre/post depth adapters (reference
     sam_3d_wrapper.py:120): ``block(block_params, x, d_size)``."""
 
-    def __init__(self, config: SamConfig, block_index: int):
+    def __init__(self, config: SamConfig = None, block_index: int = 0,
+                 block=None, dim: int = None, num_heads: int = None,
+                 norm_layer=None, adapter_channels: int = 384):
+        # reference convention: NDBlockWrapper(block, dim, num_heads, ...) —
+        # the functional analogue takes the model config + block index; the
+        # torch-style args are accepted and used to locate the config.
+        if config is None:
+            config = getattr(block, "config", block)
         self.config = config
         self.block_index = block_index
 
@@ -206,12 +234,19 @@ class BasicBlock:
     (reference simple_sam_3d_wrapper.py:36). Functional: init once, then
     ``block(params, x)`` on (B, H, W, C) feature maps."""
 
-    def __init__(self, key, in_channels: int, out_channels: int):
+    def __init__(self, key, in_channels: int = None, out_channels: int = None,
+                 kernel_size=(3, 3), stride=(1, 1), padding=(1, 1),
+                 bias: bool = True, mode: str = "nearest"):
+        if out_channels is None and isinstance(key, int) and in_channels is not None:
+            # reference convention BasicBlock(in_channels, out_channels, ...):
+            # shift the positionals and use a fixed init key
+            key, in_channels, out_channels = 0, key, in_channels
         k1, k2 = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
+        ks = kernel_size[-1] if isinstance(kernel_size, (tuple, list)) else kernel_size
         self.params = {
-            "conv1": cm.init_conv(k1, 3, 3, in_channels, out_channels),
+            "conv1": cm.init_conv(k1, ks, ks, in_channels, out_channels),
             "ln1": cm.init_layer_norm(out_channels),
-            "conv2": cm.init_conv(k2, 3, 3, out_channels, out_channels),
+            "conv2": cm.init_conv(k2, ks, ks, out_channels, out_channels),
             "ln2": cm.init_layer_norm(out_channels),
         }
 
@@ -227,7 +262,11 @@ class SegmentationHead:
     """1x1 conv head mapping decoder features to class logits
     (reference simple_sam_3d_wrapper.py:80)."""
 
-    def __init__(self, key, in_channels: int, out_channels: int):
+    def __init__(self, key, in_channels: int = None, out_channels: int = None,
+                 kernel_size=(1, 1), stride=(1, 1), padding=(0, 0),
+                 bias: bool = True):
+        if out_channels is None and isinstance(key, int) and in_channels is not None:
+            key, in_channels, out_channels = 0, key, in_channels
         k = jax.random.PRNGKey(key) if isinstance(key, int) else key
         self.params = {"head": cm.init_conv(k, 1, 1, in_channels, out_channels)}
 

@@ -18,13 +18,23 @@ def _resize_nearest(arr: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
     return arr[ys[:, None], xs[None, :]]
 
 
-def compute_object_features_2d(image_embeddings, segmentation: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def compute_object_features_2d(image_embeddings, segmentation: np.ndarray,
+                               resize_embedding_shape: Tuple[int, int] = (256, 256),
+                               ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-object features: mean embedding (256) + area = 257-dim
-    (reference object_classification.py:20)."""
+    (reference object_classification.py:20). ``resize_embedding_shape``:
+    pooling resolution for the embedding grid — upsampling the 64x64 grid
+    (capped at the segmentation size, as in the reference) keeps small
+    objects from vanishing during mean pooling."""
     feats = np.asarray(image_embeddings["features"])
     if feats.ndim == 4:
         feats = feats[0]  # (C, H, W)
     C = feats.shape[0]
+    if resize_embedding_shape is not None:
+        pool_shape = tuple(min(r, s) for r, s in
+                           zip(resize_embedding_shape, segmentation.shape[:2]))
+        if pool_shape != feats.shape[-2:]:
+            feats = np.stack([_resize_nearest(c, pool_shape) for c in feats])
     seg_small = _resize_nearest(segmentation, feats.shape[-2:])
 
     ids = np.unique(segmentation)
@@ -48,7 +58,7 @@ def compute_object_features_2d(image_embeddings, segmentation: np.ndarray) -> Tu
 
 def compute_object_features(
     image_embeddings, segmentation: np.ndarray, n_threads: Optional[int] = None,
-    verbose: bool = True,
+    verbose: bool = True, resize_embedding_shape: Tuple[int, int] = (256, 256),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Compute object features for 2d / tiled / 3d embeddings
     (reference object_classification.py:109)."""
@@ -60,7 +70,8 @@ def compute_object_features(
         for z in range(feats.shape[0]):
             emb_z = {"features": feats[z], "input_size": image_embeddings["input_size"],
                      "original_size": image_embeddings["original_size"]}
-            ids, fz = compute_object_features_2d(emb_z, segmentation[z])
+            ids, fz = compute_object_features_2d(
+                emb_z, segmentation[z], resize_embedding_shape=resize_embedding_shape)
             for oid, f in zip(ids, fz):
                 w = f[-1]
                 if oid in all_feats:
@@ -72,7 +83,8 @@ def compute_object_features(
         ids = np.array(sorted(all_feats.keys()))
         features = np.stack([all_feats[i] / all_weights[i] for i in ids])
         return ids, features.astype(np.float32)
-    return compute_object_features_2d(image_embeddings, segmentation)
+    return compute_object_features_2d(
+        image_embeddings, segmentation, resize_embedding_shape=resize_embedding_shape)
 
 
 def _compute_object_features_tiled(image_embeddings, segmentation):

@@ -211,10 +211,14 @@ def main():
 
     parser = argparse.ArgumentParser(description="Precompute image embeddings (and optional AMG/AIS state).")
     parser.add_argument("-i", "--input_path", required=True)
-    parser.add_argument("-o", "--output_path", required=True)
+    parser.add_argument("-e", "--embedding_path", "-o", "--output_path",
+                        dest="output_path", required=True,
+                        help="Where to save the embeddings "
+                        "(reference flag -e/--embedding_path).")
     parser.add_argument("--pattern", default=None)
     parser.add_argument("-m", "--model_type", default=util._DEFAULT_MODEL)
-    parser.add_argument("-c", "--checkpoint_path", default=None)
+    parser.add_argument("-c", "--checkpoint_path", "--checkpoint",
+                        dest="checkpoint_path", default=None)
     parser.add_argument("-k", "--key", default=None)
     parser.add_argument("-n", "--ndim", type=int, default=None)
     parser.add_argument("--tile_shape", nargs="+", type=int, default=None)

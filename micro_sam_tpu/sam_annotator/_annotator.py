@@ -161,8 +161,10 @@ class _AnnotatorBase(QScrollAreaBase):
 
 
 class Annotator2d(_AnnotatorBase):
-    def __init__(self, viewer):
+    def __init__(self, viewer, reset_state: bool = True):
         super().__init__(viewer, ndim=2)
+        if reset_state:
+            AnnotatorState().reset_state()
 
     def _get_widgets(self):
         state = AnnotatorState()
@@ -176,8 +178,10 @@ class Annotator2d(_AnnotatorBase):
 
 
 class Annotator3d(_AnnotatorBase):
-    def __init__(self, viewer):
+    def __init__(self, viewer, reset_state: bool = True):
         super().__init__(viewer, ndim=3)
+        if reset_state:
+            AnnotatorState().reset_state()
 
     def _get_widgets(self):
         state = AnnotatorState()
@@ -192,8 +196,10 @@ class Annotator3d(_AnnotatorBase):
 
 
 class AnnotatorTracking(_AnnotatorBase):
-    def __init__(self, viewer):
+    def __init__(self, viewer, reset_state: bool = True):
         state = AnnotatorState()
+        if reset_state:
+            state.reset_state()
         state.current_track_id = 1
         state.lineage = {1: []}
         state.committed_lineages = []

@@ -89,6 +89,7 @@ class AnnotatorState(metaclass=Singleton):
         predictor=None,
         decoder=None,
         checkpoint_path: Optional[str] = None,
+        decoder_path: Optional[str] = None,
         tile_shape: Optional[Tuple[int, int]] = None,
         halo: Optional[Tuple[int, int]] = None,
         precompute_amg_state: bool = False,
@@ -105,7 +106,8 @@ class AnnotatorState(metaclass=Singleton):
         if predictor is None:
             predictor, model_state = sam_util.get_sam_model(
                 device=device, model_type=model_type,
-                checkpoint_path=checkpoint_path, return_state=True,
+                checkpoint_path=checkpoint_path, decoder_path=decoder_path,
+                return_state=True,
             )
             if prefer_decoder and "decoder_state" in model_state:
                 decoder = get_decoder(

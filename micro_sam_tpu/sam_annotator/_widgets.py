@@ -53,9 +53,35 @@ def segment_2d(state: AnnotatorState, point_prompts, shape_prompts, shape,
     )
 
 
-def segment_slice(state: AnnotatorState, point_prompts, shape_prompts, shape, i: int
-                  ) -> Optional[np.ndarray]:
-    """Segment one z-slice / frame (reference _widgets.py:1029)."""
+def segment_slice(state, point_prompts=None, shape_prompts=None, shape=None,
+                  i: int = None, viewer=None) -> Optional[np.ndarray]:
+    """Segment one z-slice / frame (reference _widgets.py:1029).
+
+    Two calling conventions: the headless core
+    ``segment_slice(state, point_prompts, shape_prompts, shape, i)`` and the
+    reference's viewer-level ``segment_slice(viewer)`` (also accepted as the
+    first positional), which reads layers/position from the viewer and writes
+    the slice back into 'current_object'."""
+    if viewer is None and hasattr(state, "layers"):
+        viewer = state
+    if viewer is not None:
+        if _validate_embeddings(viewer) or _validate_layers(viewer):
+            return None
+        i = int(viewer.dims.point[0])
+        layer = viewer.layers["current_object"]
+        seg = segment_slice(
+            AnnotatorState(), viewer.layers.get("point_prompts"),
+            viewer.layers.get("prompts"), layer.data.shape, i,
+        )
+        if seg is None:
+            print("You either haven't provided any prompts or invalid prompts. "
+                  "The segmentation will be skipped.")
+            return None
+        data = layer.data
+        data[i] = seg.astype(data.dtype)
+        layer.data = data
+        layer.refresh()
+        return None
     points_result = vutil.point_layer_to_prompts(point_prompts, i, with_stop_annotation=False)
     points, labels = points_result if points_result is not None else (np.zeros((0, 2)), np.zeros(0))
     boxes, masks = vutil.shape_layer_to_prompts(shape_prompts, shape[1:], i=i)
@@ -125,9 +151,12 @@ def automatic_segmentation_3d(state: AnnotatorState, volume, with_background=Tru
     )
 
 
-def _mask_matched_objects(committed, seg, preserve_mode: str = "objects"):
+def _mask_matched_objects(committed, seg, preserve_mode: str = "objects",
+                          preservation_threshold: float = 0.5):
     """Which committed pixels/objects to preserve when committing new objects
-    over them (reference _widgets.py:484)."""
+    over them (reference _widgets.py:484). A committed object is preserved
+    when its best overlap with the new objects stays below
+    ``preservation_threshold``."""
     if preserve_mode == "none":
         return np.zeros(committed.shape, dtype=bool)
     if preserve_mode == "pixels":
@@ -141,7 +170,7 @@ def _mask_matched_objects(committed, seg, preserve_mode: str = "objects"):
             continue
         ids, vals = ovlp.overlapArraysNormalized(int(cid), True)
         vals = vals[ids != 0]
-        if vals.size == 0 or vals[0] < 0.5:
+        if vals.size == 0 or vals[0] < preservation_threshold:
             keep |= committed == cid
     return keep
 
@@ -151,6 +180,7 @@ def commit_segmentation(
     current_segmentation: np.ndarray,
     preserve_mode: str = "objects",
     z_range: Optional[Tuple[int, int]] = None,
+    preservation_threshold: float = 0.5,
 ) -> np.ndarray:
     """Commit the current (auto or interactive) segmentation into the
     committed-objects layer data (core of the commit widget, reference
@@ -172,7 +202,8 @@ def commit_segmentation(
         bounded[z0:z1 + 1] = seg_relabeled[z0:z1 + 1]
         seg_relabeled = bounded
 
-    preserve = _mask_matched_objects(committed, seg_relabeled, preserve_mode)
+    preserve = _mask_matched_objects(committed, seg_relabeled, preserve_mode,
+                                     preservation_threshold)
     write = (seg_relabeled != 0) & ~preserve
     committed[write] = seg_relabeled[write]
     return committed
@@ -882,6 +913,7 @@ class CommitWidget(FormWidget):
         committed = commit_segmentation(
             committed_layer.data, source_layer.data,
             preserve_mode=self.preserve_mode, z_range=state.z_range,
+            preservation_threshold=self.preservation_threshold,
         )
         if self.commit_path:
             commit_to_file(
@@ -1042,8 +1074,13 @@ class SettingsWidget(FormWidget):
         print(f"micro-sam-tpu cache directory set to: {self.cache_directory}")
 
 
-def settings_widget(parent=None) -> SettingsWidget:
-    """Factory for the napari 'Settings' widget contribution."""
+def settings_widget(cache_directory=None, parent=None) -> SettingsWidget:
+    """Factory for the napari 'Settings' widget contribution. Passing
+    ``cache_directory`` applies it immediately (reference _widgets.py
+    settings_widget updates MICROSAM_CACHEDIR)."""
+    import os as _os
+    if cache_directory is not None:
+        _os.environ["MICROSAM_CACHEDIR"] = str(cache_directory)
     return SettingsWidget(parent=parent)
 
 
@@ -1193,24 +1230,27 @@ def segment_frame(viewer) -> None:
 
 
 def commit(viewer, layer: str = "current_object", preserve_mode: str = "objects",
-           commit_path=None) -> None:
+           commit_path=None, preservation_threshold: float = 0.75) -> None:
     """Commit the selected layer into 'committed_objects'
     (reference _widgets.py:735)."""
     widget = CommitWidget(viewer)
     widget.layer = layer
     widget.preserve_mode = preserve_mode
     widget.commit_path = commit_path
+    widget.preservation_threshold = preservation_threshold
     widget()
 
 
 def commit_track(viewer, layer: str = "current_object",
-                 preserve_mode: str = "objects", commit_path=None) -> None:
+                 preserve_mode: str = "objects", commit_path=None,
+                 preservation_threshold: float = 0.75) -> None:
     """Commit the current track and reset the tracking state
     (reference _widgets.py:781)."""
     widget = CommitWidget(viewer, tracking=True)
     widget.layer = layer
     widget.preserve_mode = preserve_mode
     widget.commit_path = commit_path
+    widget.preservation_threshold = preservation_threshold
     widget()
 
 

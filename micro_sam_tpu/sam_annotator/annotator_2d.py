@@ -26,6 +26,7 @@ def annotator_2d(
     viewer=None,
     precompute_amg_state: bool = False,
     checkpoint_path: Optional[str] = None,
+    decoder_path: Optional[str] = None,
     device=None,
     prefer_decoder: bool = True,
     d4_data=None,
@@ -49,7 +50,8 @@ def annotator_2d(
     else:
         state.initialize_predictor(
             image, model_type=model_type, save_path=embedding_path, ndim=2,
-            device=device, checkpoint_path=checkpoint_path, tile_shape=tile_shape,
+            device=device, checkpoint_path=checkpoint_path,
+            decoder_path=decoder_path, tile_shape=tile_shape,
             halo=halo, precompute_amg_state=precompute_amg_state,
             prefer_decoder=prefer_decoder,
         )
@@ -61,7 +63,7 @@ def annotator_2d(
         import napari
         viewer = napari.Viewer()
     viewer.add_image(image, name="image")
-    annotator = Annotator2d(viewer)
+    annotator = Annotator2d(viewer, reset_state=False)
     annotator._update_image(segmentation_result=segmentation_result)
     if hasattr(viewer, "window"):
         viewer.window.add_dock_widget(annotator)

@@ -21,6 +21,7 @@ def annotator_3d(
     viewer=None,
     precompute_amg_state: bool = False,
     checkpoint_path: Optional[str] = None,
+    decoder_path: Optional[str] = None,
     device=None,
     prefer_decoder: bool = True,
     predictor=None,
@@ -37,7 +38,8 @@ def annotator_3d(
     else:
         state.initialize_predictor(
             image, model_type=model_type, save_path=embedding_path, ndim=3,
-            device=device, checkpoint_path=checkpoint_path, tile_shape=tile_shape,
+            device=device, checkpoint_path=checkpoint_path,
+            decoder_path=decoder_path, tile_shape=tile_shape,
             halo=halo, precompute_amg_state=precompute_amg_state,
             prefer_decoder=prefer_decoder,
         )
@@ -49,7 +51,7 @@ def annotator_3d(
         import napari
         viewer = napari.Viewer()
     viewer.add_image(image, name="image")
-    annotator = Annotator3d(viewer)
+    annotator = Annotator3d(viewer, reset_state=False)
     annotator._update_image(segmentation_result=segmentation_result)
     if hasattr(viewer, "window"):
         viewer.window.add_dock_widget(annotator)

@@ -65,6 +65,8 @@ def annotator_tracking(
     viewer=None,
     checkpoint_path: Optional[str] = None,
     device=None,
+    precompute_amg_state: bool = False,
+    decoder_path: Optional[str] = None,
 ):
     """Start the tracking annotator (reference annotator_tracking.py:288)."""
     state = AnnotatorState()
@@ -79,7 +81,8 @@ def annotator_tracking(
         state.initialize_predictor(
             image, model_type=model_type, save_path=embedding_path, ndim=3,
             device=device, checkpoint_path=checkpoint_path,
-            tile_shape=tile_shape, halo=halo,
+            decoder_path=decoder_path, tile_shape=tile_shape, halo=halo,
+            precompute_amg_state=precompute_amg_state,
         )
     _init_tracking_state(state)
 
@@ -90,7 +93,7 @@ def annotator_tracking(
         import napari
         viewer = napari.Viewer()
     viewer.add_image(image, name="image")
-    annotator = AnnotatorTracking(viewer)
+    annotator = AnnotatorTracking(viewer, reset_state=False)
     if hasattr(viewer, "window"):
         viewer.window.add_dock_widget(annotator)
     if return_viewer:

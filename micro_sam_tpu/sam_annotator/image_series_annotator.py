@@ -160,6 +160,8 @@ def image_series_annotator(
         image, model_type=model_type, ndim=ndim, save_path=image_embedding_path,
         predictor=predictor, tile_shape=tile_shape, halo=halo,
         precompute_amg_state=precompute_amg_state, skip_load=False,
+        device=kwargs.get("device"),
+        prefer_decoder=kwargs.get("prefer_decoder", True),
     )
     state.image_shape = image.shape[:ndim]
 
@@ -168,7 +170,8 @@ def image_series_annotator(
         import napari
         viewer = napari.Viewer()
     viewer.add_image(image, name="image")
-    annotator = (Annotator3d if is_volumetric else Annotator2d)(viewer)
+    annotator = (Annotator3d if is_volumetric else Annotator2d)(
+        viewer, reset_state=False)
     initial = None if initial_segmentations is None else initial_segmentations[image_id]
     if initial is not None and not isinstance(initial, np.ndarray):
         initial = imageio.imread(str(initial))
@@ -260,13 +263,40 @@ def main():
     parser = argparse.ArgumentParser(description="Annotate a series of images.")
     parser.add_argument("-i", "--input_folder", required=True)
     parser.add_argument("-o", "--output_folder", required=True)
-    parser.add_argument("--pattern", default="*")
+    parser.add_argument("-p", "--pattern", default="*")
+    parser.add_argument("--initial_segmentation_folder", default=None,
+                        help="Folder with initial segmentations to load.")
+    parser.add_argument("--initial_segmentation_pattern", default="*",
+                        help="Glob pattern for the initial segmentations.")
     parser.add_argument("-m", "--model_type", default=util._DEFAULT_MODEL)
     parser.add_argument("-e", "--embedding_path", default=None)
+    parser.add_argument("-c", "--checkpoint", default=None)
+    parser.add_argument("-d", "--device", default=None)
+    parser.add_argument("--is_volumetric", action="store_true",
+                        help="Use the 3d annotator for a set of volumes.")
+    parser.add_argument("--tile_shape", nargs="+", type=int, default=None)
+    parser.add_argument("--halo", nargs="+", type=int, default=None)
+    parser.add_argument("--precompute_amg_state", action="store_true")
+    parser.add_argument("--prefer_decoder", action="store_false")
+    parser.add_argument("--skip_segmented", action="store_false")
     args = parser.parse_args()
+
+    initial_segmentations = None
+    if args.initial_segmentation_folder is not None:
+        initial_segmentations = sorted(glob(os.path.join(
+            args.initial_segmentation_folder, args.initial_segmentation_pattern)))
+
     image_folder_annotator(
         args.input_folder, args.output_folder, args.pattern,
         model_type=args.model_type, embedding_path=args.embedding_path,
+        initial_segmentations=initial_segmentations,
+        checkpoint_path=args.checkpoint, device=args.device,
+        is_volumetric=args.is_volumetric,
+        tile_shape=None if args.tile_shape is None else tuple(args.tile_shape),
+        halo=None if args.halo is None else tuple(args.halo),
+        precompute_amg_state=args.precompute_amg_state,
+        prefer_decoder=args.prefer_decoder,
+        skip_segmented=args.skip_segmented,
     )
 
 

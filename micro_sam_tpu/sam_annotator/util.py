@@ -457,9 +457,10 @@ def _load_is_state(embedding_path) -> Dict:
     return is_state
 
 
-def toggle_label(prompt_layer) -> None:
+def toggle_label(prompts) -> None:
     """Toggle the last point-prompt label between positive and negative
-    (reference sam_annotator/util.py 'toggle_label')."""
+    (reference sam_annotator/util.py:29)."""
+    prompt_layer = prompts
     labels = prompt_layer.properties.get("label")
     if labels is None or len(labels) == 0:
         return
@@ -471,6 +472,20 @@ def toggle_label(prompt_layer) -> None:
 
 
 LABEL_COLOR_CYCLE = ["#00FF00", "#FF0000"]
+
+
+def clear_annotations(viewer, clear_segmentations: bool = True) -> None:
+    """Clear all prompt annotations (and optionally the current object) of a
+    viewer (reference sam_annotator/util.py:112)."""
+    from ._widgets import clear_annotations as _clear_layers
+
+    _clear_layers(viewer.layers.get("point_prompts"), viewer.layers.get("prompts"))
+    if not clear_segmentations:
+        return
+    layer = viewer.layers.get("current_object")
+    if layer is not None:
+        layer.data = np.zeros_like(layer.data)
+        layer.refresh()
 
 
 def clear_annotations_slice(viewer, i: int, clear_segmentations: bool = True) -> None:

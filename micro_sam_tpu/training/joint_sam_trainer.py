@@ -125,8 +125,10 @@ class JointSamTrainer(SamTrainer):
         state["decoder_state"] = jax.tree.map(np.asarray, self.unetr_params)
         return state
 
-    def load_checkpoint(self, name: str = "latest") -> Dict:
-        state = super().load_checkpoint(name)
+    def load_checkpoint(self, name: str = "latest", checkpoint: str = None) -> Dict:
+        # `checkpoint` is the reference's name for the same argument
+        # (reference joint_sam_trainer.py:51)
+        state = super().load_checkpoint(checkpoint or name)
         if "decoder_state" in state:
             self.unetr_params = jax.tree.map(jnp.asarray, state["decoder_state"])
         return state

@@ -100,6 +100,8 @@ class SamTrainer:
         n_objects_per_batch: Optional[int] = 25,
         convert_inputs: Optional[ConvertToSamInputs] = None,
         mse_loss_weight: float = 1.0,
+        mask_loss=None,
+        mse_loss=None,
         prompt_generator=None,
         mask_prob: float = 0.5,
         save_root: Optional[str] = None,
@@ -119,6 +121,12 @@ class SamTrainer:
             transform=None, box_distortion_factor=0.025
         )
         self.mse_loss_weight = mse_loss_weight
+        # Custom losses (reference sam_trainer.py:18 accepts torch loss
+        # modules): jnp-traceable callables on a single mask / a scalar pair.
+        # mask_loss(pred_sigmoid_hw, target_hw) -> scalar;
+        # mse_loss(pred_iou, actual_iou) -> scalar. None = built-in dice/MSE.
+        self.mask_loss = mask_loss
+        self.mse_loss = mse_loss
         self.mask_prob = mask_prob
         self.save_root = save_root or "./checkpoints"
         # TPU: hardware RNG (rbg) instead of threefry — the in-graph Gumbel
@@ -223,6 +231,8 @@ class SamTrainer:
         cfg = model.config
         n_sub = self.n_sub_iteration
         mse_w = self.mse_loss_weight
+        custom_mask_loss = self.mask_loss
+        custom_mse_loss = self.mse_loss
         mask_prob = self.mask_prob
         optimizer = self.optimizer
         img_size = cfg.img_size
@@ -278,8 +288,14 @@ class SamTrainer:
 
                 # --- loss ---
                 pred_sig = jax.nn.sigmoid(up)
-                dice_all = dice_score(pred_sig, gt_c[:, None])         # (N, 4)
-                dice_loss_all = 1.0 - dice_all
+                if custom_mask_loss is not None:
+                    # vmap the user loss over objects and mask channels
+                    per_mask = jax.vmap(jax.vmap(custom_mask_loss, in_axes=(0, None)),
+                                        in_axes=(0, 0))
+                    dice_loss_all = per_mask(pred_sig, gt_c)            # (N, 4)
+                else:
+                    dice_all = dice_score(pred_sig, gt_c[:, None])      # (N, 4)
+                    dice_loss_all = 1.0 - dice_all
                 pred_bin = up > 0
                 gt_bin = gt_c > 0.5
                 inter = jnp.sum(pred_bin & gt_bin[:, None], axis=(-2, -1),
@@ -301,7 +317,12 @@ class SamTrainer:
                     sel = jnp.zeros((N,), jnp.int32)
 
                 rows = jnp.arange(N)
-                iou_loss = (iou_pred[rows, sel] - jax.lax.stop_gradient(actual_iou[rows, sel])) ** 2
+                if custom_mse_loss is not None:
+                    iou_loss = jax.vmap(custom_mse_loss)(
+                        iou_pred[rows, sel],
+                        jax.lax.stop_gradient(actual_iou[rows, sel]))
+                else:
+                    iou_loss = (iou_pred[rows, sel] - jax.lax.stop_gradient(actual_iou[rows, sel])) ** 2
                 model_iou = iou_pred[rows, sel]
 
                 step_loss = jnp.sum((mask_loss + mse_w * iou_loss) * valid) / jnp.maximum(valid.sum(), 1)

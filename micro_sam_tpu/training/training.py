@@ -453,10 +453,18 @@ def train_instance_segmentation(
     )
 
 
-def export_instance_segmentation_model(checkpoint_path: str, output_path: str,
-                                       model_type: Optional[str] = None) -> None:
+def export_instance_segmentation_model(checkpoint_path: str = None, output_path: str = None,
+                                       model_type: Optional[str] = None,
+                                       trained_model_path: str = None,
+                                       initial_checkpoint_path: str = None) -> None:
     """Export a trained checkpoint into the standalone format consumed by
-    get_sam_model / get_predictor_and_decoder (reference training/training.py:378)."""
+    get_sam_model / get_predictor_and_decoder (reference training/training.py:378).
+    ``trained_model_path`` is the reference's name for ``checkpoint_path``;
+    ``initial_checkpoint_path`` is accepted for signature parity (the exported
+    state is self-contained here, so the initial checkpoint is not needed)."""
+    checkpoint_path = checkpoint_path or trained_model_path
+    if checkpoint_path is None or output_path is None:
+        raise ValueError("checkpoint_path/trained_model_path and output_path are required")
     with open(checkpoint_path, "rb") as f:
         state = pickle.load(f)
     out = {
@@ -483,22 +491,42 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser(description="Finetune SAM models on microscopy data.")
-    parser.add_argument("--name", required=True)
+    # reference flag set (reference training/training.py main) + earlier
+    # spellings kept as aliases
+    parser.add_argument("--name", "--trained_model_name", dest="name",
+                        default="sam_model",
+                        help="Checkpoint name of the finetuned model.")
     parser.add_argument("--images", required=True, nargs="+", help="Image file paths or glob.")
     parser.add_argument("--labels", required=True, nargs="+", help="Label file paths or glob.")
     parser.add_argument("--image_key", default=None)
     parser.add_argument("--label_key", default=None)
+    parser.add_argument("--val_images", nargs="*", default=None,
+                        help="Validation image paths (default: a fraction of --images).")
+    parser.add_argument("--val_labels", nargs="*", default=None)
+    parser.add_argument("--val_image_key", default=None)
+    parser.add_argument("--val_label_key", default=None)
     parser.add_argument("--val_fraction", type=float, default=0.1)
     parser.add_argument("-m", "--model_type", default=sam_util._DEFAULT_MODEL)
     parser.add_argument("-c", "--checkpoint_path", default=None)
     parser.add_argument("--patch_shape", nargs="+", type=int, default=[512, 512])
     parser.add_argument("--n_epochs", type=int, default=100)
+    parser.add_argument("--num_workers", type=int, default=1,
+                        help="Dataloader workers (accepted for parity; loading "
+                        "is in-process here).")
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--preprocess", default=None,
+                        choices=("normalize_minmax", "normalize_percentile"),
+                        help="Raw-data normalization before training.")
     parser.add_argument("--n_objects_per_batch", type=int, default=25)
+    parser.add_argument("--segmentation_decoder", default="instances",
+                        help="'instances' trains the extra decoder, 'none' disables it.")
     parser.add_argument("--without_segmentation_decoder", action="store_true")
     parser.add_argument("--configuration", default=None)
-    parser.add_argument("--save_root", default=None)
-    parser.add_argument("--export_path", default=None)
+    parser.add_argument("-s", "--save_root", default=None)
+    parser.add_argument("-d", "--device", default=None,
+                        help="Compute device (resolved via jax; accepted for parity).")
+    parser.add_argument("--export_path", "--output_path", dest="export_path",
+                        default=None, help="Where to export the trained model.")
 
     args = parser.parse_args()
 
@@ -511,18 +539,34 @@ def main():
     image_paths, label_paths = expand(args.images), expand(args.labels)
     assert len(image_paths) == len(label_paths), "Image and label counts must match."
 
-    n_val = max(1, int(len(image_paths) * args.val_fraction))
-    train_images, val_images = image_paths[:-n_val] or image_paths, image_paths[-n_val:]
-    train_labels, val_labels = label_paths[:-n_val] or label_paths, label_paths[-n_val:]
+    if args.val_images:
+        train_images, train_labels = image_paths, label_paths
+        val_images, val_labels = expand(args.val_images), expand(args.val_labels)
+        val_keys = dict(raw_key=args.val_image_key or args.image_key,
+                        label_key=args.val_label_key or args.label_key)
+    else:
+        n_val = max(1, int(len(image_paths) * args.val_fraction))
+        train_images, val_images = image_paths[:-n_val] or image_paths, image_paths[-n_val:]
+        train_labels, val_labels = label_paths[:-n_val] or label_paths, label_paths[-n_val:]
+        val_keys = dict(raw_key=args.image_key, label_key=args.label_key)
 
-    with_decoder = not args.without_segmentation_decoder
+    with_decoder = (not args.without_segmentation_decoder
+                    and str(args.segmentation_decoder).lower() not in ("none", ""))
+    raw_transform = None
+    if args.preprocess is not None:
+        from .util import get_raw_transform
+        raw_transform = get_raw_transform(args.preprocess)
     loader_kwargs = dict(
-        raw_key=args.image_key, label_key=args.label_key,
         patch_shape=tuple(args.patch_shape),
         with_segmentation_decoder=with_decoder, batch_size=args.batch_size,
     )
-    train_loader = default_sam_loader(raw_paths=train_images, label_paths=train_labels, **loader_kwargs)
-    val_loader = default_sam_loader(raw_paths=val_images, label_paths=val_labels, **loader_kwargs)
+    if raw_transform is not None:
+        loader_kwargs["raw_transform"] = raw_transform
+    train_loader = default_sam_loader(
+        raw_paths=train_images, label_paths=train_labels,
+        raw_key=args.image_key, label_key=args.label_key, **loader_kwargs)
+    val_loader = default_sam_loader(
+        raw_paths=val_images, label_paths=val_labels, **val_keys, **loader_kwargs)
 
     if args.configuration:
         train_sam_for_configuration(

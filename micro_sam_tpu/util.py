@@ -191,6 +191,7 @@ def get_sam_model(
     compute_dtype: Optional[str] = None,
     seed: int = 0,
     mesh=None,
+    decoder_path: Optional[str] = None,
     **kwargs,
 ) -> Union[SamPredictor, Tuple]:
     """Build a SamPredictor (reference util.py:317).
@@ -261,6 +262,17 @@ def get_sam_model(
             and os.path.exists(str(checkpoint_path)):
         model_hash = f"xxh128:{_compute_hash(str(checkpoint_path))}"
     predictor._hash = model_hash  # rides the embedding-cache signature
+
+    if decoder_path is not None:
+        # separate decoder checkpoint (reference util.py get_sam_model
+        # decoder_path): a torch_em UNETR decoder state file
+        from .models.unetr import convert_torch_em_decoder
+        import torch as _torch
+        loaded = _torch.load(str(decoder_path), map_location="cpu",
+                             weights_only=False)
+        if isinstance(loaded, dict) and "model_state" in loaded:
+            loaded = loaded["model_state"]
+        decoder_state = loaded
 
     state["model_state"] = params
     if decoder_state is not None:
@@ -338,10 +350,17 @@ def load_native_checkpoint(path: str, model_type: Optional[str] = None):
 
 def export_custom_sam_model(
     checkpoint_path: str, model_type: str, save_path: str, with_segmentation_decoder: bool = False,
+    prefix: str = "sam.",
 ) -> None:
     """Export a training checkpoint to a plain torch-layout SAM state dict
-    (reference util.py:511), written via torch.save for interoperability."""
+    (reference util.py:511), written via torch.save for interoperability.
+    ``prefix`` mirrors the reference knob for the key prefix to strip; the
+    standard prefixes ("sam.", "model_state") are detected automatically."""
     import torch
+    if prefix != "sam.":
+        warnings.warn(
+            f"Non-default prefix {prefix!r} is ignored: checkpoint key "
+            "prefixes are normalized automatically on load.")
     predictor, state = get_sam_model(
         model_type=model_type, checkpoint_path=checkpoint_path, return_state=True
     )

@@ -14,8 +14,10 @@ from .util import ImageEmbeddings
 from .utils.blocking import Blocking
 
 
-def compute_pca(embeddings: np.ndarray, n_components: int = 3) -> np.ndarray:
-    """PCA of per-pixel embedding channels -> (H, W, 3) RGB in [0, 1]
+def compute_pca(embeddings: np.ndarray, n_components: int = 3,
+                as_rgb: bool = True) -> np.ndarray:
+    """PCA of per-pixel embedding channels -> (H, W, n_components); with
+    ``as_rgb`` the projection is normalized to [0, 1] for display
     (reference visualization.py:20)."""
     if embeddings.ndim == 4:  # (1, C, H, W)
         embeddings = embeddings[0]
@@ -24,10 +26,11 @@ def compute_pca(embeddings: np.ndarray, n_components: int = 3) -> np.ndarray:
     X = X - X.mean(axis=0, keepdims=True)
     # PCA via SVD on the (pixels, channels) matrix
     _, _, vt = np.linalg.svd(X, full_matrices=False)
-    proj = X @ vt[:n_components].T  # (H*W, 3)
-    proj -= proj.min(axis=0, keepdims=True)
-    denom = np.maximum(proj.max(axis=0, keepdims=True), 1e-7)
-    proj /= denom
+    proj = X @ vt[:n_components].T  # (H*W, n_components)
+    if as_rgb:
+        proj -= proj.min(axis=0, keepdims=True)
+        denom = np.maximum(proj.max(axis=0, keepdims=True), 1e-7)
+        proj /= denom
     return proj.reshape(H, W, n_components)
 
 
@@ -44,7 +47,7 @@ def _get_crop(embedding_shape: Tuple[int, int], original_shape: Tuple[int, int])
 
 
 def project_embeddings_for_visualization(
-    image_embeddings: ImageEmbeddings,
+    image_embeddings: ImageEmbeddings, n_components: int = 3, as_rgb: bool = True,
 ) -> Tuple[np.ndarray, Tuple[float, ...]]:
     """Project image embeddings to an RGB visualization, handling 2d / 3d /
     tiled layouts (reference visualization.py:152).
@@ -59,13 +62,13 @@ def project_embeddings_for_visualization(
     feats = np.asarray(features)
     if feats.ndim == 4:  # 2d: (1, C, H, W)
         crop = _get_crop(feats.shape[-2:], original_size)
-        vis = compute_pca(feats)[crop]
+        vis = compute_pca(feats, n_components=n_components, as_rgb=as_rgb)[crop]
         scale = tuple(float(o) / float(v) for o, v in zip(original_size, vis.shape[:2]))
     else:  # 3d: (Z, 1, C, H, W)
         vis = []
         for z in range(feats.shape[0]):
             crop = _get_crop(feats.shape[-2:], original_size)
-            vis.append(compute_pca(feats[z])[crop])
+            vis.append(compute_pca(feats[z], n_components=n_components, as_rgb=as_rgb)[crop])
         vis = np.stack(vis)
         scale = (1.0,) + tuple(
             float(o) / float(v) for o, v in zip(original_size, vis.shape[1:3])

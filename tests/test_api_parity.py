@@ -53,6 +53,59 @@ def test_every_reference_public_name_exists():
     assert not missing, f"reference public names absent from micro_sam_tpu: {missing}"
 
 
+def _sigs(path):
+    tree = ast.parse(open(path).read())
+    out = {}
+
+    def visit(node, prefix=""):
+        for n in getattr(node, "body", []):
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if n.name.startswith("_") and n.name != "__init__":
+                    continue
+                a = n.args
+                out[f"{prefix}{n.name}"] = (
+                    [x.arg for x in a.posonlyargs + a.args + a.kwonlyargs],
+                    bool(a.kwarg),
+                )
+            elif isinstance(n, ast.ClassDef) and not n.name.startswith("_"):
+                visit(n, prefix=f"{n.name}.")
+    visit(tree)
+    return out
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROOT), reason="reference tree not present")
+def test_reference_signatures_are_accepted():
+    """Every parameter of every shared public function/method must be accepted
+    by a same-named repo callable (or absorbed by **kwargs) — drop-in calls
+    written against the reference must not raise TypeError."""
+    repo_sigs = {}
+    for dp, ds, fs in os.walk(REPO_ROOT):
+        ds[:] = [d for d in ds if d != "__pycache__"]
+        for f in fs:
+            if f.endswith(".py"):
+                for k, v in _sigs(os.path.join(dp, f)).items():
+                    repo_sigs.setdefault(k, []).append(v)
+
+    problems = {}
+    for dp, ds, fs in os.walk(REF_ROOT):
+        ds[:] = [d for d in ds if d != "__pycache__"]
+        for f in sorted(fs):
+            if not f.endswith(".py"):
+                continue
+            for name, (args, _) in sorted(_sigs(os.path.join(dp, f)).items()):
+                if name not in repo_sigs:
+                    continue
+                want = set(args) - {"self"}
+                best = None
+                for rargs, rkw in repo_sigs[name]:
+                    missing = set() if rkw else want - (set(rargs) - {"self"})
+                    if best is None or len(missing) < len(best):
+                        best = missing
+                if best:
+                    problems[name] = sorted(best)
+    assert not problems, f"reference parameters not accepted: {problems}"
+
+
 def test_raw_transforms():
     from micro_sam_tpu.training import get_raw_transform, ResizeRawTrafo, ResizeLabelTrafo
 
@@ -218,3 +271,39 @@ def test_misc_constants():
     assert ARBITRARY_SIZE.min == 1 and ARBITRARY_SIZE.step == 1
     assert len(STATE_COLOR_CYCLE) == 2
     assert isinstance(get_cache_directory(), str)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROOT), reason="reference tree not present")
+def test_cli_flags_cover_reference():
+    """Every CLI flag of the reference's console-script mains must be accepted
+    by the corresponding repo CLI."""
+    def cli_flags(path):
+        tree = ast.parse(open(path).read())
+        flags = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute) \
+                    and node.func.attr == "add_argument":
+                for a in node.args:
+                    if isinstance(a, ast.Constant) and isinstance(a.value, str) \
+                            and a.value.startswith("-"):
+                        flags.add(a.value)
+        return flags
+
+    pairs = [
+        ("precompute_state.py", "precompute_state.py"),
+        ("automatic_segmentation.py", "automatic_segmentation.py"),
+        ("training/training.py", "training/training.py"),
+        ("evaluation/evaluation.py", "evaluation/evaluation.py"),
+        ("evaluation/benchmark_datasets.py", "evaluation/benchmark_datasets.py"),
+        ("sam_annotator/annotator_2d.py", "sam_annotator/annotator_2d.py"),
+        ("sam_annotator/annotator_3d.py", "sam_annotator/annotator_3d.py"),
+        ("sam_annotator/annotator_tracking.py", "sam_annotator/annotator_tracking.py"),
+        ("sam_annotator/image_series_annotator.py", "sam_annotator/image_series_annotator.py"),
+    ]
+    problems = {}
+    for ref, repo in pairs:
+        missing = cli_flags(os.path.join(REF_ROOT, ref)) - \
+            cli_flags(os.path.join(REPO_ROOT, repo))
+        if missing:
+            problems[repo] = sorted(missing)
+    assert not problems, f"CLI flags missing vs reference: {problems}"
