@@ -45,6 +45,33 @@ def _conv_bn(p, x, stride=1, padding="SAME", groups=1):
                                             padding=padding, groups=groups))
 
 
+def _conv3x3_s2_matmul(p, x):
+    """3x3 stride-2 pad-1 dense conv as a 9-tap im2col matmul + BN.
+
+    XLA's conv lowering pays a large layout tax when the channel (minor) dim
+    is tiny — the patch-embed convs (C_in = 3 and 32) measured 13.4 / 2.7 ms
+    of vit_t's batch-8 step on v5e. Building the im2col explicitly from
+    pixel-parity views (the column dim folded in pairs, so every tap is a
+    contiguous lane slice) turns each conv into one (B*Ho*Wo, 9C) @ (9C, O)
+    matmul. Bit-identical to the conv (same summation order per tap)."""
+    B, H, W, C = x.shape
+    Ho, Wo = H // 2, W // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp2 = xp.reshape(B, H + 2, (W + 2) // 2, 2 * C)
+    taps = []
+    for di in range(3):
+        rows = jax.lax.slice(
+            xp2, (0, di, 0, 0), (B, di + 2 * (Ho - 1) + 1, (W + 2) // 2, 2 * C),
+            (1, 2, 1, 1))
+        taps.append(jax.lax.slice(rows, (0, 0, 0, 0), (B, Ho, Wo, C)))
+        taps.append(jax.lax.slice(rows, (0, 0, 0, C), (B, Ho, Wo, 2 * C)))
+        taps.append(jax.lax.slice(rows, (0, 0, 1, 0), (B, Ho, 1 + Wo, C)))
+    im = jnp.concatenate(taps, axis=-1)                     # (B, Ho, Wo, 9C)
+    w = p["conv"]["w"].reshape(9 * C, -1).astype(x.dtype)   # HWIO -> (9C, O)
+    y = jnp.dot(im, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return cm.batch_norm(p["bn"], y)
+
+
 def _init_mbconv(key, in_ch, out_ch) -> Params:
     hidden = int(in_ch * MBCONV_EXPAND)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -78,6 +105,13 @@ def _patch_merging(p, x, stride):
     x = cm.gelu(_conv_bn(p["conv1"], x))
     x = cm.gelu(_conv_bn(p["conv2"], x, stride=stride, padding=1, groups=out_ch))
     return _conv_bn(p["conv3"], x)
+
+
+def _use_fused_attention() -> bool:
+    """Fused Pallas window attention (interpret-mode on CPU); env kill switch
+    MSAM_TPU_FUSED_TINY=0 restores the einsum composition."""
+    import os
+    return os.environ.get("MSAM_TPU_FUSED_TINY", "1") != "0"
 
 
 def _attention_bias_idxs(window: int) -> np.ndarray:
@@ -148,20 +182,35 @@ def _init_tiny_block(key, dim, num_heads, window) -> Params:
 def _tiny_block(p, x, num_heads, window):
     """x: (B, H, W, C)."""
     B, H, W, C = x.shape
-    res = x
 
-    # windowed attention with padding
     pad_h = (window - H % window) % window
     pad_w = (window - W % window) % window
-    xw = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0))) if (pad_h or pad_w) else x
-    Hp, Wp = H + pad_h, W + pad_w
-    xw = xw.reshape(B, Hp // window, window, Wp // window, window, C)
-    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, C)
-    xw = _tiny_attention(p["attn"], xw, num_heads, window)
-    xw = xw.reshape(B, Hp // window, Wp // window, window, window, C)
-    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)[:, :H, :W]
-
-    x = res + xw
+    if _use_fused_attention():
+        # fused Pallas path: window partition, LN1, qkv, block-diagonal-packed
+        # per-head attention, proj and the residual in ONE kernel
+        # (ops/fused_tiny_attention.py); pad tokens participate in attention
+        # exactly like the unfused path below
+        from ..ops.fused_tiny_attention import fused_tiny_attention
+        xw = (jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+              if (pad_h or pad_w) else x)
+        idxs, _ = _attention_bias_idxs(window)
+        n = window * window
+        bias_cat = p["attn"]["attention_biases"][:, jnp.asarray(idxs)]
+        bias_cat = bias_cat.transpose(1, 0, 2).reshape(n, num_heads * n)
+        x = fused_tiny_attention(
+            xw, p["attn"], bias_cat, num_heads, window)[:, :H, :W]
+    else:
+        res = x
+        # windowed attention with padding
+        xw = (jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+              if (pad_h or pad_w) else x)
+        Hp, Wp = H + pad_h, W + pad_w
+        xw = xw.reshape(B, Hp // window, window, Wp // window, window, C)
+        xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, C)
+        xw = _tiny_attention(p["attn"], xw, num_heads, window)
+        xw = xw.reshape(B, Hp // window, Wp // window, window, window, C)
+        xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)[:, :H, :W]
+        x = res + xw
     x = _conv_bn(p["local_conv"], x, padding=1, groups=C)
 
     tokens = x.reshape(B, H * W, C)
@@ -205,7 +254,7 @@ def init_tiny_vit(key, img_size: int = 1024, out_chans: int = 256) -> Params:
 
 def apply_tiny_vit(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """x: (B, S, S, 3) preprocessed pixels -> (B, S/16, S/16, 256)."""
-    x = cm.gelu(_conv_bn(p["patch_embed"]["conv1"], x, stride=2, padding=1))
+    x = cm.gelu(_conv3x3_s2_matmul(p["patch_embed"]["conv1"], x))
     x = _conv_bn(p["patch_embed"]["conv2"], x, stride=2, padding=1)  # S/4, 64
 
     for bp in p["stage0"]:
