@@ -82,13 +82,20 @@ def _init_mbconv(key, in_ch, out_ch) -> Params:
     }
 
 
-def _mbconv(p, x):
+def _mbconv_unfused(p, x):
     shortcut = x
     hidden = p["conv2"]["conv"]["w"].shape[-1]
     x = cm.gelu(_conv_bn(p["conv1"], x))
     x = cm.gelu(_conv_bn(p["conv2"], x, padding=1, groups=hidden))
     x = _conv_bn(p["conv3"], x)
     return cm.gelu(shortcut + x)
+
+
+def _mbconv(p, x):
+    if _use_fused_attention() and x.shape[1] % 8 == 0:
+        from ..ops.fused_mbconv import fused_mbconv
+        return fused_mbconv(x, p)
+    return _mbconv_unfused(p, x)
 
 
 def _init_patch_merging(key, in_ch, out_ch) -> Params:

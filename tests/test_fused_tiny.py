@@ -77,6 +77,35 @@ def test_tiny_vit_fused_matches_unfused(monkeypatch):
     assert float(jnp.max(jnp.abs(ref - out))) < 1e-4
 
 
+def test_fused_mbconv_matches_unfused():
+    """Fused MBConv kernel vs the conv composition, incl. the image-edge
+    zero-halo rows and the cross-chunk halo (H=64 -> two row chunks)."""
+    from micro_sam_tpu.models import tiny_vit as tv
+    from micro_sam_tpu.ops.fused_mbconv import fused_mbconv, _mbconv_fused_forward
+
+    rng = np.random.RandomState(0)
+    p = tv._init_mbconv(jax.random.PRNGKey(0), 64, 64)
+    for cb in ("conv1", "conv2", "conv3"):
+        n = p[cb]["bn"]["mean"].shape[0]
+        p[cb]["bn"]["mean"] = jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
+        p[cb]["bn"]["var"] = jnp.asarray(1 + rng.rand(n).astype(np.float32))
+    for H, W in ((64, 48), (8, 16)):
+        x = jnp.asarray(rng.randn(2, H, W, 64).astype(np.float32) * 0.5)
+        ref = tv._mbconv_unfused(p, x)
+        out = _mbconv_fused_forward(x, p)
+        assert float(jnp.max(jnp.abs(ref - out))) < 1e-5
+
+    # grad falls back to the unfused composition
+    x = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32) * 0.5)
+    g1 = jax.grad(lambda x_, p_: jnp.sum(jnp.sin(
+        fused_mbconv(x_, p_))), argnums=(0, 1))(x, p)
+    g2 = jax.grad(lambda x_, p_: jnp.sum(jnp.sin(
+        tv._mbconv_unfused(p_, x_))), argnums=(0, 1))(x, p)
+    err = max(float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)))
+    assert err < 5e-4
+
+
 def test_conv3x3_s2_matmul_matches_conv():
     """Patch-embed 9-tap im2col matmul vs the plain conv lowering."""
     from micro_sam_tpu.models import tiny_vit as tv
