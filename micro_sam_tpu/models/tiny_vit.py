@@ -218,6 +218,12 @@ def _tiny_block(p, x, num_heads, window):
         xw = xw.reshape(B, Hp // window, Wp // window, window, window, C)
         xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)[:, :H, :W]
         x = res + xw
+
+    if _use_fused_attention() and H % 8 == 0:
+        # local_conv + LN + MLP + residual in one kernel
+        from ..ops.fused_tiny_tail import fused_tiny_tail
+        return fused_tiny_tail(x, p["local_conv"], p["mlp"])
+
     x = _conv_bn(p["local_conv"], x, padding=1, groups=C)
 
     tokens = x.reshape(B, H * W, C)
