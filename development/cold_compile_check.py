@@ -119,6 +119,36 @@ def main():
     float(chk)
     out["wstack_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 2)
 
+    # vit_t fused kernels (tiny attention + MBConv + block tail) at the
+    # production batch-8 1024^2 geometry: cold compile + fused-vs-unfused
+    # numerics (unfused path differs by the bf16 tanh-gelu, so the gate is
+    # relative)
+    import os as _os
+    from micro_sam_tpu.models import tiny_vit as tv
+    tvp = tv.init_tiny_vit(jax.random.PRNGKey(8))
+    pxt = jnp.asarray(np.random.rand(B, 1024, 1024, 3), jnp.bfloat16)
+    enc_t = jax.jit(lambda px: (lambda f: (f, jnp.sum(f.astype(jnp.float32))))(
+        tv.apply_tiny_vit(tvp, px)))
+    t0 = time.perf_counter()
+    ft, ct = enc_t(pxt)
+    float(ct)
+    out["tiny_compile_s"] = round(time.perf_counter() - t0, 1)
+    ft = np.asarray(ft).astype(np.float32)
+    _os.environ["MSAM_TPU_FUSED_TINY"] = "0"
+    try:
+        rt = np.asarray(jax.jit(lambda px: tv.apply_tiny_vit(tvp, px))(pxt)
+                        ).astype(np.float32)
+    finally:
+        _os.environ.pop("MSAM_TPU_FUSED_TINY", None)
+    out["tiny_rel_err"] = float(
+        np.abs(ft - rt).max() / max(np.abs(rt).max(), 1e-6))
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        ft2, ct = enc_t(pxt)
+    float(ct)
+    out["tiny_tiles_per_s"] = round(n_iter * B / (time.perf_counter() - t0), 1)
+
     if args.full_encoder:
         from micro_sam_tpu.models.build_sam import get_config
         from micro_sam_tpu.models.sam import init_sam_params, Sam, preprocess
@@ -143,7 +173,8 @@ def main():
 
     # bf16 kernel vs bf16 reference at matched dtype: expect ~1e-1 absolute
     # on O(30) outputs (bf16 has ~2-3 decimal digits); gate on relative err
-    out["ok"] = out["rel_err"] < 2e-2 and out["wstack_rel_err"] < 2e-2
+    out["ok"] = (out["rel_err"] < 2e-2 and out["wstack_rel_err"] < 2e-2
+                 and out["tiny_rel_err"] < 5e-2)
     print(json.dumps(out))
     return 0 if out["ok"] else 1
 

@@ -102,7 +102,7 @@ def _tiny_attn_kernel(x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref,
             preferred_element_type=jnp.float32,
         ) + bias
         z = jnp.minimum(logits - _SKIPMAX_OFFSET, _SKIPMAX_CLAMP)
-        pr = jnp.exp(z).astype(cdt)
+        pr = jnp.exp(z.astype(cdt))                   # bf16 exp on fast path
         # per-head-segment sums: (N, nh*N) @ (nh*N, C) 0/1 selector puts the
         # segment sum of head h on its hd-lane block; guard underflow
         s = jax.lax.dot_general(
@@ -126,7 +126,7 @@ def _tiny_attn_kernel(x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref,
     o_ref[...] = (x + y).astype(o_ref.dtype).reshape(nw, np_, c)
 
 
-def _pick_group(bw: int, n: int, target_rows: int = 1024) -> int:
+def _pick_group(bw: int, n: int, target_rows: int = 2048) -> int:
     """Largest divisor of bw with group * n <= target_rows."""
     best = 1
     for g in range(1, bw + 1):
