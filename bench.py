@@ -155,6 +155,29 @@ def run_bench():
         except Exception as e:  # noqa: BLE001
             print(f"bench: AMG section failed, skipping: {e}", file=sys.stderr)
 
+    # vit_t (the reference's default model): fused TinyViT kernel family.
+    # Contained: a failure degrades this field to None, never the bench.
+    vit_t_tiles_per_sec = None
+    if on_tpu:
+        try:
+            from micro_sam_tpu.models.tiny_vit import init_tiny_vit, apply_tiny_vit
+            tvp = init_tiny_vit(jax.random.PRNGKey(0))
+
+            @jax.jit
+            def encode_t(px):
+                pixels = preprocess(px, 1024).astype(
+                    jnp.bfloat16 if on_tpu else jnp.float32)
+                return jnp.sum(apply_tiny_vit(tvp, pixels).astype(jnp.float32))
+
+            float(encode_t(x))
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                chk_t = encode_t(x)
+            float(chk_t)
+            vit_t_tiles_per_sec = n_iter * batch / (time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: vit_t section failed, skipping: {e}", file=sys.stderr)
+
     return {
         "metric": "vit_b_1024px_embed_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 3),
@@ -165,6 +188,7 @@ def run_bench():
             "decode_program_ms": round(decode_program_ms, 3),
             "amg_masks_per_sec": None if amg_masks_per_sec is None else round(amg_masks_per_sec, 1),
             "amg_device_masks_per_sec": None if amg_device_masks_per_sec is None else round(amg_device_masks_per_sec, 1),
+            "vit_t_tiles_per_sec_per_chip": None if vit_t_tiles_per_sec is None else round(vit_t_tiles_per_sec, 1),
             "platform": platform,
             "batch": batch,
             "compute_dtype": cfg.compute_dtype,

@@ -80,10 +80,14 @@ def _tail_fused_forward(x, local_p, mlp_p):
     b2 = mlp_p["lin2"]["b"][None]
     hid = w1.shape[1]
 
-    r = 32 if H % 32 == 0 and H > 64 else H
-    hb = r // 8 if r % 8 == 0 else 1
     if H % 8 != 0:
         raise ValueError(f"H={H} must be a multiple of 8")
+    # row chunk sized by the f32 MLP hidden (r*W, hid) resident in VMEM —
+    # r=64 at stage3 geometry overflowed the 96 MB scoped budget on the f32
+    # path (109.95M requested; the same round-1/2 failure class)
+    r = max((d for d in range(8, H + 1, 8)
+             if H % d == 0 and d * W * hid <= 4_000_000), default=8)
+    hb = r // 8
     nb = H // 8 - 1
     const = lambda *shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape))
     kern = functools.partial(_tiny_tail_kernel, eps=1e-5)
