@@ -220,9 +220,18 @@ def fused_tiny_attention(x, attn_params, bias_cat, num_heads, window):
     x: (B, Hp, Wp, C) zero-padded to window multiples; bias_cat: (N, nh*N)
     pre-gathered learned bias ([.., h*N + k] = table[h, offset(q, k)]).
     """
-    if _os.environ.get("MSAM_TPU_FUSED_TINY", "1") == "0":
+    if _os.environ.get("MSAM_TPU_FUSED_TINY", "1") == "0" or _has_peft(
+            attn_params["qkv"], attn_params["proj"]):
         return _unfused_reference(x, attn_params, bias_cat, num_heads, window)
     return _tiny_fused_forward(x, attn_params, bias_cat, num_heads, window)
+
+
+def _has_peft(*param_dicts) -> bool:
+    """The fused kernels read plain dense weights; any PEFT adaptation
+    (LoRA/SSF/AdaptFormer keys on the linears) must take the unfused path
+    where models/common.linear applies it."""
+    return any(k in p for p in param_dicts
+               for k in ("lora", "ssf_scale", "adapter"))
 
 
 def _fta_fwd(x, attn_params, bias_cat, num_heads, window):
