@@ -45,6 +45,17 @@ def _conv_bn(p, x, stride=1, padding="SAME", groups=1):
                                             padding=padding, groups=groups))
 
 
+def _gelu_tv(x):
+    """gelu for the XLA glue between the fused vit_t kernels: exact erf at
+    f32, the 6-op tanh-sigmoid form at bf16 (|err| < 1e-3, under bf16
+    rounding) — the exact-erf VPU chain dominates the patch-embed/merge
+    elementwise passes on TPU."""
+    if x.dtype != jnp.bfloat16:
+        return cm.gelu(x)
+    u2 = x * x
+    return x / (1.0 + jnp.exp(-x * (1.5957692 + 0.07135806 * u2)))
+
+
 def _conv3x3_s2_matmul(p, x):
     """3x3 stride-2 pad-1 dense conv as a 9-tap im2col matmul + BN.
 
@@ -109,8 +120,8 @@ def _init_patch_merging(key, in_ch, out_ch) -> Params:
 
 def _patch_merging(p, x, stride):
     out_ch = p["conv1"]["conv"]["w"].shape[-1]
-    x = cm.gelu(_conv_bn(p["conv1"], x))
-    x = cm.gelu(_conv_bn(p["conv2"], x, stride=stride, padding=1, groups=out_ch))
+    x = _gelu_tv(_conv_bn(p["conv1"], x))
+    x = _gelu_tv(_conv_bn(p["conv2"], x, stride=stride, padding=1, groups=out_ch))
     return _conv_bn(p["conv3"], x)
 
 
@@ -270,7 +281,7 @@ def apply_tiny_vit(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     # (a parity-packed two-conv formulation was tried and measured SLOWER in
     # context, 30.0 vs 28.5 ms encoder: its stride-4 im2col still reads a
     # lane-padded (..., 3)-minor pad intermediate)
-    x = cm.gelu(_conv3x3_s2_matmul(p["patch_embed"]["conv1"], x))
+    x = _gelu_tv(_conv3x3_s2_matmul(p["patch_embed"]["conv1"], x))
     x = _conv_bn(p["patch_embed"]["conv2"], x, stride=2, padding=1)
 
     for bp in p["stage0"]:
