@@ -76,6 +76,32 @@ def test_sam_trainer_smoke(tiny_trainable, tmp_path):
     assert np.isfinite(trainer.train_metrics[0]["train_loss"])
 
 
+def test_sam_trainer_vit_t_smoke(tmp_path):
+    """One finetune epoch through the TinyViT encoder: integrates the fused
+    vit_t kernels' custom_vjp backward (unfused fallback) inside the real
+    one-jit iterative train step."""
+    import jax
+    from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam
+    from micro_sam_tpu.training.trainable_sam import TrainableSAM
+    from micro_sam_tpu.training.sam_trainer import SamTrainer
+
+    cfg = SamConfig(model_type="vit_t", encoder="tiny_vit", img_size=128)
+    params = init_sam_params(jax.random.PRNGKey(0), cfg)
+    model = TrainableSAM(Sam(cfg, params))
+
+    loader = _make_loader(n_batches=1, size=128)
+    trainer = SamTrainer(
+        name="vit-t-run", train_loader=loader, val_loader=loader,
+        model=model, n_sub_iteration=2, n_objects_per_batch=2,
+        save_root=str(tmp_path),
+    )
+    p0 = np.asarray(jax.tree.leaves(model.params["image_encoder"])[0]).copy()
+    trainer.fit(epochs=1, verbose=False)
+    p1 = np.asarray(jax.tree.leaves(model.params["image_encoder"])[0])
+    assert not np.allclose(p0, p1), "TinyViT encoder did not train."
+    assert np.isfinite(trainer.train_metrics[0]["train_loss"])
+
+
 def test_joint_sam_trainer_smoke(tiny_trainable, tmp_path):
     import jax
     from micro_sam_tpu.training.joint_sam_trainer import JointSamTrainer
