@@ -165,8 +165,7 @@ def run_bench():
 
             @jax.jit
             def encode_t(px):
-                pixels = preprocess(px, 1024).astype(
-                    jnp.bfloat16 if on_tpu else jnp.float32)
+                pixels = preprocess(px, 1024).astype(jnp.bfloat16)
                 return jnp.sum(apply_tiny_vit(tvp, pixels).astype(jnp.float32))
 
             float(encode_t(x))

@@ -47,13 +47,13 @@ def _conv_bn(p, x, stride=1, padding="SAME", groups=1):
 
 def _gelu_tv(x):
     """gelu for the XLA glue between the fused vit_t kernels: exact erf at
-    f32, the 6-op tanh-sigmoid form at bf16 (|err| < 1e-3, under bf16
-    rounding) — the exact-erf VPU chain dominates the patch-embed/merge
-    elementwise passes on TPU."""
-    if x.dtype != jnp.bfloat16:
+    f32 (or when the fused family is disabled), the kernels' 6-op bf16
+    tanh-sigmoid form otherwise — the exact-erf VPU chain dominates the
+    patch-embed/merge elementwise passes on TPU."""
+    if x.dtype != jnp.bfloat16 or not _use_fused_attention():
         return cm.gelu(x)
-    u2 = x * x
-    return x / (1.0 + jnp.exp(-x * (1.5957692 + 0.07135806 * u2)))
+    from ..ops.fused_mbconv import _gelu
+    return _gelu(x, fast=True)
 
 
 def _conv3x3_s2_matmul(p, x):
@@ -64,7 +64,9 @@ def _conv3x3_s2_matmul(p, x):
     of vit_t's batch-8 step on v5e. Building the im2col explicitly from
     pixel-parity views (the column dim folded in pairs, so every tap is a
     contiguous lane slice) turns each conv into one (B*Ho*Wo, 9C) @ (9C, O)
-    matmul. Bit-identical to the conv (same summation order per tap)."""
+    matmul. Bit-identical to the conv (same summation order per tap).
+    Requires even H and W (the pixel-parity fold); callers fall back to the
+    conv otherwise."""
     B, H, W, C = x.shape
     Ho, Wo = H // 2, W // 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -126,10 +128,11 @@ def _patch_merging(p, x, stride):
 
 
 def _use_fused_attention() -> bool:
-    """Fused Pallas window attention (interpret-mode on CPU); env kill switch
-    MSAM_TPU_FUSED_TINY=0 restores the einsum composition."""
-    import os
-    return os.environ.get("MSAM_TPU_FUSED_TINY", "1") != "0"
+    """Fused vit_t kernel family (interpret-mode on CPU); the env kill switch
+    MSAM_TPU_FUSED_TINY=0 restores the plain XLA composition everywhere —
+    attention, MBConv, block tails, the im2col patch conv and the glue gelu."""
+    from ..ops.fused_tiny_attention import fused_tiny_enabled
+    return fused_tiny_enabled()
 
 
 def _attention_bias_idxs(window: int) -> np.ndarray:
@@ -281,7 +284,10 @@ def apply_tiny_vit(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     # (a parity-packed two-conv formulation was tried and measured SLOWER in
     # context, 30.0 vs 28.5 ms encoder: its stride-4 im2col still reads a
     # lane-padded (..., 3)-minor pad intermediate)
-    x = _gelu_tv(_conv3x3_s2_matmul(p["patch_embed"]["conv1"], x))
+    if _use_fused_attention() and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = _gelu_tv(_conv3x3_s2_matmul(p["patch_embed"]["conv1"], x))
+    else:
+        x = cm.gelu(_conv_bn(p["patch_embed"]["conv1"], x, stride=2, padding=1))
     x = _conv_bn(p["patch_embed"]["conv2"], x, stride=2, padding=1)
 
     for bp in p["stage0"]:

@@ -149,7 +149,8 @@ def fused_mbconv(x, p):
 
     x: (B, H, W, C) with H a multiple of 8; p: tiny_vit MBConv params.
     """
-    if _os.environ.get("MSAM_TPU_FUSED_TINY", "1") == "0":
+    from .fused_tiny_attention import fused_tiny_enabled
+    if not fused_tiny_enabled():
         return _unfused_reference(x, p)
     return _mbconv_fused_forward(x, p)
 

@@ -41,6 +41,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def fused_tiny_enabled() -> bool:
+    """Single gate for the whole vit_t fused family (attention, MBConv, block
+    tail, the im2col patch conv and the bf16 tanh-gelu glue);
+    MSAM_TPU_FUSED_TINY=0 restores the plain XLA composition everywhere."""
+    return _os.environ.get("MSAM_TPU_FUSED_TINY", "1") != "0"
+
+
 # Same skip-max softmax policy as ops/fused_window_block.py: a fixed exponent
 # offset replaces the per-row max (the row max is awkward here anyway: rows
 # hold nh independent softmax segments). Exact for max logit <= 96 — far
@@ -220,16 +227,18 @@ def fused_tiny_attention(x, attn_params, bias_cat, num_heads, window):
     x: (B, Hp, Wp, C) zero-padded to window multiples; bias_cat: (N, nh*N)
     pre-gathered learned bias ([.., h*N + k] = table[h, offset(q, k)]).
     """
-    if _os.environ.get("MSAM_TPU_FUSED_TINY", "1") == "0" or _has_peft(
+    if not fused_tiny_enabled() or _has_peft(
             attn_params["qkv"], attn_params["proj"]):
         return _unfused_reference(x, attn_params, bias_cat, num_heads, window)
     return _tiny_fused_forward(x, attn_params, bias_cat, num_heads, window)
 
 
 def _has_peft(*param_dicts) -> bool:
-    """The fused kernels read plain dense weights; any PEFT adaptation
-    (LoRA/SSF/AdaptFormer keys on the linears) must take the unfused path
-    where models/common.linear applies it."""
+    """The fused kernels read plain dense weights; any PEFT adaptation must
+    take the unfused path where models/common applies it. Checked keys:
+    per-linear 'lora'/'ssf_scale' (common.linear) and the mlp-dict-level
+    'adapter' (AdaptFormer, common.mlp_block) — callers pass the dicts at
+    BOTH levels."""
     return any(k in p for p in param_dicts
                for k in ("lora", "ssf_scale", "adapter"))
 

@@ -127,9 +127,9 @@ def _unfused_reference(x, local_p, mlp_p):
 @jax.custom_vjp
 def fused_tiny_tail(x, local_p, mlp_p):
     """bn(dw3x3(x)) -> + MLP(LN(.)) fused; x: (B, H, W, C), H % 8 == 0."""
-    from .fused_tiny_attention import _has_peft
-    if _os.environ.get("MSAM_TPU_FUSED_TINY", "1") == "0" or _has_peft(
-            mlp_p["lin1"], mlp_p["lin2"]):
+    from .fused_tiny_attention import _has_peft, fused_tiny_enabled
+    if not fused_tiny_enabled() or _has_peft(
+            mlp_p["lin1"], mlp_p["lin2"], mlp_p):
         return _unfused_reference(x, local_p, mlp_p)
     return _tail_fused_forward(x, local_p, mlp_p)
 

@@ -106,6 +106,21 @@ def test_fused_mbconv_matches_unfused():
     assert err < 5e-4
 
 
+def test_tiny_vit_odd_size(monkeypatch):
+    """Odd spatial sizes fall back to the conv patch embed instead of
+    crashing the even-parity im2col fold."""
+    from micro_sam_tpu.models import tiny_vit as tv
+
+    params = tv.init_tiny_vit(jax.random.PRNGKey(0), img_size=101)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 101, 101, 3)
+                    .astype(np.float32))
+    out = tv.apply_tiny_vit(params, x)
+    monkeypatch.setenv("MSAM_TPU_FUSED_TINY", "0")
+    ref = tv.apply_tiny_vit(params, x)
+    assert out.shape == ref.shape
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
 def test_conv3x3_s2_matmul_matches_conv():
     """Patch-embed 9-tap im2col matmul vs the plain conv lowering."""
     from micro_sam_tpu.models import tiny_vit as tv
