@@ -218,6 +218,32 @@ def test_production_precompute_meshed_equals_single(tiny_sam, tmp_path):
         assert np.allclose(a, b, atol=2e-4), (tid, np.abs(a - b).max())
 
 
+def test_production_vit_t_meshed_equals_single():
+    """The meshed production path also serves the TinyViT encoder (its fused
+    kernels run per-shard; tiny params the sharding table doesn't know get
+    replicated): meshed predict == single-device predict."""
+    import jax
+    from micro_sam_tpu.parallel.mesh import make_mesh
+    from micro_sam_tpu.util import (
+        get_sam_model, precompute_image_embeddings, set_precomputed)
+
+    image = (np.random.RandomState(3).rand(256, 256) * 255).astype(np.uint8)
+    pts = np.array([[128.0, 128.0]])
+    lbl = np.array([1])
+
+    def run(mesh):
+        pred = get_sam_model(
+            model_type="vit_t", compute_dtype="float32", mesh=mesh)
+        emb = precompute_image_embeddings(pred, image, verbose=False)
+        set_precomputed(pred, emb)
+        return pred.predict(point_coords=pts, point_labels=lbl)
+
+    m_ref, i_ref, _ = run(None)
+    m_got, i_got, _ = run(make_mesh(jax.devices()[:8], model_axis=2))
+    assert np.allclose(np.asarray(i_ref), np.asarray(i_got), atol=2e-4)
+    assert (np.asarray(m_ref) == np.asarray(m_got)).mean() > 0.999
+
+
 def test_production_amg_meshed_equals_single(tiny_sam, synthetic_image):
     """AutomaticMaskGenerator driven by a meshed predictor == single-device."""
     import jax
