@@ -174,15 +174,23 @@ class AMGBase(ABC):
     def get_state(self) -> Dict[str, Any]:
         if not self.is_initialized:
             raise RuntimeError("The state has not been computed yet. Call initialize first.")
-        return {
+        state = {
             "crop_list": self.crop_list, "crop_boxes": self.crop_boxes,
             "original_size": self.original_size,
         }
+        floors = getattr(self, "_prefilter_thresholds", None)
+        if floors is not None:
+            # cached state only holds candidates above the floors; record
+            # them so a generator restoring the cache enforces the same guard
+            state["prefilter_thresholds"] = floors
+        return state
 
     def set_state(self, state: Dict[str, Any]) -> None:
         self._crop_list = state["crop_list"]
         self._crop_boxes = state["crop_boxes"]
         self._original_size = state["original_size"]
+        # reference-written caches carry no floors: anything goes
+        self._prefilter_thresholds = state.get("prefilter_thresholds")
         self._is_initialized = True
 
     def clear_state(self):
@@ -197,6 +205,12 @@ class AutomaticMaskGenerator(AMGBase):
     instance_segmentation.py:291). Expensive decode in ``initialize``, cheap
     re-parameterizable filtering in ``generate``."""
 
+    #: device-side candidate filter floors (pred_iou, stability) applied in
+    #: ``initialize``; chosen below the default grid-search range (0.6+,
+    #: evaluation/instance_segmentation.py) so cached state still supports
+    #: every standard ``generate`` re-parameterization
+    DEFAULT_PREFILTER = (0.5, 0.5)
+
     def __init__(
         self,
         predictor: SamPredictor,
@@ -207,11 +221,22 @@ class AutomaticMaskGenerator(AMGBase):
         crop_n_points_downscale_factor: int = 1,
         point_grids: Optional[List[np.ndarray]] = None,
         stability_score_offset: float = 1.0,
+        prefilter_thresholds: Optional[Tuple[float, float]] = DEFAULT_PREFILTER,
     ):
+        """prefilter_thresholds: (iou_floor, stability_floor) applied ON
+        DEVICE during ``initialize`` — only candidates above the floors are
+        transferred to the host, so the end-to-end rate tracks the device
+        decode rate instead of the host-link bandwidth. ``generate`` must
+        then be called with thresholds >= the floors (it raises otherwise);
+        pass ``None`` to keep every candidate (exact reference semantics,
+        reference instance_segmentation.py:291 filters post-hoc only)."""
         super().__init__()
         self._predictor = predictor
         self._amg_decoder = None
         self._stability_score_offset = stability_score_offset
+        self._prefilter_thresholds = (
+            None if prefilter_thresholds is None
+            else (float(prefilter_thresholds[0]), float(prefilter_thresholds[1])))
 
         # grid config: either a per-crop-layer grid is given directly, or it
         # is derived from the per-side point count
@@ -232,7 +257,9 @@ class AutomaticMaskGenerator(AMGBase):
     def _get_amg_decoder(self):
         from .predictor import _AmgDecoder
         if self._amg_decoder is None or self._amg_decoder.predictor is not self._predictor:
-            self._amg_decoder = _AmgDecoder(self._predictor, self._stability_score_offset)
+            self._amg_decoder = _AmgDecoder(
+                self._predictor, self._stability_score_offset,
+                prefilter=self._prefilter_thresholds)
         return self._amg_decoder
 
     def _dispatch_batch(self, points, im_size):
@@ -245,9 +272,13 @@ class AutomaticMaskGenerator(AMGBase):
 
     def _consume_batch(self, results, points, crop_box, original_size):
         """Host side of one batch: RLE from the fetched packed bitstream +
-        MaskData assembly. ``results`` are numpy arrays (already fetched)."""
-        packed, iou_preds, stability, boxes = results
+        MaskData assembly. ``results`` are numpy arrays (already fetched) —
+        either the legacy all-candidates tuple or the compacted survivor dict
+        (predictor._amg_compact_impl)."""
         orig_h, orig_w = original_size
+        if isinstance(results, dict):
+            return self._consume_compact(results, points, crop_box, original_size)
+        packed, iou_preds, stability, boxes = results
         crop_h, crop_w = self._predictor.original_size
         C = iou_preds.shape[1]
         data = MaskData(iou_preds=iou_preds.reshape(-1))
@@ -265,6 +296,50 @@ class AutomaticMaskGenerator(AMGBase):
             masks = bits.reshape(-1, crop_w, crop_h).transpose(0, 2, 1).astype(bool)
             masks = amg_utils.uncrop_masks(masks, crop_box, orig_h, orig_w)
             data["rles"] = amg_utils.batched_mask_to_rle(masks)
+        return data
+
+    def _consume_compact(self, results, points, crop_box, original_size):
+        """Survivor-only batch: per-mask RLEs are emitted straight into the
+        FULL image frame from the bbox-windowed (or whole-tile) packed rows —
+        no host-side mask reconstruction or uncropping, for any crop box."""
+        orig_h, orig_w = original_size
+        n = results["n"]
+        C = 3  # multimask channels (decode drops the single-mask slot)
+        crop_h, crop_w = results["crop_hw"]   # frame of the packed rows
+        x_off, y_off = int(crop_box[0]), int(crop_box[1])
+
+        data = MaskData(iou_preds=results["iou"])
+        data["points"] = np.repeat(
+            np.asarray(points), C, axis=0)[results["order"]].astype(np.float64)
+        data["stability_score"] = results["stability"]
+        # boxes stay in the crop frame: _postprocess_batch uncrops them
+        data["boxes"] = results["boxes"]
+
+        rles: List = [None] * n
+        if "packed" in results:
+            rles = native.rle_from_packed_cropped(
+                results["packed"],
+                np.tile([[x_off, y_off]], (n, 1)),
+                (crop_h, crop_w), orig_h, orig_w)
+        else:
+            fits = results["fits"]
+            fit_idx = np.flatnonzero(fits)
+            if len(fit_idx):
+                cs = results["crop_packed"].shape[1]
+                origins = results["origins"][fit_idx] + np.array([[x_off, y_off]])
+                for i, rle in zip(fit_idx, native.rle_from_packed_cropped(
+                        results["crop_packed"][fit_idx], origins,
+                        (cs, cs), orig_h, orig_w)):
+                    rles[i] = rle
+            big_idx = np.flatnonzero(~fits)
+            if len(big_idx):
+                assert len(big_idx) == len(results["packed_big"])
+                for i, rle in zip(big_idx, native.rle_from_packed_cropped(
+                        results["packed_big"],
+                        np.tile([[x_off, y_off]], (len(big_idx), 1)),
+                        (crop_h, crop_w), orig_h, orig_w)):
+                    rles[i] = rle
+        data["rles"] = rles
         return data
 
     def _process_batch(self, points, im_size, crop_box, original_size):
@@ -374,6 +449,15 @@ class AutomaticMaskGenerator(AMGBase):
         """Filter + NMS + merge the initialized mask data (cheap)."""
         if not self.is_initialized:
             raise RuntimeError("AutomaticMaskGenerator has not been initialized. Call initialize first.")
+        floors = getattr(self, "_prefilter_thresholds", None)
+        if floors is not None and (pred_iou_thresh < floors[0]
+                                   or stability_score_thresh < floors[1]):
+            raise ValueError(
+                f"generate thresholds ({pred_iou_thresh}, {stability_score_thresh}) are below "
+                f"the device-side prefilter floors {floors}: candidates under the floors were "
+                "never transferred. Re-initialize with prefilter_thresholds=None (or lower "
+                "floors) to generate at these thresholds."
+            )
 
         data = MaskData()
         for per_crop, crop_box in zip(self.crop_list, self.crop_boxes):
@@ -456,12 +540,15 @@ class TiledAutomaticMaskGenerator(AutomaticMaskGenerator):
         points_per_batch: int = 64,
         point_grids: Optional[List[np.ndarray]] = None,
         stability_score_offset: float = 1.0,
+        prefilter_thresholds: Optional[Tuple[float, float]] =
+            AutomaticMaskGenerator.DEFAULT_PREFILTER,
     ) -> None:
         # no crop pyramid for tiled AMG: the tiles themselves are the crops
         super().__init__(
             predictor, points_per_side, points_per_batch,
             point_grids=point_grids,
             stability_score_offset=stability_score_offset,
+            prefilter_thresholds=prefilter_thresholds,
         )
 
     def initialize(

@@ -23,8 +23,12 @@ def _load_lib():
     if _LIB is not None:
         return _LIB
     so = os.path.join(os.path.dirname(__file__), "_postprocess.so")
-    if not os.path.exists(so):
-        # first use: try to build the C++ backend (g++ is part of the toolchain)
+    src = os.path.join(os.path.dirname(__file__), "src", "postprocess.cpp")
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)))
+    if stale:
+        # first use / source changed: (re)build the C++ backend (g++ is part
+        # of the toolchain)
         try:
             from .build import build
             build(verbose=False)
@@ -34,9 +38,10 @@ def _load_lib():
         try:
             _LIB = ctypes.CDLL(so)
             for fn in ("label_multilabel_2d", "label_multilabel_2d_par",
-                       "rle_encode_colmajor", "rle_encode_packed"):
+                       "rle_encode_colmajor", "rle_encode_packed",
+                       "rle_encode_packed_cropped"):
                 getattr(_LIB, fn).restype = ctypes.c_int64
-        except OSError:
+        except (OSError, AttributeError):
             _LIB = False
     else:
         _LIB = False
@@ -417,3 +422,57 @@ def rle_from_packed(packed: np.ndarray, h: int, w: int) -> List[Dict]:
     from ..ops.amg_utils import mask_to_rle
     masks = bits.transpose(0, 2, 1).astype(bool)
     return [mask_to_rle(m) for m in masks]
+
+
+def rle_from_packed_cropped(
+    packed: np.ndarray, origins: np.ndarray, crop_hw: Tuple[int, int],
+    h: int, w: int,
+) -> List[Dict]:
+    """Full-frame RLE records from per-mask packed CROPS.
+
+    The AMG device pipeline transfers each surviving mask as a bbox-sized
+    window instead of the full frame (predictor._amg_compact_impl); this
+    reconstructs COCO RLE in the full (h, w) frame without ever materializing
+    the full mask on the host.
+
+    packed: (N, crop_w, ceil(crop_h/8)) uint8 — ``packbits`` of the
+        *transposed* (crop_w, crop_h) mask windows, MSB-first (same per-column
+        layout as :func:`rle_from_packed`).
+    origins: (N, 2) int — (x0, y0) placement of each window in the full frame.
+    crop_hw: (crop_h, crop_w) of the windows.
+    """
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    origins = np.asarray(origins, dtype=np.int64).reshape(-1, 2)
+    ch, cw = int(crop_hw[0]), int(crop_hw[1])
+    n = len(packed)
+    if n == 0:
+        return []
+    assert origins.shape[0] == n, (origins.shape, n)
+
+    lib = _load_lib()
+    if lib:
+        counts_buf = np.zeros(ch * cw + 2 * cw + 4, dtype=np.int64)
+        out = []
+        flat = packed.reshape(n, -1)
+        for i in range(n):
+            cnt = lib.rle_encode_packed_cropped(
+                flat[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(cw), ctypes.c_int64(ch),
+                ctypes.c_int64(origins[i, 0]), ctypes.c_int64(origins[i, 1]),
+                ctypes.c_int64(h), ctypes.c_int64(w),
+                counts_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            out.append({"size": [h, w], "counts": counts_buf[:cnt].copy()})
+        return out
+
+    # numpy fallback: paste the window into a full frame and RLE that
+    from ..ops.amg_utils import mask_to_rle
+    bits = np.unpackbits(packed, axis=-1)[..., :ch]  # (N, cw, ch)
+    out = []
+    full = np.zeros((h, w), dtype=bool)
+    for i in range(n):
+        x0, y0 = int(origins[i, 0]), int(origins[i, 1])
+        full[:] = False
+        full[y0:y0 + ch, x0:x0 + cw] = bits[i].T
+        out.append(mask_to_rle(full))
+    return out

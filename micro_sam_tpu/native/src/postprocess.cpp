@@ -315,6 +315,59 @@ int64_t rle_encode_packed(const uint8_t* bits, int64_t n_bits, int64_t* counts) 
     return n_counts;
 }
 
+// ---------------------------------------------------------------------------
+// RLE of a FULL (height H, width W) Fortran-order frame from a packed crop.
+// The crop is (crop_w columns x crop_h bits), transposed + bit-packed exactly
+// like rle_encode_packed's input but per COLUMN: column c lives at
+// packed + c * ceil(crop_h/8), MSB-first, per-column pad bits ignored.
+// The crop sits at (x0, y0) in the full frame; everything outside is zero.
+// Used by the AMG device pipeline's compacted transfer: only a bbox-sized
+// window of each surviving mask crosses the host link, and this encoder
+// emits the full-frame COCO counts directly (zero gaps between columns are
+// merged on the fly, so no host-side mask reconstruction is needed).
+// counts must have room for crop_h*crop_w + 2*crop_w + 4 entries.
+// ---------------------------------------------------------------------------
+
+int64_t rle_encode_packed_cropped(
+    const uint8_t* packed, int64_t crop_w, int64_t crop_h,
+    int64_t x0, int64_t y0, int64_t H, int64_t W, int64_t* counts) {
+    int64_t n_counts = 0;
+    uint8_t current = 0;
+    int64_t run = x0 * H + y0;  // zeros before the first crop-column segment
+    const int64_t stride = (crop_h + 7) / 8;
+    const int64_t gap = H - crop_h;  // zeros between consecutive crop columns
+    const int64_t full_bytes = crop_h / 8;
+    for (int64_t c = 0; c < crop_w; ++c) {
+        const uint8_t* col = packed + c * stride;
+        for (int64_t i = 0; i < full_bytes; ++i) {
+            const uint8_t byte = col[i];
+            if (byte == 0x00 && current == 0) { run += 8; continue; }
+            if (byte == 0xFF && current == 1) { run += 8; continue; }
+            for (int b = 7; b >= 0; --b) {
+                const uint8_t v = (byte >> b) & 1;
+                if (v == current) { ++run; }
+                else { counts[n_counts++] = run; current = v; run = 1; }
+            }
+        }
+        for (int64_t i = full_bytes * 8; i < crop_h; ++i) {
+            const uint8_t v = (col[i / 8] >> (7 - (i % 8))) & 1;
+            if (v == current) { ++run; }
+            else { counts[n_counts++] = run; current = v; run = 1; }
+        }
+        if (c + 1 < crop_w && gap > 0) {
+            if (current == 0) { run += gap; }
+            else { counts[n_counts++] = run; current = 0; run = gap; }
+        }
+    }
+    const int64_t tail = (H - y0 - crop_h) + (W - x0 - crop_w) * H;
+    if (tail > 0) {
+        if (current == 0) { run += tail; }
+        else { counts[n_counts++] = run; current = 0; run = tail; }
+    }
+    counts[n_counts++] = run;
+    return n_counts;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

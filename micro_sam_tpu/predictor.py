@@ -370,32 +370,150 @@ def _amg_decode_impl(model, params, features, points, labels, mask_threshold,
     return packed, iou_pred, stability, boxes
 
 
+def _amg_compact_impl(model, params, features, points, labels, true_n,
+                      mask_threshold, stability_offset, input_size,
+                      original_size, pre_iou, pre_stab, crop_size):
+    """_amg_decode_impl plus DEVICE-SIDE candidate compaction.
+
+    The end-to-end AMG rate was transfer-bound: every B*3 packed candidate
+    crossed the host link before any iou/stability filtering (reference
+    filters post-hoc, instance_segmentation.py:102-149). Here candidates are
+    filtered by conservative floors (pre_iou, pre_stab) IN the decode program
+    and survivors compacted to the front (stable argsort keeps shapes static),
+    so the host fetches only n surviving rows. Additionally each survivor
+    whose bbox fits a (crop_size, crop_size) window is transferred as that
+    bbox-centered window (~16-64x less data than a 1024 frame); oversized
+    survivors keep the full-frame path.
+
+    Returns a dict of device arrays; _AmgDecoder.fetch slices it by n.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .models.sam import postprocess_masks
+    from .ops.amg_utils import batched_mask_to_box, calculate_stability_score
+
+    low_res, iou_pred = model.decode_masks(params, features, points, labels)
+    masks = postprocess_masks(low_res, input_size, original_size, model.config.img_size)
+    masks = masks[:, 1:]      # multimask outputs
+    iou_pred = iou_pred[:, 1:]
+
+    stability = calculate_stability_score(masks, mask_threshold, stability_offset)
+    bool_masks = masks > mask_threshold
+    boxes = batched_mask_to_box(bool_masks)
+
+    B, C, H, W = bool_masks.shape
+    N = B * C
+    iou_f = iou_pred.reshape(N)
+    stab_f = stability.reshape(N)
+    boxes_f = boxes.reshape(N, 4)        # int32 XYXY (exclusive right/bottom)
+
+    transposed = bool_masks.transpose(0, 1, 3, 2).reshape(N, W, H)
+    pad_h = (-H) % 8
+    tp = jnp.pad(transposed, ((0, 0), (0, 0), (0, pad_h))) if pad_h else transposed
+    packed = jnp.packbits(tp, axis=-1)   # (N, W, ceil(H/8))
+
+    # floors use the same comparison ops as generate's filters (iou: >,
+    # stability: >=) so floor survivors are a superset of any generate call
+    # with thresholds >= the floors
+    valid = (iou_f > pre_iou) & (stab_f >= pre_stab)
+    valid &= jnp.arange(N) < true_n * C   # padded prompts never survive
+    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+    n = jnp.sum(valid).astype(jnp.int32)
+
+    out = {
+        "iou": iou_f[order], "stability": stab_f[order],
+        "boxes": boxes_f[order], "order": order, "n": n,
+    }
+    if crop_size is not None and crop_size <= min(H, W):
+        cs = int(crop_size)
+        bw = boxes_f[:, 2] - boxes_f[:, 0]
+        bh = boxes_f[:, 3] - boxes_f[:, 1]
+        fits = (bw <= cs) & (bh <= cs)
+        # integer-centering keeps [x0, x1) inside [cx, cx+cs) (see tests)
+        cx = jnp.clip(boxes_f[:, 0] - (cs - bw) // 2, 0, W - cs)
+        cy = jnp.clip(boxes_f[:, 1] - (cs - bh) // 2, 0, H - cs)
+        crops = jax.vmap(
+            lambda m, x0, y0: jax.lax.dynamic_slice(m, (x0, y0), (cs, cs))
+        )(transposed, cx, cy)
+        out["crop_packed"] = jnp.packbits(crops, axis=-1)[order]  # cs % 8 == 0
+        out["origins"] = jnp.stack([cx, cy], axis=-1).astype(jnp.int32)[order]
+        out["fits"] = fits[order]
+        # full-frame fallback rows for surviving-but-oversized masks, in the
+        # same original-index order as the survivors (both argsorts stable)
+        big = valid & ~fits
+        order_big = jnp.argsort(~big, stable=True).astype(jnp.int32)
+        out["packed_big"] = packed[order_big]
+        out["n_big"] = jnp.sum(big).astype(jnp.int32)
+    else:
+        out["packed"] = packed[order]
+    return out
+
+
 class _AmgDecoder:
-    """Cached jitted AMG decode programs per (batch, original_size)."""
+    """Cached jitted AMG decode programs per (batch, original_size).
+
+    prefilter=(iou_floor, stability_floor) enables device-side compaction:
+    only candidates above the floors are transferred (plus bbox-windowed
+    packed masks, see _amg_compact_impl). prefilter=None keeps the legacy
+    transfer-everything behavior (exact reference semantics for any
+    generate-time thresholds).
+    """
+
+    #: bbox-window edge for the compacted transfer; multiple of 8 (packbits)
+    CROP_SIZE = 256
 
     def __init__(self, predictor: "SamPredictor", stability_offset: float = 1.0,
-                 mask_threshold: float = 0.0):
+                 mask_threshold: float = 0.0,
+                 prefilter: Optional[Tuple[float, float]] = None,
+                 crop_transfer: bool = True):
         self.predictor = predictor
         self.stability_offset = stability_offset
         self.mask_threshold = mask_threshold
+        self.prefilter = None if prefilter is None else (
+            float(prefilter[0]), float(prefilter[1]))
+        self.crop_transfer = crop_transfer
         self._jit = None
 
-    def __call__(self, points_xy: np.ndarray) -> tuple:
+    def __call__(self, points_xy: np.ndarray):
         """points_xy: (B, 2) transformed (1024-frame) xy coords.
 
-        Returns numpy (packed_masks (B*3, W, ceil(H/8)), iou (B, 3),
-        stability (B, 3), boxes (B, 3, 4)).
+        Legacy mode (prefilter=None): numpy (packed_masks (B*3, W, ceil(H/8)),
+        iou (B, 3), stability (B, 3), boxes (B, 3, 4)).
+        Compact mode: dict of survivor rows (see fetch).
         """
         return self.fetch(self.dispatch(points_xy))
 
     @staticmethod
-    def fetch(handles: tuple) -> tuple:
+    def fetch(handles):
         """Pull dispatched device results to the host. Safe to call from a
         worker thread, which is how the AMG loop overlaps this transfer with
-        host-side RLE of the previous batch."""
-        return tuple(np.asarray(h) for h in handles)
+        host-side RLE of the previous batch.
 
-    def dispatch(self, points_xy: np.ndarray) -> tuple:
+        Compact handles (a dict) are fetched in two phases: the survivor
+        count n first (4 bytes), then only the first n rows of each array —
+        sliced at pow2 buckets so the tiny device-side slice programs are
+        compiled once per bucket, not once per n."""
+        if not isinstance(handles, dict):
+            return tuple(np.asarray(h) for h in handles)
+
+        def take(h, n):
+            m = min(_next_pow2(max(int(n), 1)), h.shape[0])
+            return np.asarray(h[:m])[:n]
+
+        n = int(np.asarray(handles["n"]))
+        out = {"n": n, "crop_hw": handles["crop_hw"]}
+        for k in ("iou", "stability", "boxes", "order"):
+            out[k] = take(handles[k], n)
+        if "packed" in handles:
+            out["packed"] = take(handles["packed"], n)
+        else:
+            for k in ("crop_packed", "origins", "fits"):
+                out[k] = take(handles[k], n)
+            out["packed_big"] = take(
+                handles["packed_big"], int(np.asarray(handles["n_big"])))
+        return out
+
+    def dispatch(self, points_xy: np.ndarray):
         """Launch the decode program asynchronously; returns device arrays
         (fetch() materializes them)."""
         import functools
@@ -403,7 +521,10 @@ class _AmgDecoder:
         import jax.numpy as jnp
 
         pred = self.predictor
+        compact = self.prefilter is not None
         if self._jit is None:
+            impl = _amg_compact_impl if compact else _amg_decode_impl
+            statics = (5, 6, 7, 8, 9, 10, 11) if compact else (4, 5, 6, 7)
             if pred.mesh is not None:
                 # production mesh path: prompt batch + all reduced outputs
                 # ride the data axis; params keep their (possibly
@@ -411,18 +532,20 @@ class _AmgDecoder:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 from .parallel.mesh import sam_param_shardings
                 data = NamedSharding(pred.mesh, P("data"))
+                repl = NamedSharding(pred.mesh, P())
                 p_shard = sam_param_shardings(pred.model.params, pred.mesh)
+                in_sh = ((p_shard, data, data, data, repl) if compact
+                         else (p_shard, data, data, data))
+                # compact outputs are globally reordered (argsort): leave
+                # their placement to XLA
+                out_sh = None if compact else (data, data, data, data)
+                kw = {} if out_sh is None else {"out_shardings": out_sh}
                 self._jit = jax.jit(
-                    functools.partial(_amg_decode_impl, pred.model),
-                    static_argnums=(4, 5, 6, 7),
-                    in_shardings=(p_shard, data, data, data),
-                    out_shardings=(data, data, data, data),
-                )
+                    functools.partial(impl, pred.model),
+                    static_argnums=statics, in_shardings=in_sh, **kw)
             else:
                 self._jit = jax.jit(
-                    functools.partial(_amg_decode_impl, pred.model),
-                    static_argnums=(4, 5, 6, 7),
-                )
+                    functools.partial(impl, pred.model), static_argnums=statics)
         points_xy, true_b = pred._pad_batch(points_xy)[0], points_xy.shape[0]
         B = points_xy.shape[0]
         pts = np.concatenate(
@@ -438,6 +561,22 @@ class _AmgDecoder:
             feats = jax.device_put(feats, pred._data_sharding)
         # statics passed positionally: pjit rejects kwargs when in_shardings
         # is specified (the meshed path)
+        if compact:
+            crop_hw = tuple(pred.original_size)
+            crop_size = self.CROP_SIZE if self.crop_transfer else None
+            handles = dict(self._jit(
+                pred.model.params, feats, jnp.asarray(pts), jnp.asarray(lbl),
+                jnp.int32(true_b),
+                self.mask_threshold, self.stability_offset,
+                tuple(pred.input_size), crop_hw,
+                self.prefilter[0], self.prefilter[1], crop_size,
+            ))
+            # host-side metadata for the consumer: the frame the packed rows
+            # live in (captured at dispatch time — the predictor may move on
+            # to another tile while this batch is still in flight)
+            handles["crop_hw"] = crop_hw
+            return handles
+
         packed, iou, stability, boxes = self._jit(
             pred.model.params, feats, jnp.asarray(pts), jnp.asarray(lbl),
             self.mask_threshold, self.stability_offset,

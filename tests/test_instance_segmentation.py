@@ -22,7 +22,8 @@ def test_amg(tiny_setup):
     from micro_sam_tpu.instance_segmentation import AutomaticMaskGenerator
 
     predictor, image, seg = tiny_setup
-    amg = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16)
+    amg = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16,
+                                 prefilter_thresholds=None)
     amg.initialize(image)
     assert amg.is_initialized
 
@@ -40,7 +41,7 @@ def test_amg(tiny_setup):
 
     # state round trip
     state = amg.get_state()
-    amg2 = AutomaticMaskGenerator(predictor, points_per_side=4)
+    amg2 = AutomaticMaskGenerator(predictor, points_per_side=4)  # floors restored from state
     amg2.set_state(state)
     out2 = amg2.generate(pred_iou_thresh=-10.0, stability_score_thresh=0.0)
     assert np.array_equal(out, out2)
@@ -61,7 +62,8 @@ def test_tiled_amg(tiny_setup, tmp_path):
         predictor, image, str(tmp_path / "emb.zarr"),
         tile_shape=(150, 150), halo=(16, 16), verbose=False,
     )
-    amg = TiledAutomaticMaskGenerator(predictor, points_per_side=2, points_per_batch=8)
+    amg = TiledAutomaticMaskGenerator(predictor, points_per_side=2, points_per_batch=8,
+                                      prefilter_thresholds=None)
     amg.initialize(image, image_embeddings=emb)
     out = amg.generate(pred_iou_thresh=-10.0, stability_score_thresh=0.0)
     assert out.shape == image.shape
@@ -218,3 +220,84 @@ def test_tiled_apg_refine_and_state(tiny_setup, tiny_decoder, tmp_path):
     out1 = apg.generate(min_size=0, prompt_function=prompt_function)
     out2 = apg2.generate(min_size=0, prompt_function=prompt_function)
     assert np.array_equal(out1, out2)
+
+
+def _amg_records_equal(recs_a, recs_b):
+    assert len(recs_a) == len(recs_b)
+    for a, b in zip(recs_a, recs_b):
+        assert np.array_equal(np.asarray(a["segmentation"]["counts"]),
+                              np.asarray(b["segmentation"]["counts"]))
+        assert a["segmentation"]["size"] == b["segmentation"]["size"]
+        assert a["bbox"] == b["bbox"]
+        assert np.isclose(a["predicted_iou"], b["predicted_iou"])
+        assert np.isclose(a["stability_score"], b["stability_score"])
+
+
+def test_amg_compact_matches_legacy(tiny_setup):
+    """Device-side compaction (survivor transfer + bbox-window RLE) must
+    reproduce the legacy transfer-everything pipeline bit for bit."""
+    from micro_sam_tpu.instance_segmentation import AutomaticMaskGenerator
+
+    predictor, image, _ = tiny_setup
+    legacy = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16,
+                                    prefilter_thresholds=None)
+    legacy.initialize(image)
+    # floors below every candidate: compaction machinery active, nothing dropped
+    compact = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16,
+                                     prefilter_thresholds=(-10.0, -10.0))
+    compact.initialize(image)
+
+    kw = dict(pred_iou_thresh=-5.0, stability_score_thresh=0.0, output_mode="rle")
+    _amg_records_equal(legacy.generate(**kw), compact.generate(**kw))
+
+    # realistic floors: survivors above (0.5, 0.5) match the legacy pipeline
+    # generated at the same thresholds
+    compact2 = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16,
+                                      prefilter_thresholds=(0.5, 0.5))
+    compact2.initialize(image)
+    kw2 = dict(pred_iou_thresh=0.5, stability_score_thresh=0.5, output_mode="rle")
+    _amg_records_equal(legacy.generate(**kw2), compact2.generate(**kw2))
+
+    # thresholds under the floor are refused (those candidates never crossed)
+    with pytest.raises(ValueError, match="prefilter"):
+        compact2.generate(pred_iou_thresh=0.3)
+
+
+def test_amg_compact_big_mask_fallback(tiny_setup, monkeypatch):
+    """Masks larger than the transfer window ride the full-frame fallback;
+    forcing a tiny window exercises both paths in one run."""
+    from micro_sam_tpu.predictor import _AmgDecoder
+    from micro_sam_tpu.instance_segmentation import AutomaticMaskGenerator
+
+    monkeypatch.setattr(_AmgDecoder, "CROP_SIZE", 16)
+    predictor, image, _ = tiny_setup
+    legacy = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16,
+                                    prefilter_thresholds=None)
+    legacy.initialize(image)
+    compact = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16,
+                                     prefilter_thresholds=(-10.0, -10.0))
+    compact.initialize(image)
+    kw = dict(pred_iou_thresh=-5.0, stability_score_thresh=0.0, output_mode="rle")
+    _amg_records_equal(legacy.generate(**kw), compact.generate(**kw))
+
+
+def test_tiled_amg_compact_matches_legacy(tiny_setup, tmp_path):
+    """Compaction under tiled AMG: packed rows live in tile frames and the
+    RLEs must land at the right full-frame offsets."""
+    from micro_sam_tpu.instance_segmentation import TiledAutomaticMaskGenerator
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    predictor, _, _ = tiny_setup
+    image = (np.random.RandomState(1).rand(300, 280) * 255).astype(np.uint8)
+    emb = precompute_image_embeddings(
+        predictor, image, str(tmp_path / "emb_compact.zarr"),
+        tile_shape=(150, 150), halo=(16, 16), verbose=False,
+    )
+    legacy = TiledAutomaticMaskGenerator(predictor, points_per_side=2, points_per_batch=8,
+                                         prefilter_thresholds=None)
+    legacy.initialize(image, image_embeddings=emb)
+    compact = TiledAutomaticMaskGenerator(predictor, points_per_side=2, points_per_batch=8,
+                                          prefilter_thresholds=(-10.0, -10.0))
+    compact.initialize(image, image_embeddings=emb)
+    kw = dict(pred_iou_thresh=-5.0, stability_score_thresh=0.0, output_mode="rle")
+    _amg_records_equal(legacy.generate(**kw), compact.generate(**kw))

@@ -256,7 +256,10 @@ def test_production_amg_meshed_equals_single(tiny_sam, synthetic_image):
 
     def run(pred):
         emb = precompute_image_embeddings(pred, image, verbose=False)
-        amg = AutomaticMaskGenerator(pred, points_per_side=4)
+        # compaction floors below every candidate: the device-side compact
+        # pipeline runs (incl. on the mesh) without dropping anything
+        amg = AutomaticMaskGenerator(pred, points_per_side=4,
+                                     prefilter_thresholds=(-10.0, -10.0))
         amg.initialize(image, emb, verbose=False)
         return amg.generate(pred_iou_thresh=0.0, stability_score_thresh=0.0,
                             output_mode="binary_mask")
