@@ -186,6 +186,13 @@ class SamTrainer:
         self._data_sharding = NamedSharding(mesh, P("data"))
         self._repl_sharding = NamedSharding(mesh, P())
         self._data_size = int(mesh.shape.get("data", 1))
+        # multi-host: the mesh may span several processes (jax.distributed).
+        # Each process's loader then yields only ITS shard of the global
+        # batch and the shards are assembled address-locally (no host
+        # crossing). The PRNG coin that replaces the reference's rank-0 DDP
+        # broadcast (reference sam_trainer.py:216-228) is shared by
+        # construction: every process must pass the same `seed`.
+        self._nproc = int(jax.process_count())
 
     # ------------------------------------------------------------------
     # prompt schedule (reference sam_trainer.py:70-104)
@@ -446,15 +453,30 @@ class SamTrainer:
             if batch is None:
                 continue
             images_j, gt, obj_valid, points0, labels0, boxes0 = batch
-            if self.mesh is not None and images_j.shape[0] % self._data_size:
-                raise ValueError(
-                    f"Batch size {images_j.shape[0]} must be divisible by the "
-                    f"mesh data axis ({self._data_size}) — size your loader "
-                    "batches to the mesh."
-                )
+            if self.mesh is not None:
+                global_b = images_j.shape[0] * (self._nproc if self._nproc > 1 else 1)
+                if global_b % self._data_size:
+                    raise ValueError(
+                        f"Global batch size {global_b} must be divisible by the "
+                        f"mesh data axis ({self._data_size}) — size your loader "
+                        "batches to the mesh."
+                    )
+                if self._nproc > 1:
+                    # loader yields this process's shard; assemble the global
+                    # batch without moving data across hosts
+                    from ..parallel.distributed import global_batch
+                    images_j, gt, obj_valid, points0, labels0, boxes0 = (
+                        global_batch(np.asarray(a), self.mesh)
+                        for a in (images_j, gt, obj_valid, points0, labels0, boxes0))
             patch_hw = tuple(gt.shape[2:])
 
             self._key, key = jax.random.split(self._key)
+            if self.mesh is not None and self._nproc > 1:
+                # every process derived the same key from the shared seed;
+                # rebuild it as a globally-replicated array (multi-host jit
+                # rejects committed process-local inputs)
+                from ..parallel.distributed import replicate
+                key = replicate(key, self.mesh)
             step = self._build_step(use_points, use_box, multimask, patch_hw, with_grad=train)
             if train:
                 self.model.params, self.opt_state, (loss, miou) = step(
@@ -498,12 +520,14 @@ class SamTrainer:
                 self._tb.add_scalar("validation/loss", val_loss, self._iteration)
                 self._tb.add_scalar("train/model_iou", train_iou, self._iteration)
                 self._tb.add_scalar("validation/model_iou", val_iou, self._iteration)
-            # CSV metrics for offline analysis
+            # CSV metrics for offline analysis (coordinator only: multi-host
+            # processes share the save_root filesystem)
             try:
                 import pandas as pd
-                pd.DataFrame(self.train_metrics).to_csv(
-                    os.path.join(self.save_root, self.name, "metrics.csv"), index=False
-                )
+                if jax.process_index() == 0:
+                    pd.DataFrame(self.train_metrics).to_csv(
+                        os.path.join(self.save_root, self.name, "metrics.csv"), index=False
+                    )
             except Exception:
                 pass
             if verbose:
@@ -527,8 +551,14 @@ class SamTrainer:
 
     def _checkpoint_state(self) -> Dict:
         import dataclasses
+        params = self.model.params
+        if getattr(self, "_nproc", 1) > 1:
+            # model-axis shards may live on other hosts: gather them so the
+            # checkpoint is complete (no-op for replicated leaves)
+            from jax.experimental import multihost_utils
+            params = multihost_utils.process_allgather(params, tiled=True)
         return {
-            "model_state": jax.tree.map(np.asarray, self.model.params),
+            "model_state": jax.tree.map(np.asarray, params),
             "model_type": self.model.config.model_type,
             # full config so get_sam_model can rebuild non-zoo (e.g. tiny
             # test) geometries from the checkpoint alone
@@ -539,7 +569,9 @@ class SamTrainer:
         }
 
     def save_checkpoint(self, name: str) -> None:
-        state = self._checkpoint_state()
+        state = self._checkpoint_state()  # collective in multi-host: all enter
+        if jax.process_index() != 0:
+            return
         with open(self._checkpoint_path(name), "wb") as f:
             pickle.dump(state, f)
 

@@ -14,7 +14,7 @@ import hashlib
 import os
 import warnings
 from concurrent import futures
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -518,15 +518,26 @@ def precompute_image_embeddings(
     pbar_init=None,
     pbar_update=None,
     mask: Optional[np.ndarray] = None,
+    tile_subset: Optional[Sequence[int]] = None,
+    finalize: bool = True,
 ) -> ImageEmbeddings:
     """Compute (or load cached) image embeddings (reference util.py:1132).
 
     Dispatch: 2d / tiled 2d / 3d / tiled 3d by (ndim, tile_shape). Embeddings
     are cached at ``save_path`` in zarr-v2 layout with signature attrs.
+
+    Multi-host support (parallel.distributed): ``tile_subset`` restricts a
+    tiled computation to the given tile ids (each process computes its shard
+    and writes its own zarr chunks) and ``finalize=False`` defers the
+    signature/done attrs so the coordinating process stamps the cache once
+    every shard has landed. Tiled computation also skips tiles whose dataset
+    already exists in the cache, which doubles as crash resume.
     """
     ndim = input_.ndim if ndim is None else ndim
     if tile_shape is not None and halo is None:
         halo = tuple(0 for _ in tile_shape)
+    if tile_subset is not None and tile_shape is None:
+        raise ValueError("tile_subset requires a tiled computation (tile_shape).")
 
     if save_path is None:
         f = zarr_lite.open(zarr_lite.MemoryStore())
@@ -543,16 +554,22 @@ def precompute_image_embeddings(
         embeddings = _compute_2d(predictor, input_, f, batch_size, pbar_init, pbar_update)
     elif ndim == 2:
         embeddings = _compute_tiled_2d(
-            predictor, input_, f, tile_shape, halo, batch_size, mask, pbar_init, pbar_update
+            predictor, input_, f, tile_shape, halo, batch_size, mask, pbar_init, pbar_update,
+            tile_subset=tile_subset, signature=signature,
         )
     elif ndim == 3 and tile_shape is None:
         embeddings = _compute_3d(predictor, input_, f, batch_size, pbar_init, pbar_update)
     elif ndim == 3:
         embeddings = _compute_tiled_3d(
-            predictor, input_, f, tile_shape, halo, batch_size, mask, pbar_init, pbar_update
+            predictor, input_, f, tile_shape, halo, batch_size, mask, pbar_init, pbar_update,
+            tile_subset=tile_subset, signature=signature,
         )
     else:
         raise ValueError(f"Invalid dimensionality {ndim}; expected 2 or 3.")
+
+    if not finalize:
+        pbar_close()
+        return embeddings
 
     f.attrs.update(signature)
     f.attrs["input_size"] = list(embeddings["input_size"]) if embeddings["input_size"] else None
@@ -641,17 +658,65 @@ def _get_tiles_in_mask(blocking: Blocking, mask: Optional[np.ndarray]) -> List[i
     return keep
 
 
+def _restrict_tiles(tile_ids: List[int], tile_subset) -> List[int]:
+    if tile_subset is None:
+        return tile_ids
+    keep = {int(t) for t in tile_subset}
+    return [t for t in tile_ids if t in keep]
+
+
+def _update_group_attrs(group, meta: Dict[str, Any]) -> None:
+    """Write group attrs only when they differ — under multi-host precompute
+    every process passes here with identical metadata, and skipping the
+    redundant rewrite avoids racing on the attrs file."""
+    if any(group.attrs.get(k) != v for k, v in meta.items()):
+        group.attrs.update(meta)
+
+
+def _mark_partial_signature(features, signature) -> bool:
+    """Record what partial (not-yet-finalized) tiles in this cache belong to;
+    returns True when existing tiles carry the same signature and may be
+    adopted (multi-host peer shards / crash resume), False when they are
+    stale leftovers that must be recomputed. In the multi-host case every
+    process writes the identical marker, so the write race is benign."""
+    marker = {k: v for k, v in signature.items()}
+    stored = features.attrs.get("partial_signature")
+    if stored == marker:
+        return True
+    features.attrs["partial_signature"] = marker
+    return False
+
+
+def _load_existing_tile(features, tile_id: int):
+    """Adopt an already-written tile dataset (multi-host shard written by a
+    peer process, or a partial previous run): returns the mem entry or None."""
+    key = str(tile_id)
+    try:
+        if key not in features:
+            return None
+        ds = features[key]
+        return {
+            "features": ds[...],
+            "input_size": tuple(ds.attrs["input_size"]),
+            "original_size": tuple(ds.attrs["original_size"]),
+        }
+    except Exception:
+        return None
+
+
 def _compute_tiled_2d(predictor, input_, f, tile_shape, halo, batch_size, mask,
-                      pbar_init, pbar_update) -> ImageEmbeddings:
+                      pbar_init, pbar_update, tile_subset=None,
+                      signature=None) -> ImageEmbeddings:
     shape_2d = input_.shape[:2]
     blocking = _tile_grid(shape_2d, tile_shape, halo)
-    tile_ids = _get_tiles_in_mask(blocking, mask)
+    tile_ids = _restrict_tiles(_get_tiles_in_mask(blocking, mask), tile_subset)
     pbar_init(len(tile_ids), "compute tiled image embeddings")
 
     features = f.require_group("features")
-    features.attrs.update({
+    _update_group_attrs(features, {
         "shape": list(shape_2d), "tile_shape": list(tile_shape), "halo": list(halo),
     })
+    adopt_existing = signature is not None and _mark_partial_signature(features, signature)
     writer = _EmbeddingWriter(enabled=True)
     mem: Dict[int, Dict[str, Any]] = {}
 
@@ -680,6 +745,11 @@ def _compute_tiled_2d(predictor, input_, f, tile_shape, halo, batch_size, mask,
         pending.clear()
 
     for tile_id in tile_ids:
+        existing = _load_existing_tile(features, tile_id) if adopt_existing else None
+        if existing is not None:
+            mem[tile_id] = existing
+            pbar_update(1)
+            continue
         tile = blocking.get_block_with_halo(tile_id, halo).outer_block
         tile_input = input_[tile.slicing]
         orig_size = tuple(tile_input.shape[:2])
@@ -701,22 +771,31 @@ def _compute_tiled_2d(predictor, input_, f, tile_shape, halo, batch_size, mask,
 
 
 def _compute_tiled_3d(predictor, input_, f, tile_shape, halo, batch_size, mask,
-                      pbar_init, pbar_update) -> ImageEmbeddings:
+                      pbar_init, pbar_update, tile_subset=None,
+                      signature=None) -> ImageEmbeddings:
     n_slices = input_.shape[0]
     shape_2d = input_.shape[1:3]
     blocking = _tile_grid(shape_2d, tile_shape, halo)
-    tile_ids = _get_tiles_in_mask(blocking, None if mask is None else np.max(mask, axis=0))
+    tile_ids = _restrict_tiles(
+        _get_tiles_in_mask(blocking, None if mask is None else np.max(mask, axis=0)),
+        tile_subset)
     C, E, _ = _feature_shape(predictor)
     pbar_init(len(tile_ids) * n_slices, "compute tiled embeddings for the volume")
 
     features = f.require_group("features")
-    features.attrs.update({
+    _update_group_attrs(features, {
         "shape": list(input_.shape[:3]), "tile_shape": list(tile_shape), "halo": list(halo),
     })
+    adopt_existing = signature is not None and _mark_partial_signature(features, signature)
     writer = _EmbeddingWriter(enabled=True)
     mem: Dict[int, Dict[str, Any]] = {}
 
     for tile_id in tile_ids:
+        existing = _load_existing_tile(features, tile_id) if adopt_existing else None
+        if existing is not None:
+            mem[tile_id] = existing
+            pbar_update(n_slices)
+            continue
         tile = blocking.get_block_with_halo(tile_id, halo).outer_block
         tile_feats = np.zeros((n_slices, 1, C, E, E), dtype=np.float32)
         in_size = orig_size = None
