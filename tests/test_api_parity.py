@@ -181,6 +181,7 @@ def test_save_grid_search_best_params(tmp_path):
     assert "decoder" in os.path.basename(p)
 
 
+@pytest.mark.slow
 def test_sam_logger_classes(tmp_path):
     from micro_sam_tpu.training import SamLogger, JointSamLogger
 
@@ -242,6 +243,7 @@ def test_relabel_consecutive_accepts_bool():
     assert max_id == 1 and out.max() == 1
 
 
+@pytest.mark.slow
 def test_livecell_functions_exist_and_validate(tmp_path):
     from micro_sam_tpu.evaluation import livecell
 

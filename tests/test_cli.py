@@ -42,6 +42,12 @@ def sample_image(tmp_path_factory):
 
 def test_cli_entrypoints_exist():
     import shutil
+    try:
+        import importlib.metadata as md
+        md.distribution("micro_sam_tpu")
+    except Exception:
+        pytest.skip("package not pip-installed (console scripts need "
+                    "`pip install -e .`, doc/development.md)")
     for name in [
         "micro_sam_tpu.automatic_segmentation",
         "micro_sam_tpu.precompute_embeddings",
@@ -62,6 +68,7 @@ def test_info_cli():
     assert "System Information" in res.stdout
 
 
+@pytest.mark.slow
 def test_precompute_embeddings_cli(sample_image, tmp_path):
     out = str(tmp_path / "emb.zarr")
     code = TINY_PRELUDE + f"""
@@ -77,6 +84,7 @@ from micro_sam_tpu.precompute_state import main; main()
     assert f["features"].shape == (1, 256, 16, 16)
 
 
+@pytest.mark.slow
 def test_automatic_segmentation_cli(sample_image, tmp_path):
     out = str(tmp_path / "seg.tif")
     code = TINY_PRELUDE + f"""

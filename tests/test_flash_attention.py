@@ -76,6 +76,7 @@ def test_flash_qkv_matches_einsum(hw):
         np.abs(np.asarray(out) - np.asarray(ref)).max()
 
 
+@pytest.mark.slow
 def test_flash_backward_matches_einsum_vjp():
     """Pallas backward kernel vs the einsum VJP, including rel-pos table
     grads, on both the heads-in-kernel path and the per-head-grid path

@@ -6,6 +6,7 @@ import pytest
 
 
 @pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.slow
 def test_fused_window_block_matches_unfused(masked):
     from micro_sam_tpu.models.image_encoder import init_block
     from micro_sam_tpu.ops.fused_window_block import (
@@ -39,6 +40,7 @@ def test_fused_window_block_matches_unfused(masked):
     assert err < 5e-4
 
 
+@pytest.mark.slow
 def test_fused_global_block_matches_unfused():
     """GLOBAL-attention fused kernel (the one that OOMed the round-1 bench):
     interpret-mode numerics vs the unfused composition, fwd and bwd."""
@@ -152,6 +154,7 @@ def test_fused_global_block_bf16_fast_softmax():
     assert relw < 0.05, f"bf16 window fast-softmax drift {relw}"
 
 
+@pytest.mark.slow
 def test_fused_global_block_falls_back_when_config_rejects():
     """A caller may gate on global_block_config WITHOUT the channel geometry
     (its channels/mlp_hidden default to vit_b) and then call with a model the
@@ -253,6 +256,7 @@ def test_fused_window_block_merged_qkv(masked):
 
 
 @pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.slow
 def test_fused_window_stack_matches_unfused(masked):
     """Window-STACK kernel (per-(image, head) grid over all windows) vs the
     unfused composition, fwd and bwd."""

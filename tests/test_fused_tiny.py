@@ -37,6 +37,7 @@ def test_fused_tiny_attention_matches_unfused(C, nh, w, Hp):
     assert float(jnp.max(jnp.abs(ref - out))) < 5e-5
 
 
+@pytest.mark.slow
 def test_fused_tiny_attention_grad():
     """custom_vjp backward (unfused fallback) is differentiable and matches
     the unfused gradients."""
@@ -57,6 +58,7 @@ def test_fused_tiny_attention_grad():
     assert err < 5e-4
 
 
+@pytest.mark.slow
 def test_tiny_vit_fused_matches_unfused(monkeypatch):
     """Whole vit_t encoder: fused path vs MSAM_TPU_FUSED_TINY=0."""
     from micro_sam_tpu.models import tiny_vit as tv
@@ -77,6 +79,7 @@ def test_tiny_vit_fused_matches_unfused(monkeypatch):
     assert float(jnp.max(jnp.abs(ref - out))) < 1e-4
 
 
+@pytest.mark.slow
 def test_fused_mbconv_matches_unfused():
     """Fused MBConv kernel vs the conv composition, incl. the image-edge
     zero-halo rows and the cross-chunk halo (H=64 -> two row chunks)."""
@@ -106,6 +109,7 @@ def test_fused_mbconv_matches_unfused():
     assert err < 5e-4
 
 
+@pytest.mark.slow
 def test_tiny_vit_odd_size(monkeypatch):
     """Odd spatial sizes fall back to the conv patch embed instead of
     crashing the even-parity im2col fold."""

@@ -39,6 +39,7 @@ def test_golden_encoder(vit_b224, golden):
     assert rel < 1e-3, f"golden encoder drift: abs {err}, rel {rel}"
 
 
+@pytest.mark.slow
 def test_golden_decoder(vit_b224, golden):
     import jax.numpy as jnp
     from tests.make_golden import fixed_inputs
@@ -54,6 +55,7 @@ def test_golden_decoder(vit_b224, golden):
     assert err_i < 1e-3, f"golden iou drift {err_i}"
 
 
+@pytest.mark.slow
 def test_checkpoint_conversion_roundtrip_full_shape(vit_b224, tmp_path):
     """Full vit_b-width torch .pt -> JAX pytree -> torch export round trip
     (VERDICT r1 item 7: conversion at full shape)."""

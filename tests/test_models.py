@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_encoder_shapes(tiny_sam):
     import jax.numpy as jnp
     from micro_sam_tpu.models.sam import preprocess
@@ -111,6 +112,7 @@ def test_predictor_batched_prompts(tiny_predictor, synthetic_image):
     assert iou.shape == (2, 1)
 
 
+@pytest.mark.slow
 def test_tiny_vit_vit_t():
     """vit_t (TinyViT) builds and runs through the predictor."""
     import numpy as np
@@ -132,6 +134,7 @@ def test_tiny_vit_vit_t():
     assert masks.shape == (3, 200, 256)
 
 
+@pytest.mark.slow
 def test_windowed_run_layout_equivalence():
     """The run-fused window layout must match per-block partitioning exactly."""
     import jax

@@ -24,6 +24,7 @@ def test_param_shardings(tiny_sam):
     assert norm.spec == P()
 
 
+@pytest.mark.slow
 def test_sharded_encoder_matches_single(tiny_sam):
     import jax
     from micro_sam_tpu.parallel.embed import ShardedEncoder
@@ -72,6 +73,7 @@ def test_sharded_precompute(tiny_predictor, tmp_path):
         assert np.allclose(a, b, atol=2e-4), np.abs(a - b).max()
 
 
+@pytest.mark.slow
 def test_dryrun_training_step():
     import jax
     from micro_sam_tpu.parallel.train_step import dryrun_training_step
@@ -79,6 +81,7 @@ def test_dryrun_training_step():
     dryrun_training_step(jax.devices()[:8])
 
 
+@pytest.mark.slow
 def test_vit_b_shape_tp_sharding(tiny_sam):
     """Tensor-parallel numerics at the REAL vit_b width (768 dims, 12 heads,
     depth trimmed to 2 for CPU runtime): tp=2-sharded encoder forward matches
@@ -102,6 +105,7 @@ def test_vit_b_shape_tp_sharding(tiny_sam):
     assert np.allclose(out, ref, atol=5e-4), np.abs(out - ref).max()
 
 
+@pytest.mark.slow
 def test_vit_b_shape_training_step():
     """One dp=4 x tp=2 sharded training step at vit_b width (768/12 heads,
     depth 2, img 224) — the real tensor-parallel geometry, not the toy one."""
@@ -150,6 +154,7 @@ def test_vit_b_shape_training_step():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_sharded_amg_decode(tiny_predictor, synthetic_image):
     """ShardedAmgDecoder over the mesh matches the single-device _AmgDecoder."""
     import jax
@@ -218,6 +223,7 @@ def test_production_precompute_meshed_equals_single(tiny_sam, tmp_path):
         assert np.allclose(a, b, atol=2e-4), (tid, np.abs(a - b).max())
 
 
+@pytest.mark.slow
 def test_production_vit_t_meshed_equals_single():
     """The meshed production path also serves the TinyViT encoder (its fused
     kernels run per-shard; tiny params the sharding table doesn't know get
@@ -275,6 +281,7 @@ def test_production_amg_meshed_equals_single(tiny_sam, synthetic_image):
         assert (seg_a != seg_b).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_production_trainer_meshed_step(tmp_path):
     """SamTrainer(mesh=...) actually shards: one epoch runs, params update,
     and the result matches the unmeshed trainer from the same init/key."""

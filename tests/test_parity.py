@@ -19,6 +19,7 @@ def shared_weights(tiny_sam):
     return sd
 
 
+@pytest.mark.slow
 def test_encoder_parity(tiny_sam, shared_weights):
     import jax.numpy as jnp
     from micro_sam_tpu.models.sam import preprocess
@@ -42,6 +43,7 @@ def test_encoder_parity(tiny_sam, shared_weights):
     assert err < 5e-4, f"encoder parity error {err}"
 
 
+@pytest.mark.slow
 def test_decoder_parity(tiny_sam, shared_weights):
     import jax.numpy as jnp
     from micro_sam_tpu.models import prompt_encoder as pe

@@ -78,6 +78,7 @@ def test_iterative_prompt_generator(object_mask):
     assert coords.shape == (len(ids), 2, 3)
 
 
+@pytest.mark.slow
 def test_sam_3d_wrapper():
     import jax
     from micro_sam_tpu.models.sam import SamConfig, init_sam_params, Sam

@@ -157,6 +157,7 @@ def test_tracking_state(fresh_state):
     assert fresh_state.current_track_id == c1
 
 
+@pytest.mark.slow
 def test_annotator_entry_requires_napari(tiny_predictor, synthetic_image, tmp_path):
     """annotator_2d initializes state headless, then raises a clear error for the GUI."""
     from micro_sam_tpu.sam_annotator import annotator_2d

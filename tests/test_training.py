@@ -58,6 +58,7 @@ def test_convert_to_sam_inputs():
     assert np.all(np.asarray(boxes) >= 0) and np.all(np.asarray(boxes) <= 128)
 
 
+@pytest.mark.slow
 def test_sam_trainer_smoke(tiny_trainable, tmp_path):
     from micro_sam_tpu.training.sam_trainer import SamTrainer
 
@@ -76,6 +77,7 @@ def test_sam_trainer_smoke(tiny_trainable, tmp_path):
     assert np.isfinite(trainer.train_metrics[0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_sam_trainer_vit_t_smoke(tmp_path):
     """One finetune epoch through the TinyViT encoder: integrates the fused
     vit_t kernels' custom_vjp backward (unfused fallback) inside the real
@@ -102,6 +104,7 @@ def test_sam_trainer_vit_t_smoke(tmp_path):
     assert np.isfinite(trainer.train_metrics[0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_joint_sam_trainer_smoke(tiny_trainable, tmp_path):
     import jax
     from micro_sam_tpu.training.joint_sam_trainer import JointSamTrainer
@@ -121,6 +124,7 @@ def test_joint_sam_trainer_smoke(tiny_trainable, tmp_path):
     assert "decoder_state" in state
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_into_inference(tiny_trainable, tmp_path):
     """Finetune -> export -> get_sam_model / get_predictor_and_decoder must
     round-trip (ADVICE r1: get_sam_model used to route .pkl to torch.load)."""
@@ -187,6 +191,7 @@ def test_dataset_and_loader():
     assert targets[0, 0].max() <= 1.0
 
 
+@pytest.mark.slow
 def test_train_sam_end_to_end(tmp_path):
     """train_sam through the public API with a tiny custom model registry hack."""
     from micro_sam_tpu.sample_data import synthetic_data
@@ -339,6 +344,7 @@ def test_peft_variants(tiny_trainable, module):
     get_peft_mask(params, module)
 
 
+@pytest.mark.slow
 def test_peft_int4_quantization(tiny_trainable):
     """Real int4 blockwise quantization of the frozen base (reference
     peft_sam.py:432-462 uses bitsandbytes Linear4bit): storage is jnp.int4,

@@ -194,6 +194,7 @@ def test_annotator_2d_stack(fresh_state, monkeypatch, tiny_sam, synthetic_image)
     assert len(viewer.layers["point_prompts"].data) == 0
 
 
+@pytest.mark.slow
 def test_autosegment_widget_2d(fresh_state, monkeypatch, tiny_predictor, synthetic_image):
     from micro_sam_tpu.sam_annotator._widgets import AutoSegmentWidget
     from micro_sam_tpu.util import precompute_image_embeddings
