@@ -266,6 +266,15 @@ class LearnedTracker:
         self.params = params
         self.link_threshold = link_threshold        # logit threshold for links
         self.division_threshold = division_threshold  # stricter bar for 2nd child
+        #: linking confidence of the last ``link`` call: (mean sigmoid score
+        #: of accepted links) x (fraction of objects after frame 0 that got
+        #: linked at all). The second factor is the discriminative
+        #: out-of-regime signal — a scorer facing motion it never saw keeps
+        #: HIGH scores on the links it does accept but fails to link a
+        #: growing fraction of objects (measured: unmatched 7%% at training
+        #: drift, 26-46%% at drift 10-16 where greedy overtakes it). None
+        #: before any call / when no links were attempted.
+        self.last_confidence: Optional[float] = None
 
     @classmethod
     def from_pretrained(cls, path_or_name: str = "default", **kwargs):
@@ -310,6 +319,9 @@ class LearnedTracker:
         node_to_track: Dict[Tuple[int, int], int] = {}
         parent_graph: Dict[int, int] = {}
         next_track = 1
+        accepted_scores: List[float] = []
+        n_linkable = 0   # objects in frames > 0 (they could have a parent)
+        n_linked = 0
 
         prev_tracks: Dict[int, int] = {}
         prev_features = None
@@ -336,6 +348,8 @@ class LearnedTracker:
                     if logits[r, c] > self.link_threshold:
                         assigned[int(ids[c])] = int(prev[r])
                         children[int(prev[r])] = 1
+                        accepted_scores.append(
+                            1.0 / (1.0 + float(np.exp(-logits[r, c]))))
                 # second children: unmatched current objects may join an
                 # already-linked parent above the (stricter) division bar;
                 # a parent takes at most TWO children (binary divisions, as
@@ -352,6 +366,9 @@ class LearnedTracker:
                         assigned[int(oid)] = -parent  # division marker
                         children[parent] = 2
 
+            if t > 0:
+                n_linkable += len(ids)
+                n_linked += len(assigned)
             curr_tracks: Dict[int, int] = {}
             for oid in ids:
                 oid = int(oid)
@@ -369,6 +386,9 @@ class LearnedTracker:
                 curr_tracks[oid] = track
             prev_tracks = curr_tracks
 
+        self.last_confidence = (
+            float(np.mean(accepted_scores)) * (n_linked / n_linkable)
+            if accepted_scores and n_linkable else None)
         return node_to_track, parent_graph
 
     def track(self, timeseries, segmentation, mode: str = "greedy"):
@@ -377,6 +397,25 @@ class LearnedTracker:
         Returns (tracked_segmentation, parent_graph)."""
         node_to_track, parent_graph = self.link(segmentation, timeseries)
         return recolor_by_tracks(segmentation, node_to_track), parent_graph
+
+    #: below this mean accepted-link score the scorer is extrapolating and
+    #: the greedy overlap linker is the safer choice (see evaluate_regimes)
+    MIN_CONFIDENCE = 0.75
+
+    def track_with_fallback(self, timeseries, segmentation,
+                            min_confidence: Optional[float] = None):
+        """``track``, but auto-select the greedy overlap linker when the
+        learned scorer's confidence is low (out-of-regime inputs). Returns
+        (tracked_segmentation, parent_graph, used_fallback)."""
+        min_confidence = self.MIN_CONFIDENCE if min_confidence is None \
+            else min_confidence
+        node_to_track, parent_graph = self.link(segmentation, timeseries)
+        used_fallback = (self.last_confidence is not None
+                         and self.last_confidence < min_confidence)
+        if used_fallback:
+            node_to_track, parent_graph = greedy_node_to_track(segmentation)
+        return (recolor_by_tracks(segmentation, node_to_track), parent_graph,
+                used_fallback)
 
 
 def recolor_by_tracks(segmentation: np.ndarray,
@@ -404,7 +443,10 @@ def recolor_by_tracks(segmentation: np.ndarray,
 # -----------------------------------------------------------------------------
 
 def hela_like_tracking_sequence(n_frames=10, shape=(256, 256), n_cells=6,
-                                division_prob=0.04, seed=0, drift_scale=1.0):
+                                division_prob=0.04, seed=0, drift_scale=1.0,
+                                occlusion_prob=0.0, occlusion_len=2,
+                                birth_prob=0.0, death_prob=0.0,
+                                return_events=False):
     """Labeled timeseries of large deformable cells (DIC-C2DH-HeLa-like).
 
     Each cell is a star-convex region whose radius varies over angle through
@@ -413,6 +455,20 @@ def hela_like_tracking_sequence(n_frames=10, shape=(256, 256), n_cells=6,
     the nearest center) and occasionally divide along a random axis.
     Returns (images, segs, gt_links) in the same contract as
     synthetic_tracking_sequence.
+
+    Adversarial regimes (see the failure-mode table in ``evaluate_regimes``):
+    - occlusion_prob/occlusion_len: a visible cell disappears for
+      ``occlusion_len`` frames and reappears WITH A NEW ID and no gt link —
+      frame-to-frame linkers (this one and the greedy/Trackastra contract)
+      cannot bridge gaps, so correct behavior is "start a new track", and a
+      link of the reappearance to any live cell is a false positive.
+    - birth_prob: spontaneous new cells (no parent) test that unmatched
+      detections are not force-linked to existing tracks.
+    - death_prob: permanent disappearances test that orphaned tracks are not
+      re-attached to other cells.
+    With return_events=True additionally returns an events dict
+    {"occlusions": [(t_hidden, t_visible_again, new_id)], "births":
+    [(t, id)], "deaths": [(t, id)]}.
     """
     rng = np.random.RandomState(seed)
     h, w = shape
@@ -443,12 +499,15 @@ def hela_like_tracking_sequence(n_frames=10, shape=(256, 256), n_cells=6,
     segs = np.zeros((n_frames, h, w), dtype="uint32")
     gt_links: List[Dict[int, int]] = []
 
+    events = {"occlusions": [], "births": [], "deaths": []}
     for t in range(n_frames):
         # rasterize: each cell claims pixels inside its angular radius
         # profile; overlaps go to the cell with the larger interior margin
         claim = np.full((h, w), -np.inf, dtype="float64")
         frame_seg = np.zeros((h, w), dtype="uint32")
         for cell in cells:
+            if cell.get("hidden", 0) > 0:
+                continue
             dy, dx = yy - cell["y"], xx - cell["x"]
             dist = np.sqrt(dy ** 2 + dx ** 2)
             theta = np.arctan2(dy, dx)
@@ -474,6 +533,24 @@ def hela_like_tracking_sequence(n_frames=10, shape=(256, 256), n_cells=6,
                                margin / 2, h - margin / 2))
             nx = float(np.clip(cell["x"] + cell["vx"] + rng.normal(0, jitter),
                                margin / 2, w - margin / 2))
+            was_hidden = cell.get("hidden", 0) > 0
+            if not was_hidden and death_prob and rng.rand() < death_prob:
+                events["deaths"].append((t, cell["id"]))
+                continue
+            if was_hidden or (occlusion_prob and rng.rand() < occlusion_prob):
+                nxt = dict(cell)
+                nxt["y"], nxt["x"] = ny, nx
+                if not was_hidden:
+                    nxt["hidden"] = occlusion_len + 1  # hides starting next frame
+                nxt["hidden"] -= 1
+                if nxt["hidden"] == 0:
+                    # reappearance: new id, NO link (gap not bridgeable
+                    # frame-to-frame; linking it anywhere is a false positive)
+                    nxt["id"] = next_id
+                    events["occlusions"].append((t + 1, next_id))
+                    next_id += 1
+                evolved.append(nxt)
+                continue
             if rng.rand() < division_prob and cell["r"] > 16:
                 axis = rng.uniform(0, 2 * np.pi)
                 off = cell["r"] * 0.6
@@ -498,10 +575,19 @@ def hela_like_tracking_sequence(n_frames=10, shape=(256, 256), n_cells=6,
                 frame_links[next_id] = cell["id"]
                 next_id += 1
                 evolved.append(nxt)
+        if birth_prob and rng.rand() < birth_prob:
+            cell = new_cell(next_id, rng.uniform(margin, h - margin),
+                            rng.uniform(margin, w - margin),
+                            rng.uniform(18, 30))
+            events["births"].append((t + 1, next_id))
+            next_id += 1
+            evolved.append(cell)   # no gt link: spontaneous appearance
         cells = evolved
         gt_links.append(frame_links)
 
     images += rng.normal(0, 0.04, images.shape).astype("float32")
+    if return_events:
+        return images, segs, gt_links[:-1], events
     return images, segs, gt_links[:-1]
 
 
@@ -589,6 +675,81 @@ def greedy_node_to_track(segs):
 
 _PACKAGED_WEIGHTS = os.path.join(
     os.path.dirname(__file__), "assets", "learned_tracker.npz")
+
+
+#: the adversarial validation regimes (VERDICT r3 #7): name -> generator kwargs
+TRACKING_REGIMES = {
+    "slow_drift": dict(drift_scale=1.0, division_prob=0.05),
+    "fast_drift": dict(drift_scale=6.0, division_prob=0.05),
+    "occlusion_gap2": dict(drift_scale=2.0, occlusion_prob=0.08,
+                           occlusion_len=2, division_prob=0.03),
+    "birth_death_churn": dict(drift_scale=2.0, birth_prob=0.5,
+                              death_prob=0.06, division_prob=0.03),
+    "dense_touching": dict(drift_scale=3.0, n_cells=10, division_prob=0.05),
+}
+
+
+def evaluate_regimes(n_seeds: int = 4, n_frames: int = 12,
+                     regimes: Optional[Dict] = None, verbose: bool = False):
+    """Adversarial tracker validation: learned vs greedy vs auto-fallback
+    across the TRACKING_REGIMES. For occlusion regimes additionally reports
+    ``false_bridge`` — the fraction of reappearing (post-gap) objects whose
+    track existed before the gap ended, i.e. wrongly linked across or to a
+    neighbor (gap bridging is OUT of contract for every frame-to-frame
+    linker here; correct behavior is a fresh track).
+
+    Returns {regime: {linker: {metric: value}}} averaged over seeds.
+    Used by tests/test_learned_tracking.py and the results table in this
+    module's docs (doc/tracking_robustness.md).
+    """
+    regimes = TRACKING_REGIMES if regimes is None else regimes
+    tracker = LearnedTracker.from_pretrained("default")
+    out: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for name, kwargs in regimes.items():
+        per_linker: Dict[str, List[Dict[str, float]]] = {
+            "learned": [], "greedy": [], "auto": []}
+        fallbacks = 0
+        for s in range(n_seeds):
+            images, segs, links, events = hela_like_tracking_sequence(
+                n_frames=n_frames, seed=1000 + s, return_events=True, **kwargs)
+
+            def false_bridge(n2t):
+                reapp = events["occlusions"] + events["births"]
+                if not reapp:
+                    return 0.0
+                bad = 0
+                seen_before = {}
+                for (t, oid), trk in n2t.items():
+                    seen_before.setdefault(trk, t)
+                for (t, oid) in reapp:
+                    trk = n2t.get((t, int(oid)))
+                    if trk is not None and seen_before.get(trk, t) < t:
+                        bad += 1
+                return bad / len(reapp)
+
+            n2t_l, pg_l = tracker.link(segs, images)
+            conf = tracker.last_confidence
+            n2t_g, pg_g = greedy_node_to_track(segs)
+            _, _, used_fb = tracker.track_with_fallback(images, segs)
+            fallbacks += int(used_fb)
+            n2t_a, pg_a = (n2t_g, pg_g) if used_fb else (n2t_l, pg_l)
+            for linker, (n2t, pg) in (("learned", (n2t_l, pg_l)),
+                                      ("greedy", (n2t_g, pg_g)),
+                                      ("auto", (n2t_a, pg_a))):
+                m = evaluate_tracking(segs, links, n2t, pg)
+                m["false_bridge"] = false_bridge(n2t)
+                if linker == "learned":
+                    m["confidence"] = conf if conf is not None else 1.0
+                per_linker[linker].append(m)
+        out[name] = {
+            linker: {k: round(float(np.mean([r[k] for r in runs])), 3)
+                     for k in runs[0]}
+            for linker, runs in per_linker.items()
+        }
+        out[name]["auto"]["fallback_rate"] = round(fallbacks / n_seeds, 2)
+        if verbose:
+            print(name, out[name])
+    return out
 
 
 def train_hela_like_linker(n_sequences: int = 8, seed: int = 0,

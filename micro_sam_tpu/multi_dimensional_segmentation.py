@@ -465,19 +465,31 @@ def track_across_frames(
     multi_dimensional_segmentation.py:605).
 
     Linker precedence: an explicit ``tracker`` (a
-    ``learned_tracking.LearnedTracker`` instance or the string "learned"),
-    then the external Trackastra package if installed, then the native greedy
-    overlap linker."""
+    ``learned_tracking.LearnedTracker`` instance, the string "learned", or
+    "auto" = learned with confidence-gated fallback to the greedy overlap
+    linker, see doc/tracking_robustness.md), then the external Trackastra
+    package if installed, then the native greedy overlap linker."""
     pbar_init, pbar_update, pbar_close = util.handle_pbar(verbose, pbar_init, pbar_update)
 
     if gap_closing is not None and gap_closing > 0:
         segmentation = _preprocess_closing(segmentation, gap_closing, pbar_update)
 
     if tracker is not None:
+        auto = tracker == "auto"
         if isinstance(tracker, str):
             from .learned_tracking import LearnedTracker
-            tracker = LearnedTracker.from_pretrained(tracker)
-        tracking_result, parent_graph = tracker.track(timeseries, segmentation)
+            tracker = LearnedTracker.from_pretrained(
+                "default" if auto else tracker)
+        if auto:
+            tracking_result, parent_graph, used_fallback = \
+                tracker.track_with_fallback(timeseries, segmentation)
+            if used_fallback and verbose:
+                print("track_across_frames: learned-linker confidence "
+                      f"{tracker.last_confidence:.2f} below "
+                      f"{tracker.MIN_CONFIDENCE} — using the greedy overlap "
+                      "linker for this sequence")
+        else:
+            tracking_result, parent_graph = tracker.track(timeseries, segmentation)
         lineages = _lineages_from_parent_graph(parent_graph, tracking_result)
         if min_time_extent is not None and min_time_extent > 0:
             tracking_result = _filter_tracks(tracking_result, min_time_extent)

@@ -136,3 +136,71 @@ def test_packaged_tracker_on_hela_like():
         div_greedy.append(lt.evaluate_tracking(
             segs, gt, *lt.greedy_node_to_track(segs))["division_f1"])
     assert np.mean(div_learned) > np.mean(div_greedy), (div_learned, div_greedy)
+
+
+def test_adversarial_regimes_no_false_bridging():
+    """Occlusion reappearances and births must start NEW tracks — linking
+    them to a pre-existing track is a false positive (doc/tracking_robustness.md)."""
+    from micro_sam_tpu import learned_tracking as lt
+
+    tracker = lt.LearnedTracker.from_pretrained("default")
+    for kw in (dict(occlusion_prob=0.1, occlusion_len=2),
+               dict(birth_prob=0.6, death_prob=0.08)):
+        images, segs, links, events = lt.hela_like_tracking_sequence(
+            n_frames=8, seed=11, drift_scale=2.0, return_events=True, **kw)
+        reappearances = events["occlusions"] + events["births"]
+        assert reappearances, "regime generated no events"
+        for n2t in (tracker.link(segs, images)[0],
+                    lt.greedy_node_to_track(segs)[0]):
+            first_seen = {}
+            for (t, oid), trk in n2t.items():
+                first_seen[trk] = min(first_seen.get(trk, t), t)
+            for (t, oid) in reappearances:
+                trk = n2t.get((t, int(oid)))
+                if trk is not None:
+                    assert first_seen[trk] == t, \
+                        f"event object {oid}@{t} bridged into track {trk}"
+
+
+def test_confidence_gated_fallback():
+    """Out-of-regime motion (drift far beyond training) must lower the
+    learned linker's confidence; the auto mode then selects greedy. In-regime
+    sequences keep high confidence and never fall back."""
+    import numpy as np
+    from micro_sam_tpu import learned_tracking as lt
+
+    tracker = lt.LearnedTracker.from_pretrained("default")
+
+    confs_in, confs_out = [], []
+    for s in range(3):
+        _, segs, _ = lt.hela_like_tracking_sequence(
+            n_frames=8, seed=40 + s, drift_scale=1.0)
+        tracker.link(segs)
+        confs_in.append(tracker.last_confidence)
+        _, segs, _ = lt.hela_like_tracking_sequence(
+            n_frames=8, seed=40 + s, drift_scale=16.0)
+        tracker.link(segs)
+        confs_out.append(tracker.last_confidence)
+    assert min(confs_in) > max(confs_out), (confs_in, confs_out)
+    assert min(confs_in) > tracker.MIN_CONFIDENCE, confs_in
+
+    # auto mode: high-confidence path returns the learned result; a forced
+    # high threshold flips it to greedy
+    images, segs, _ = lt.hela_like_tracking_sequence(
+        n_frames=6, seed=44, drift_scale=1.0)
+    _, _, used = tracker.track_with_fallback(images, segs)
+    assert not used
+    _, _, used = tracker.track_with_fallback(images, segs, min_confidence=1.1)
+    assert used
+
+
+def test_track_across_frames_auto_mode():
+    from micro_sam_tpu import learned_tracking as lt
+    from micro_sam_tpu.multi_dimensional_segmentation import track_across_frames
+
+    images, segs, _ = lt.hela_like_tracking_sequence(
+        n_frames=6, seed=5, drift_scale=1.0)
+    tracked, lineages = track_across_frames(
+        images, segs, tracker="auto", verbose=False)
+    assert tracked.shape == segs.shape
+    assert (tracked[segs > 0] > 0).all()
