@@ -52,7 +52,11 @@ def main():
 
     cfg = get_config("vit_b", compute_dtype="bfloat16")
     params = init_sam_params(jax.random.PRNGKey(0), cfg)
-    model = TrainableSAM(Sam(cfg, params))
+    # the train step donates params: every consumer below gets a FRESH device
+    # copy so one trainer's donation can't delete another's buffers
+    params_host = jax.tree.map(np.asarray, params)
+    fresh = lambda: jax.tree.map(jnp.asarray, params_host)
+    model = TrainableSAM(Sam(cfg, fresh()))
 
     rng = np.random.RandomState(0)
     imgs = (rng.rand(B, S, S, 3) * 255).astype(np.float32)
@@ -69,7 +73,7 @@ def main():
         trainer = SamTrainer(
             name=f"prof{n_sub}", train_loader=[(imgs, lbls)],
             val_loader=[(imgs, lbls)],
-            model=TrainableSAM(Sam(cfg, params)),
+            model=TrainableSAM(Sam(cfg, fresh())),
             n_sub_iteration=n_sub, n_objects_per_batch=O,
             save_root="/tmp/prof_ckpt",
         )
@@ -77,14 +81,17 @@ def main():
         images_j, gt, obj_valid, points0, labels0, boxes0 = batch
         step = trainer._build_step(True, False, True, tuple(gt.shape[2:]), True)
         key = trainer._key
-        p, o = trainer.model.params, trainer.opt_state
+        # the step donates (params, opt_state): thread the NEW state through so
+        # no call touches a donated (deleted) buffer
+        state = {"p": trainer.model.params, "o": trainer.opt_state}
 
-        def run(p, o):
-            p2, o2, (loss, miou) = step(p, o, key, images_j, gt, obj_valid,
-                                        points0, labels0, boxes0)
+        def run():
+            p2, o2, (loss, miou) = step(state["p"], state["o"], key, images_j,
+                                        gt, obj_valid, points0, labels0, boxes0)
+            state["p"], state["o"] = p2, o2
             return loss
 
-        results[f"full_step_ms_nsub{n_sub}"] = round(timeit(run, p, o), 1)
+        results[f"full_step_ms_nsub{n_sub}"] = round(timeit(run), 1)
 
     n1, n8 = results["full_step_ms_nsub1"], results["full_step_ms_nsub8"]
     results["marginal_round_ms"] = round((n8 - n1) / 7, 1)
@@ -105,8 +112,9 @@ def main():
         low, iou = model.forward_decoder(params, feats, pts, lbl, mi, hm)
         return jnp.sum(iou.astype(jnp.float32))
 
+    dec_params = fresh()
     results["decode_fwd_ms"] = round(
-        timeit(lambda: decode_fwd(params, feats, pts, lbl, mi, hm)), 1)
+        timeit(lambda: decode_fwd(dec_params, feats, pts, lbl, mi, hm)), 1)
 
     low_res = jnp.asarray(rng.randn(N, 4, mask_hw, mask_hw).astype(np.float32), cfg.dtype)
     gt_flat = jnp.asarray((rng.rand(N, S, S) > 0.9).astype(np.float32), cfg.dtype)
@@ -117,7 +125,7 @@ def main():
         pred = jax.nn.sigmoid(up)
         num = 2 * jnp.sum(pred * gt_flat[:, None], axis=(-2, -1), dtype=jnp.float32)
         den = jnp.sum(pred * pred, axis=(-2, -1), dtype=jnp.float32) + \
-            jnp.sum(gt_flat * gt_flat, axis=(-2, -1), dtype=jnp.float32)
+            jnp.sum(gt_flat * gt_flat, axis=(-2, -1), dtype=jnp.float32)[:, None]
         return jnp.sum(1 - num / (den + 1e-7))
 
     results["upscale_loss_fwd_ms"] = round(

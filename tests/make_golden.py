@@ -1,13 +1,33 @@
 """Generate the committed golden parity fixtures (run ONCE; outputs live in
-tests/fixtures/golden_vit_b224.npz).
+tests/fixtures/golden_*.npz; existing files are kept unless --force).
 
-Weights: vit_b-shaped (embed 768, depth 12, heads 12, window 14, globals
-(2,5,8,11)) at img_size 224, deterministically derived from
-jax.random.PRNGKey(42) (threefry — stable across jax versions). The golden
-outputs are computed by the INDEPENDENT torch reimplementation
-(tests/torch_sam_ref.py) from the exported torch-layout state dict, so the
-JAX stack is pinned to bytes produced by the other implementation — parity
-no longer requires re-running torch at test time (VERDICT r1 weak#5).
+Weights are deterministically derived from fixed jax.random.PRNGKeys
+(threefry — stable across jax versions). Every golden output is computed by
+an INDEPENDENT torch reimplementation (tests/torch_sam_ref.py,
+tests/torch_tiny_vit_ref.py, tests/torch_em_unetr_ref.py) from the exported
+torch-layout state dict, so the JAX stack is pinned to bytes produced by the
+other implementation — parity does not require re-running torch at test time
+(VERDICT r1 weak#5; r3 item 5 adds the full-resolution and
+all-architecture fixtures):
+
+  golden_vit_b224.npz     vit_b shape at 224 px (encoder + decoder + iou)
+  golden_vit_b1024.npz    vit_b FULL shape at 1024 px — the production path:
+                          64x64-token global attention, 14-px windows over a
+                          64 grid (window padding + masking), decoder golden
+  golden_vit_lh512.npz    vit_l / vit_h channel geometry (1024/16 heads,
+                          1280/16 heads -> head dims 64 and 80) at reduced
+                          depth 4, 512 px
+  golden_relpos_interp.npz  global rel-pos tables deliberately SHORTER than
+                          2*tokens-1 so both implementations interpolate
+                          (models/image_encoder.py:35-50 vs torch
+                          F.interpolate linear)
+  golden_vit_t1024.npz    TinyViT (vit_t) at 1024 px via the independent
+                          torch oracle tests/torch_tiny_vit_ref.py
+  golden_unetr.npz        torch_em UNETR decoder, embed 256, full feature
+                          widths, via tests/torch_em_unetr_ref.py
+
+Large tensors are stored float16: the fixtures' 1e-3 relative-to-max drift
+budget absorbs the <=4.9e-4 storage rounding with margin.
 """
 import os
 import sys
@@ -16,6 +36,8 @@ sys.path.insert(0, os.path.dirname(__file__))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 def build_config():
@@ -41,16 +63,14 @@ def fixed_inputs(cfg):
     return image, points, labels
 
 
-def main():
+def _torch_sam_forward(cfg, params, image, points=None, labels=None):
+    """Full torch-oracle forward: returns (embedding NHWC, masks, iou) numpy
+    (masks/iou None unless points are given)."""
     import torch
     from torch_sam_ref import dense_pe, embed_points, image_encoder, mask_decoder
     from micro_sam_tpu.models.convert import export_torch_state_dict
     from micro_sam_tpu.models.sam import preprocess
     import jax.numpy as jnp
-
-    cfg = build_config()
-    params = build_params()
-    image, points, labels = fixed_inputs(cfg)
 
     sd_np = export_torch_state_dict(params, cfg)
     sd = {k: torch.from_numpy(np.ascontiguousarray(v)).float() for k, v in sd_np.items()}
@@ -62,23 +82,247 @@ def main():
             sd, px_t, depth=cfg.depth, num_heads=cfg.num_heads,
             window_size=cfg.window_size, global_idx=set(cfg.global_attn_indexes),
         )
-        e = cfg.embedding_size
-        sparse = embed_points(
-            sd, torch.from_numpy(points), torch.from_numpy(labels.astype(np.int64)),
-            (cfg.img_size, cfg.img_size))
-        dense = (torch.zeros(1, 256, e, e)
-                 + sd["prompt_encoder.no_mask_embed.weight"][0][None, :, None, None])
-        masks, iou = mask_decoder(sd, emb, dense_pe(sd, (e, e)), sparse, dense)
+        masks = iou = None
+        if points is not None:
+            e = cfg.embedding_size
+            sparse = embed_points(
+                sd, torch.from_numpy(points),
+                torch.from_numpy(labels.astype(np.int64)),
+                (cfg.img_size, cfg.img_size))
+            dense = (torch.zeros(1, 256, e, e)
+                     + sd["prompt_encoder.no_mask_embed.weight"][0][None, :, None, None])
+            masks, iou = mask_decoder(sd, emb, dense_pe(sd, (e, e)), sparse, dense)
+            masks, iou = masks.numpy(), iou.numpy()
+    return emb.permute(0, 2, 3, 1).numpy(), masks, iou
 
-    out = os.path.join(os.path.dirname(__file__), "fixtures", "golden_vit_b224.npz")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    np.savez_compressed(
-        out,
-        embedding=emb.permute(0, 2, 3, 1).numpy().astype(np.float32),
-        mask_logits=masks.numpy().astype(np.float32),
-        iou=iou.numpy().astype(np.float32),
+
+def _write(name, **arrays):
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    out = os.path.join(FIXTURE_DIR, name)
+    np.savez_compressed(out, **arrays)
+    print("wrote", out, round(os.path.getsize(out) / 1e6, 2), "MB")
+
+
+def make_vit_b224():
+    cfg = build_config()
+    params = build_params()
+    image, points, labels = fixed_inputs(cfg)
+    emb, masks, iou = _torch_sam_forward(cfg, params, image, points, labels)
+    _write("golden_vit_b224.npz",
+           embedding=emb.astype(np.float32),
+           mask_logits=masks.astype(np.float32),
+           iou=iou.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# full-resolution / all-architecture goldens (VERDICT r3 item 5)
+# ---------------------------------------------------------------------------
+
+def build_config_1024():
+    """Full vit_b at the production 1024 px: 64x64 global tokens, 14-px
+    windows over the 64 grid (window padding + masking exercised)."""
+    from micro_sam_tpu.models.sam import SamConfig
+    return SamConfig(
+        model_type="vit_b", embed_dim=768, depth=12, num_heads=12,
+        global_attn_indexes=(2, 5, 8, 11), window_size=14, img_size=1024,
+        compute_dtype="float32",
     )
-    print("wrote", out, os.path.getsize(out) / 1e6, "MB")
+
+
+def build_params_1024():
+    import jax
+    from micro_sam_tpu.models.sam import init_sam_params
+    return init_sam_params(jax.random.PRNGKey(43), build_config_1024())
+
+
+def fixed_inputs_1024(cfg):
+    rng = np.random.RandomState(2024)
+    image = (rng.rand(1, cfg.img_size, cfg.img_size, 3) * 255).astype(np.float32)
+    points = np.array([[[300.0, 480.0], [700.0, 150.0], [0.0, 0.0]]], np.float32)
+    labels = np.array([[1, 0, -1]], np.int32)
+    return image, points, labels
+
+
+def make_vit_b1024():
+    cfg = build_config_1024()
+    params = build_params_1024()
+    image, points, labels = fixed_inputs_1024(cfg)
+    emb, masks, iou = _torch_sam_forward(cfg, params, image, points, labels)
+    _write("golden_vit_b1024.npz",
+           embedding=emb.astype(np.float16),
+           mask_logits=masks.astype(np.float16),
+           iou=iou.astype(np.float32))
+
+
+def build_lh_configs():
+    """vit_l / vit_h channel geometry (head dims 64 and 80) at reduced depth
+    4 and 512 px — the shapes the TPU kernels specialize on, CI-affordable.
+    Reference full configs: /root/reference/micro_sam/models/build_sam.py:40-84."""
+    from micro_sam_tpu.models.sam import SamConfig
+    mk = lambda mt, C, H: SamConfig(
+        model_type=mt, embed_dim=C, depth=4, num_heads=H,
+        global_attn_indexes=(3,), window_size=14, img_size=512,
+        compute_dtype="float32",
+    )
+    return {"vit_l": mk("vit_l", 1024, 16), "vit_h": mk("vit_h", 1280, 16)}
+
+
+def build_lh_params(cfg):
+    import jax
+    from micro_sam_tpu.models.sam import init_sam_params
+    return init_sam_params(jax.random.PRNGKey(44), cfg)
+
+
+def fixed_image(img_size, seed):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(1, img_size, img_size, 3) * 255).astype(np.float32)
+
+
+def make_vit_lh512():
+    arrays = {}
+    for name, cfg in build_lh_configs().items():
+        params = build_lh_params(cfg)
+        image = fixed_image(cfg.img_size, 512)
+        emb, _, _ = _torch_sam_forward(cfg, params, image)
+        arrays[f"embedding_{name}"] = emb.astype(np.float16)
+    _write("golden_vit_lh512.npz", **arrays)
+
+
+def build_interp_config():
+    from micro_sam_tpu.models.sam import SamConfig
+    return SamConfig(
+        model_type="vit_b", embed_dim=256, depth=2, num_heads=4,
+        global_attn_indexes=(1,), window_size=14, img_size=448,
+        compute_dtype="float32",
+    )
+
+
+def build_interp_params():
+    """Params whose GLOBAL rel-pos tables are deliberately short (27 rows =
+    window-native) while the model runs at 28x28 global tokens (needs 55):
+    both implementations must interpolate (image_encoder.py get_rel_pos vs
+    the torch oracle's F.interpolate linear)."""
+    import jax
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.sam import init_sam_params
+    cfg = build_interp_config()
+    params = init_sam_params(jax.random.PRNGKey(45), cfg)
+    rng = np.random.RandomState(45)
+    hd = cfg.embed_dim // cfg.num_heads
+    attn = params["image_encoder"]["blocks"][1]["attn"]
+    attn["rel_pos_h"] = jnp.asarray(rng.randn(27, hd).astype(np.float32) * 0.1)
+    attn["rel_pos_w"] = jnp.asarray(rng.randn(27, hd).astype(np.float32) * 0.1)
+    return params
+
+
+def make_relpos_interp():
+    cfg = build_interp_config()
+    params = build_interp_params()
+    image = fixed_image(cfg.img_size, 448)
+    emb, _, _ = _torch_sam_forward(cfg, params, image)
+    _write("golden_relpos_interp.npz", embedding=emb.astype(np.float16))
+
+
+def build_tiny_vit_params():
+    """Random-init TinyViT with non-trivial BN statistics and attention-bias
+    tables (zeros/unit stats would leave those paths untested)."""
+    import jax
+    import jax.numpy as jnp
+    from micro_sam_tpu.models.tiny_vit import init_tiny_vit
+    params = init_tiny_vit(jax.random.PRNGKey(7))
+    rng = np.random.RandomState(7)
+
+    def scramble(p):
+        if isinstance(p, dict):
+            if "mean" in p and "var" in p:  # batch-norm stats
+                p["mean"] = jnp.asarray(
+                    rng.randn(*p["mean"].shape).astype(np.float32) * 0.2)
+                p["var"] = jnp.asarray(
+                    rng.rand(*p["var"].shape).astype(np.float32) + 0.5)
+            for k, v in p.items():
+                if k == "attention_biases":
+                    p[k] = jnp.asarray(
+                        rng.randn(*v.shape).astype(np.float32) * 0.5)
+                else:
+                    scramble(v)
+        elif isinstance(p, list):
+            for q in p:
+                scramble(q)
+
+    scramble(params)
+    return params
+
+
+def make_vit_t1024():
+    import torch
+    from torch_tiny_vit_ref import tiny_vit_encoder
+    from micro_sam_tpu.models.tiny_vit import export_tiny_vit
+    from micro_sam_tpu.models.sam import preprocess
+    import jax.numpy as jnp
+
+    params = build_tiny_vit_params()
+    image = fixed_image(1024, 77)
+    sd_np = export_tiny_vit(params)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)).float()
+          for k, v in sd_np.items()}
+    px = np.asarray(preprocess(jnp.asarray(image), 1024))
+    with torch.no_grad():
+        emb = tiny_vit_encoder(sd, torch.from_numpy(px).permute(0, 3, 1, 2))
+    _write("golden_vit_t1024.npz",
+           embedding=emb.permute(0, 2, 3, 1).numpy().astype(np.float16))
+
+
+def build_unetr_torch():
+    """Full-width torch_em UNETR decoder (embed 256, default features) with
+    non-trivial BN statistics, deterministic under torch.manual_seed."""
+    import torch
+    from torch_em_unetr_ref import UnetrDecoder
+    torch.manual_seed(99)
+    model = UnetrDecoder(embed_dim=256, out_channels=3,
+                         features=(512, 256, 128, 64)).eval()
+    g = torch.Generator().manual_seed(99)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(0.5 * torch.randn(m.running_mean.shape, generator=g))
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+    return model
+
+
+def unetr_fixed_input():
+    rng = np.random.RandomState(6)
+    return rng.randn(1, 256, 16, 16).astype(np.float32)  # NCHW, -> 256^2 out
+
+
+def make_unetr():
+    import torch
+    model = build_unetr_torch()
+    x = unetr_fixed_input()
+    with torch.no_grad():
+        out = model(torch.from_numpy(x)).numpy()  # (1, 3, 256, 256)
+    _write("golden_unetr.npz", output=out.astype(np.float16))
+
+
+ALL = {
+    "golden_vit_b224.npz": make_vit_b224,
+    "golden_vit_b1024.npz": make_vit_b1024,
+    "golden_vit_lh512.npz": make_vit_lh512,
+    "golden_relpos_interp.npz": make_relpos_interp,
+    "golden_vit_t1024.npz": make_vit_t1024,
+    "golden_unetr.npz": make_unetr,
+}
+
+
+def main():
+    force = "--force" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    for name, fn in ALL.items():
+        if only and not any(o in name for o in only):
+            continue
+        path = os.path.join(FIXTURE_DIR, name)
+        if os.path.exists(path) and not force:
+            print("kept", path)
+            continue
+        fn()
 
 
 if __name__ == "__main__":
