@@ -26,7 +26,7 @@ def main():
     models = sys.argv[1:] or ["vit_b", "vit_l", "vit_h"]
     batches = {"vit_t": 8, "vit_b": 8, "vit_l": 4, "vit_h": 4}
     for model_type in models:
-        batch = batches[model_type]
+        batch = int(os.environ.get("MSAM_PROBE_BATCH", batches[model_type]))
         cfg = get_config(model_type, compute_dtype="bfloat16")
         params = init_sam_params(jax.random.PRNGKey(0), cfg)
         sam = Sam(cfg, params)

@@ -282,7 +282,8 @@ def apply_image_encoder(
                         and "w" in bp["attn"]["qkv"])  # int4 layers stay unfused
             if fused_ok:
                 from ..ops.fused_window_block import (
-                    fused_global_block, global_block_config)
+                    fused_global_block, global_block_config,
+                    fused_global_attn, global_attn_config)
                 Bh, Hh, Wh, Ch = x.shape
                 hidden_dim = bp["mlp"]["lin1"]["w"].shape[-1]
                 if global_block_config(Hh, Wh, x.dtype, channels=Ch,
@@ -290,6 +291,17 @@ def apply_image_encoder(
                                        num_heads=num_heads) is not None:
                     x2 = fused_global_block(
                         x.reshape(Bh, Hh * Wh, Ch), bp, (Hh, Wh), num_heads)
+                    x = x2.reshape(Bh, Hh, Wh, Ch)
+                    i += 1
+                    continue
+                if global_attn_config(Hh, Wh, x.dtype, channels=Ch,
+                                      num_heads=num_heads) is not None:
+                    # attention-only fused global (vit_h: the 26 MB resident
+                    # MLP weights exceed every scoped-VMEM block choice, the
+                    # attention working set fits) + the XLA MLP half
+                    x2 = fused_global_attn(
+                        x.reshape(Bh, Hh * Wh, Ch), bp, (Hh, Wh), num_heads)
+                    x2 = _mlp_half(bp, x2)
                     x = x2.reshape(Bh, Hh, Wh, Ch)
                     i += 1
                     continue

@@ -301,7 +301,14 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     # runs the MXU at half its column width)
     pack = 2 if (hd * 2 <= 128 and num_heads % 2 == 0) else 1
     n_groups = num_heads // pack
-    merged = _MERGED_QKV and pack * hd == 128
+    # merged: ONE (C, 3C) qkv matmul + one (C, C) proj (both lane-dense), with
+    # per-head static slices of the qkv output inside the kernel. At
+    # pack*hd == 128 the slices are 128-lane-aligned (free); at hd == 80
+    # (vit_h) they sit at 80-lane offsets — Mosaic pays lane relayouts on the
+    # slices, but the dense qkv/proj still beat the unmerged path's 80-lane
+    # weight slabs, which waste 37.5% of the MXU's columns on EVERY qkv/proj
+    # matmul (measured: vit_h window block 20.8 -> 14.0 ms, batch 4)
+    merged = _MERGED_QKV and (pack * hd == 128 or hd == 80)
     if merged:
         # one (C, 3C) qkv weight / (C, C) proj weight; head pairs are
         # 128-lane-aligned static slices inside the kernel
@@ -446,7 +453,8 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
                          w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                          a_scr, o_acc, q_scr, k_scr, v_scr, *,
                          num_heads: int, w: int, scale: float, eps: float,
-                         block_q: int, block_m: int, pack: int):
+                         block_q: int, block_m: int, pack: int,
+                         mlp: bool = True):
     """Global-attention block, one grid step per (image, head).
 
     Heads ride the GRID instead of an in-kernel fori_loop so Mosaic pipelines
@@ -620,10 +628,16 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
 
     @pl.when(hp == n_groups - 1)
     def _finish():
-        # residual + LN2 + MLP + residual, chunked over token rows
+        # residual (+ LN2 + MLP + residual when the MLP is fused), chunked
+        # over token rows. mlp=False is the attention-only variant for
+        # channel widths whose resident MLP weights exceed scoped VMEM
+        # (vit_h: 26 MB) — the caller runs LN2+MLP through XLA instead.
         def mlp_body(mi, _):
             rows = pl.ds(mi * block_m, block_m)
             x1 = x_ref[0, rows, :].astype(jnp.float32) + o_acc[rows, :] + bp_ref[0]
+            if not mlp:
+                o_ref[0, rows, :] = x1.astype(o_ref.dtype)
+                return 0
             mean2 = jnp.mean(x1, axis=-1, keepdims=True)
             var2 = jnp.var(x1, axis=-1, keepdims=True)
             b = (x1 - mean2) * jax.lax.rsqrt(var2 + eps)
@@ -644,22 +658,31 @@ def _fused_global_kernel(x_ref, ln1s_ref, ln1b_ref, w3h_ref, b3h_ref,
         jax.lax.fori_loop(0, n // block_m, mlp_body, 0)
 
 
-def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=None):
-    """x: (B, N, C) full-image tokens (global-attention block)."""
+def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=None,
+                          include_mlp=True):
+    """x: (B, N, C) full-image tokens (global-attention block). With
+    include_mlp=False only LN1 + qkv + attention + proj + residual run in the
+    kernel (output = x + attn); the caller applies LN2 + MLP through XLA —
+    the variant for channel widths whose resident MLP weights exceed scoped
+    VMEM (vit_h: 26 MB)."""
     B, N, C = x.shape
     H, W = hw
     if block_q is None:
         hidden_dim = bp_params["mlp"]["lin1"]["w"].shape[-1]
-        cfg = global_block_config(
-            H, W, x.dtype, channels=x.shape[-1], mlp_hidden=hidden_dim,
-            num_heads=num_heads)
+        cfg = (global_block_config(
+                   H, W, x.dtype, channels=x.shape[-1], mlp_hidden=hidden_dim,
+                   num_heads=num_heads) if include_mlp
+               else global_attn_config(
+                   H, W, x.dtype, channels=x.shape[-1], num_heads=num_heads))
         if cfg is None:
             # The caller's gate may have used global_block_config without the
             # channel geometry (its channels/mlp_hidden default to vit_b), so
             # a wider model can pass the gate yet not fit scoped VMEM here.
             # Fall back to the unfused composition instead of crashing — it
             # measured within 10% of the fused kernel anyway.
-            return _unfused_reference(x, None, bp_params, hw, num_heads)
+            if include_mlp:
+                return _unfused_reference(x, None, bp_params, hw, num_heads)
+            return _unfused_attn_half(x, bp_params, hw, num_heads)
         block_q, block_m = cfg
     assert N == H * W
     assert block_q % W == 0 and N % block_q == 0 and N % block_m == 0
@@ -689,11 +712,18 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
     ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
     ln2s = bp_params["norm2"]["scale"].astype(f32).reshape(1, C)
     ln2b = bp_params["norm2"]["bias"].astype(f32).reshape(1, C)
-    mlp = bp_params["mlp"]
-    w1 = mlp["lin1"]["w"].astype(dt)
-    b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
-    w2 = mlp["lin2"]["w"].astype(dt)
-    b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
+    if include_mlp:
+        mlp = bp_params["mlp"]
+        w1 = mlp["lin1"]["w"].astype(dt)
+        b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
+        w2 = mlp["lin2"]["w"].astype(dt)
+        b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
+    else:
+        # placeholder operands: the kernel's MLP branch is trace-time dead
+        w1 = jnp.zeros((C, 128), dt)
+        b1 = jnp.zeros((1, 128), f32)
+        w2 = jnp.zeros((128, C), dt)
+        b2 = jnp.zeros((1, C), f32)
     hidden = w1.shape[1]
 
     if pack == 2 and block_q == 512 and \
@@ -708,7 +738,8 @@ def _fused_global_forward(x, bp_params, hw, num_heads, block_q=None, block_m=Non
             block_q = 512
     kernel = functools.partial(
         _fused_global_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
-        eps=1e-6, block_q=block_q, block_m=block_m, pack=pack)
+        eps=1e-6, block_q=block_q, block_m=block_m, pack=pack,
+        mlp=include_mlp)
     interpret = jax.default_backend() == "cpu"
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i, h: (0,) * len(shape))
@@ -794,6 +825,85 @@ def global_block_config(H: int, W: int, dtype=None, channels=None,
             if scoped_estimate(bq, bm) <= budget:
                 return bq, bm
     return None
+
+
+def global_attn_config(H: int, W: int, dtype=None, channels=None,
+                       num_heads=None):
+    """(block_q, block_m) for the ATTENTION-ONLY fused global kernel
+    (include_mlp=False), or None. Same scoped-VMEM model as
+    global_block_config minus the resident MLP weights and the MLP stage —
+    which is exactly what lets vit_h's C=1280 geometry fit (its 26 MB MLP
+    weights exceed every block choice; the attention working set does not)."""
+    N = H * W
+    if dtype is not None and jnp.dtype(dtype).itemsize > 2 and N > 1024:
+        return None
+    if N <= 1024:
+        return N, N
+
+    c = 768 if channels is None else int(channels)
+    hd = c // (num_heads or max(c // 64, 1))
+    pack = 2 if (hd * 2 <= 128 and (num_heads or 12) % 2 == 0) else 1
+    rk = N // W
+
+    def scoped_estimate(bq, bm):
+        kw = hd + rk + W
+        scratch = N * c * (2 + 4) + N * pack * hd * (4 + 2 + 2)
+        ke = pack * N * kw * 2
+        q_loop = pack * (bq * N * (4 + 2) + bq * kw * 2) + bq * c * 4 * 2
+        io = 2 * N * c * 2 + 2 * H * H * hd * 2
+        return scratch + ke + q_loop + io
+
+    budget = 84 * 1024 * 1024
+    for bq in (512, 256, 128):
+        if bq % W or N % bq or bq % 8:
+            continue
+        for bm in (512, 256, 128):
+            if N % bm:
+                continue
+            if scoped_estimate(bq, bm) <= budget:
+                return bq, bm
+    return None
+
+
+def _unfused_attn_half(x, bp_params, hw, num_heads):
+    """x + attention(LN1(x)) — the exact unfused attention half of a global
+    block (image_encoder.apply_block minus the MLP half); correctness oracle
+    and custom_vjp backward for fused_global_attn."""
+    from ..models import common as cm
+    from ..models.image_encoder import apply_attention
+
+    B, N, C = x.shape
+    H, W = hw
+    a = cm.layer_norm(bp_params["norm1"], x)
+    att = apply_attention(
+        bp_params["attn"], a.reshape(B, H, W, C), num_heads)
+    return x + att.reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_global_attn(x, bp_params, hw, num_heads):
+    """x: (B, N, C) -> x + attention(LN1(x)): the Pallas-fused attention half
+    of a global block. For geometries whose full fused block cannot fit
+    scoped VMEM (global_block_config returns None) but whose attention
+    working set can (global_attn_config accepts) — the caller runs the
+    remaining LN2+MLP half through XLA (image_encoder._mlp_half)."""
+    return _fused_global_forward(x, bp_params, hw, num_heads,
+                                 include_mlp=False)
+
+
+def _fga_fwd(x, bp_params, hw, num_heads):
+    return fused_global_attn(x, bp_params, hw, num_heads), (x, bp_params)
+
+
+def _fga_bwd(hw, num_heads, res, g):
+    x, bp_params = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _unfused_attn_half(x_, p_, hw, num_heads),
+        x, bp_params)
+    return vjp(g)
+
+
+fused_global_attn.defvjp(_fga_fwd, _fga_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

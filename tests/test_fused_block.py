@@ -255,6 +255,63 @@ def test_fused_window_block_merged_qkv(masked):
     assert float(jnp.max(jnp.abs(y3 - y2))) < 5e-5
 
 
+def test_fused_global_attn_matches_unfused():
+    """Attention-only fused global (the vit_h big-C path: MLP stays in XLA)
+    must equal x + attention(LN1(x)) from the unfused composition."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops import fused_window_block as fwb
+
+    C, nH, HW = 160, 2, 16  # hd=80, pack=1 (the vit_h class, CI-sized)
+    N = HW * HW
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (HW, HW),
+                    use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, N, C), jnp.float32)
+
+    y1 = fwb.fused_global_attn(x, bp, (HW, HW), nH)
+    y2 = fwb._unfused_attn_half(x, bp, (HW, HW), nH)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+    # gradients flow through the custom_vjp (unfused backward), including to
+    # the attention params; the untouched MLP subtree gets zeros
+    def loss(x_, p_):
+        return jnp.sum(fwb.fused_global_attn(x_, p_, (HW, HW), nH) ** 2)
+
+    gx, gp = jax.grad(loss, argnums=(0, 1))(x, bp)
+    assert float(jnp.max(jnp.abs(gx))) > 0
+    assert float(jnp.max(jnp.abs(gp["attn"]["qkv"]["w"]))) > 0
+    assert float(jnp.max(jnp.abs(gp["mlp"]["lin1"]["w"]))) == 0
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_window_block_merged_hd80(masked):
+    """hd == 80 (the vit_h head-dim class) also takes the merged path — the
+    per-head slices sit at 80-lane offsets instead of 128-aligned ones; the
+    numerics must still match the unfused oracle."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops import fused_window_block as fwb
+
+    C, nH, W = 160, 2, 7   # hd=80 -> pack=1 -> merged via the hd==80 gate
+    N = W * W
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (W, W), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, N, C), jnp.float32)
+    valid = None
+    if masked:
+        valid = (jax.random.uniform(jax.random.PRNGKey(4), (3, N, 1)) > 0.2
+                 ).astype(jnp.float32)
+
+    y1 = fwb.fused_window_block(x, valid, bp, (W, W), nH)
+    y2 = fwb._unfused_reference(x, valid, bp, (W, W), nH)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+
 @pytest.mark.parametrize("masked", [False, True])
 @pytest.mark.slow
 def test_fused_window_stack_matches_unfused(masked):
