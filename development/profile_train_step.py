@@ -92,6 +92,13 @@ def main():
             return loss
 
         results[f"full_step_ms_nsub{n_sub}"] = round(timeit(run), 1)
+        # free this config's params/opt-state/compiled step before the next
+        # one compiles: three resident trainers' states + workspaces OOM the
+        # 16G chip at batch 8
+        del trainer, state, step, batch, images_j, gt, obj_valid
+        del points0, labels0, boxes0
+        import gc
+        gc.collect()
 
     n1, n8 = results["full_step_ms_nsub1"], results["full_step_ms_nsub8"]
     results["marginal_round_ms"] = round((n8 - n1) / 7, 1)
