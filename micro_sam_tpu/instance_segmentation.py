@@ -191,12 +191,14 @@ class AMGBase(ABC):
         self._original_size = state["original_size"]
         # reference-written caches carry no floors: anything goes
         self._prefilter_thresholds = state.get("prefilter_thresholds")
+        self._init_call = None  # restored state cannot redo the decode
         self._is_initialized = True
 
     def clear_state(self):
         self._crop_list = None
         self._crop_boxes = None
         self._original_size = None
+        self._init_call = None
         self._is_initialized = False
 
 
@@ -408,6 +410,10 @@ class AutomaticMaskGenerator(AMGBase):
         pbar_update=None,
     ) -> None:
         """Compute mask data for the point grid (the expensive part)."""
+        # remembered so generate can transparently re-run the decode with
+        # lower prefilter floors when asked for sub-floor thresholds
+        self._init_call = ((image,), dict(
+            image_embeddings=image_embeddings, i=i, verbose=verbose))
         self._original_size = image.shape[:2]
         crop_boxes, layer_idxs = amg_utils.generate_crop_boxes(
             self._original_size, self._crop_n_layers, self._crop_overlap_ratio
@@ -452,12 +458,24 @@ class AutomaticMaskGenerator(AMGBase):
         floors = getattr(self, "_prefilter_thresholds", None)
         if floors is not None and (pred_iou_thresh < floors[0]
                                    or stability_score_thresh < floors[1]):
-            raise ValueError(
-                f"generate thresholds ({pred_iou_thresh}, {stability_score_thresh}) are below "
-                f"the device-side prefilter floors {floors}: candidates under the floors were "
-                "never transferred. Re-initialize with prefilter_thresholds=None (or lower "
-                "floors) to generate at these thresholds."
-            )
+            init_call = getattr(self, "_init_call", None)
+            if init_call is None:
+                # state came from set_state: the dropped candidates are gone
+                raise ValueError(
+                    f"generate thresholds ({pred_iou_thresh}, {stability_score_thresh}) are below "
+                    f"the device-side prefilter floors {floors}: candidates under the floors were "
+                    "never transferred. Re-initialize with prefilter_thresholds=None (or lower "
+                    "floors) to generate at these thresholds."
+                )
+            # this generator ran its own initialize: transparently lower the
+            # floors and redo the device decode so sub-floor thresholds keep
+            # the reference's generate-with-any-thresholds contract
+            self._prefilter_thresholds = (
+                min(floors[0], float(pred_iou_thresh)),
+                min(floors[1], float(stability_score_thresh)))
+            self._amg_decoder = None  # prefilter is baked into its programs
+            args, kwargs = init_call
+            self.initialize(*args, **kwargs)
 
         data = MaskData()
         for per_crop, crop_box in zip(self.crop_list, self.crop_boxes):
@@ -566,6 +584,9 @@ class TiledAutomaticMaskGenerator(AutomaticMaskGenerator):
     ) -> None:
         original_size = image.shape[:2]
         self._original_size = original_size
+        self._init_call = ((image,), dict(
+            image_embeddings=image_embeddings, i=i, tile_shape=tile_shape,
+            halo=halo, verbose=verbose, batch_size=batch_size, mask=mask))
 
         self._image_embeddings, tile_shape, halo, tiles_in_mask = _process_tiled_embeddings(
             self._predictor, image, image_embeddings, tile_shape, halo,
