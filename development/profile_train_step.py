@@ -15,6 +15,7 @@ Usage: python development/profile_train_step.py [batch] [n_objects] [patch]
 Timings are min-of-3 (fenced by fetching a scalar).
 """
 import json
+import os
 import sys
 import time
 
@@ -68,8 +69,13 @@ def main():
 
     results = {"batch": B, "objects": O, "patch": S}
 
-    # full step at n_sub in {1, 8}: slope = marginal corrective-round cost
-    for n_sub in (1, 2, 8):
+    # full step at n_sub in {1, 8}: slope = marginal corrective-round cost.
+    # Each config runs in a SUBPROCESS: three resident step executables +
+    # their loaded-program footprints OOM the 16G chip at batch 8 even after
+    # del+gc (jit caches keep them alive in-process).
+    single = os.environ.get("MSAM_PROF_NSUB")
+    if single is not None:
+        n_sub = int(single)
         trainer = SamTrainer(
             name=f"prof{n_sub}", train_loader=[(imgs, lbls)],
             val_loader=[(imgs, lbls)],
@@ -91,14 +97,19 @@ def main():
             state["p"], state["o"] = p2, o2
             return loss
 
-        results[f"full_step_ms_nsub{n_sub}"] = round(timeit(run), 1)
-        # free this config's params/opt-state/compiled step before the next
-        # one compiles: three resident trainers' states + workspaces OOM the
-        # 16G chip at batch 8
-        del trainer, state, step, batch, images_j, gt, obj_valid
-        del points0, labels0, boxes0
-        import gc
-        gc.collect()
+        print(json.dumps({f"full_step_ms_nsub{n_sub}": round(timeit(run), 1)}))
+        return
+
+    import subprocess
+    for n_sub in (1, 2, 8):
+        env = dict(os.environ, MSAM_PROF_NSUB=str(n_sub))
+        proc = subprocess.run(
+            [sys.executable, __file__, str(B), str(O), str(S)],
+            env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"n_sub={n_sub} subprocess failed")
+        results.update(json.loads(proc.stdout.strip().splitlines()[-1]))
 
     n1, n8 = results["full_step_ms_nsub1"], results["full_step_ms_nsub8"]
     results["marginal_round_ms"] = round((n8 - n1) / 7, 1)

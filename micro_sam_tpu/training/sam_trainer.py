@@ -398,21 +398,33 @@ class SamTrainer:
             # backward trades that for a few extra ms
             body = jax.checkpoint(
                 lambda c, k: sub_iteration(c, k, first_multimask=False))
+
+            def run_rounds(carry, ks):
+                """Scan the checkpointed round body. A LENGTH-1 lax.scan gets
+                unrolled by XLA in a way that defeats the remat (observed: a
+                16G-chip OOM at batch 8 with exactly one post-peel round,
+                while lengths 0, 2 and 7 fit comfortably) — so short scans
+                run as a direct checkpointed call instead."""
+                if ks.shape[0] == 0:
+                    return carry, (jnp.zeros((0,)), jnp.zeros((0,)))
+                if ks.shape[0] == 1:
+                    carry, (l, i) = body(carry, ks[0])
+                    return carry, (l[None], i[None])
+                return jax.lax.scan(body, carry, ks)
+
             if multimask:
                 # round 0 peeled out of the scan: it is the only round that
                 # needs all 4 mask channels (multimask selection)
                 carry, (loss0, iou0) = jax.checkpoint(
                     lambda c, k: sub_iteration(c, k, first_multimask=True)
                 )(carry, keys[0])
-                (points, labels, mask_input, has_mask, _), (losses, ious) = \
-                    jax.lax.scan(body, carry, keys[1:])
+                _, (losses, ious) = run_rounds(carry, keys[1:])
                 loss = (loss0 + jnp.sum(losses)) / n_sub
                 mean_iou = (iou0 + jnp.sum(ious)) / n_sub
             else:
-                (points, labels, mask_input, has_mask, _), (losses, ious) = \
-                    jax.lax.scan(body, carry, keys)
+                _, (losses, ious) = run_rounds(carry, keys)
                 loss = jnp.sum(losses) / n_sub
-                mean_iou = jnp.mean(ious)
+                mean_iou = jnp.mean(ious) if n_sub else jnp.float32(0)
             return loss, (loss, mean_iou)
 
         def train_step(params, opt_state, key, images, gt, obj_valid, points0, labels0, boxes0):
