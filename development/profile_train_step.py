@@ -36,6 +36,28 @@ def timeit(fn, *args, iters=3):
 
 
 def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    O = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    S = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    results = {"batch": B, "objects": O, "patch": S}
+
+    # full-step configs run in SUBPROCESSES, dispatched BEFORE the parent
+    # touches the TPU: a resident step executable + its loaded-program
+    # footprint pushed later configs over the 16G chip in-process, and even
+    # the parent's idle client reservation collided with the child's peak.
+    single = os.environ.get("MSAM_PROF_NSUB")
+    if single is None:
+        import subprocess
+        for n_sub in (1, 2, 8):
+            env = dict(os.environ, MSAM_PROF_NSUB=str(n_sub))
+            proc = subprocess.run(
+                [sys.executable, __file__, str(B), str(O), str(S)],
+                env=env, capture_output=True, text=True)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"n_sub={n_sub} subprocess failed")
+            results.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -47,17 +69,16 @@ def main():
     from micro_sam_tpu.training.trainable_sam import TrainableSAM
     from micro_sam_tpu.training.sam_trainer import SamTrainer, _gumbel_pick
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    O = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    S = int(sys.argv[3]) if len(sys.argv) > 3 else 512
-
     cfg = get_config("vit_b", compute_dtype="bfloat16")
     params = init_sam_params(jax.random.PRNGKey(0), cfg)
     # the train step donates params: every consumer below gets a FRESH device
-    # copy so one trainer's donation can't delete another's buffers
+    # copy so one trainer's donation can't delete another's buffers. The
+    # init-time device copy is dropped immediately — a full-step config needs
+    # every spare byte of the 16G chip (an extra resident param set tipped
+    # the batch-8 n_sub=2 config over).
     params_host = jax.tree.map(np.asarray, params)
+    del params
     fresh = lambda: jax.tree.map(jnp.asarray, params_host)
-    model = TrainableSAM(Sam(cfg, fresh()))
 
     rng = np.random.RandomState(0)
     imgs = (rng.rand(B, S, S, 3) * 255).astype(np.float32)
@@ -67,13 +88,6 @@ def main():
             y, x = rng.randint(0, S - 40, 2)
             lbls[b, y:y + 32, x:x + 32] = i + 1
 
-    results = {"batch": B, "objects": O, "patch": S}
-
-    # full step at n_sub in {1, 8}: slope = marginal corrective-round cost.
-    # Each config runs in a SUBPROCESS: three resident step executables +
-    # their loaded-program footprints OOM the 16G chip at batch 8 even after
-    # del+gc (jit caches keep them alive in-process).
-    single = os.environ.get("MSAM_PROF_NSUB")
     if single is not None:
         n_sub = int(single)
         trainer = SamTrainer(
@@ -100,21 +114,12 @@ def main():
         print(json.dumps({f"full_step_ms_nsub{n_sub}": round(timeit(run), 1)}))
         return
 
-    import subprocess
-    for n_sub in (1, 2, 8):
-        env = dict(os.environ, MSAM_PROF_NSUB=str(n_sub))
-        proc = subprocess.run(
-            [sys.executable, __file__, str(B), str(O), str(S)],
-            env=env, capture_output=True, text=True)
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise SystemExit(f"n_sub={n_sub} subprocess failed")
-        results.update(json.loads(proc.stdout.strip().splitlines()[-1]))
-
     n1, n8 = results["full_step_ms_nsub1"], results["full_step_ms_nsub8"]
     results["marginal_round_ms"] = round((n8 - n1) / 7, 1)
 
-    # isolated stages at the step's shapes
+    # isolated stages at the step's shapes (parent process only — the full
+    # steps above ran in subprocesses)
+    model = TrainableSAM(Sam(cfg, fresh()))
     N = B * O
     e = cfg.embedding_size
     feats = jnp.asarray(rng.rand(N, e, e, 256).astype(np.float32), cfg.dtype)

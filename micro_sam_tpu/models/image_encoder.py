@@ -286,9 +286,16 @@ def apply_image_encoder(
                     fused_global_attn, global_attn_config)
                 Bh, Hh, Wh, Ch = x.shape
                 hidden_dim = bp["mlp"]["lin1"]["w"].shape[-1]
-                if global_block_config(Hh, Wh, x.dtype, channels=Ch,
-                                       mlp_hidden=hidden_dim,
-                                       num_heads=num_heads) is not None:
+                # A/B knob: force the attention-only global even when the
+                # full block fits scoped VMEM (the resident MLP weights can
+                # shrink block_q, e.g. vit_l fits (256,512) full vs (512,512)
+                # attention-only)
+                import os as _os2
+                force_attn_only = _os2.environ.get(
+                    "MSAM_TPU_GLOBAL_ATTN_ONLY", "0") == "1"
+                if not force_attn_only and global_block_config(
+                        Hh, Wh, x.dtype, channels=Ch, mlp_hidden=hidden_dim,
+                        num_heads=num_heads) is not None:
                     x2 = fused_global_block(
                         x.reshape(Bh, Hh * Wh, Ch), bp, (Hh, Wh), num_heads)
                     x = x2.reshape(Bh, Hh, Wh, Ch)
@@ -325,7 +332,8 @@ def apply_image_encoder(
             # over all the image's windows at once (full MXU rows); the
             # per-window kernel is the fallback for geometries it can't take.
             from ..ops.fused_window_block import (
-                fused_window_block, fused_window_stack, window_stack_config)
+                fused_window_block, fused_window_stack, window_stack_config,
+                fused_window_attn)
             BWn, ws = xw.shape[0], window_size
             xw2 = xw.reshape(BWn, ws * ws, -1)
             valid2 = valid.reshape(BWn, ws * ws, 1) if needs_mask else None
@@ -341,6 +349,11 @@ def apply_image_encoder(
                         and window_stack_config(
                             BWn // n_images, ws * ws, xw2.shape[-1], hidden,
                             xw2.dtype) is not None)
+            # attention-only kernel + XLA MLP over the whole window stack:
+            # the MLP is per-token, so running it dense over (BW*196, C)
+            # recovers the per-program 196-row MXU padding on 2/3 of the
+            # block's FLOPs (A/B knob; see ops/fused_window_block.py)
+            attn_only = _os.environ.get("MSAM_TPU_WINDOW_ATTN_ONLY", "0") == "1"
             for k in range(i, j):
                 bp = prep_block(p["blocks"][k])
                 if "lora" in bp["attn"] or "fact" in bp["attn"] \
@@ -356,6 +369,9 @@ def apply_image_encoder(
                 elif stack_ok:
                     xw2 = fused_window_stack(
                         xw2, valid2, bp, (ws, ws), num_heads, n_images)
+                elif attn_only:
+                    xw2 = fused_window_attn(xw2, valid2, bp, (ws, ws), num_heads)
+                    xw2 = _mlp_half(bp, xw2)
                 else:
                     xw2 = fused_window_block(xw2, valid2, bp, (ws, ws), num_heads)
             xw = xw2.reshape(BWn, ws, ws, -1)

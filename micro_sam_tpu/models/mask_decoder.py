@@ -37,9 +37,16 @@ def init_attn(key, dim: int, num_heads: int, downsample_rate: int = 1) -> Params
 
 
 def apply_attn(p: Params, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-               nh: int = 8) -> jnp.ndarray:
+               nh: int = 8, q_add=None, k_add=None) -> jnp.ndarray:
+    """q_add / k_add: optional POST-projection additive terms (broadcastable)
+    — the folded positional encodings of _pe_proj, added after the linear
+    instead of materializing (x + pe) at full batch beforehand."""
     q = cm.linear(p["q"], q)
+    if q_add is not None:
+        q = q + q_add
     k = cm.linear(p["k"], k)
+    if k_add is not None:
+        k = k + k_add
     v = cm.linear(p["v"], v)
     B, Nq, C = q.shape
     q = q.reshape(B, Nq, nh, C // nh)
@@ -47,6 +54,21 @@ def apply_attn(p: Params, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v = v.reshape(B, v.shape[1], nh, C // nh)
     out = attention(q, k, v).reshape(B, Nq, C)
     return cm.linear(p["out"], out)
+
+
+def _plain_linear(p: Params) -> bool:
+    return set(p.keys()) <= {"w", "b"}
+
+
+def _pe_proj(p_lin: Params, pe_row: jnp.ndarray) -> jnp.ndarray:
+    """pe_row @ W — the positional term of linear(x + pe) = linear(x) + pe@W
+    (the bias is already inside linear(x)). Computed once at (1, N, internal)
+    so the per-object (B, N, C) x+pe sum is never materialized: at training
+    shapes (batch*objects, 4096, 256) those sums were the decoder's dominant
+    HBM traffic."""
+    w = p_lin["w"]
+    return jnp.dot(pe_row, w.astype(pe_row.dtype),
+                   preferred_element_type=jnp.float32).astype(pe_row.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -78,17 +100,29 @@ def apply_two_way_block(
         queries = queries + apply_attn(p["self_attn"], q, q, queries)
     queries = cm.layer_norm(p["norm1"], queries, eps=1e-5)
 
+    # the image side (keys + key_pe) is the HBM-dominant stream at training
+    # shapes — fold key_pe through the projection where the params permit
+    # (plain w/b linears; PEFT-wrapped ones take the materialized sum)
     q = queries + query_pe
-    k = keys + key_pe
-    queries = queries + apply_attn(p["cross_attn_t2i"], q, k, keys)
+    t2i = p["cross_attn_t2i"]
+    if _plain_linear(t2i["k"]):
+        att = apply_attn(t2i, q, keys, keys, k_add=_pe_proj(t2i["k"], key_pe))
+    else:
+        att = apply_attn(t2i, q, keys + key_pe, keys)
+    queries = queries + att
     queries = cm.layer_norm(p["norm2"], queries, eps=1e-5)
 
     queries = queries + cm.mlp_block(p["mlp"], queries)
     queries = cm.layer_norm(p["norm3"], queries, eps=1e-5)
 
     q = queries + query_pe
-    k = keys + key_pe
-    keys = keys + apply_attn(p["cross_attn_i2t"], k, q, queries)
+    i2t = p["cross_attn_i2t"]
+    if _plain_linear(i2t["q"]):
+        att = apply_attn(i2t, keys, q, queries,
+                         q_add=_pe_proj(i2t["q"], key_pe))
+    else:
+        att = apply_attn(i2t, keys + key_pe, q, queries)
+    keys = keys + att
     keys = cm.layer_norm(p["norm4"], keys, eps=1e-5)
     return queries, keys
 
@@ -107,8 +141,9 @@ def apply_two_way_transformer(p: Params, image_embedding, image_pe, point_embedd
     """image_embedding/image_pe: (B, H, W, C); point_embedding: (B, T, C)."""
     B, H, W, C = image_embedding.shape
     keys = image_embedding.reshape(B, H * W, C)
+    # kept at (1, HW, C): the folded _pe_proj terms and the fallback
+    # keys + key_pe both broadcast over the object batch
     key_pe = image_pe.reshape(-1, H * W, C).astype(keys.dtype)
-    key_pe = jnp.broadcast_to(key_pe, keys.shape)
     queries = point_embedding
 
     for i, lp in enumerate(p["layers"]):
@@ -117,8 +152,12 @@ def apply_two_way_transformer(p: Params, image_embedding, image_pe, point_embedd
         )
 
     q = queries + point_embedding
-    k = keys + key_pe
-    queries = queries + apply_attn(p["final_attn"], q, k, keys)
+    fa = p["final_attn"]
+    if _plain_linear(fa["k"]):
+        att = apply_attn(fa, q, keys, keys, k_add=_pe_proj(fa["k"], key_pe))
+    else:
+        att = apply_attn(fa, q, keys + key_pe, keys)
+    queries = queries + att
     queries = cm.layer_norm(p["norm_final"], queries, eps=1e-5)
     return queries, keys
 

@@ -72,7 +72,7 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
                         num_heads: int, w: int, scale: float, eps: float,
                         masked: bool, group: int, pack: int,
-                        merged: bool = False):
+                        merged: bool = False, mlp: bool = True):
     """group windows per program: LN/qkv/proj/MLP matmuls run on
     (group * N) rows (the MXU is badly underutilized at 196 rows); only the
     (N, N) attention cores stay per-window (statically unrolled over the
@@ -268,6 +268,14 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                               jnp.zeros((gn, c), jnp.float32))
     x1 = x + y + bp_ref[0]                                # (G*N, C) f32
 
+    if not mlp:
+        # attention-only variant: the caller runs LN2 + MLP through XLA on
+        # the full (BW*N, C) row space — dense MXU rows instead of 196-row
+        # per-program matmuls (the MLP is per-token, so it needs no window
+        # layout at all)
+        o_ref[...] = x1.reshape(g_, n, c).astype(o_ref.dtype)
+        return
+
     # LN2 + MLP + residual
     mean2 = jnp.mean(x1, axis=-1, keepdims=True)
     var2 = jnp.var(x1, axis=-1, keepdims=True)
@@ -286,9 +294,11 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     o_ref[...] = (x1 + out).reshape(g_, n, c).astype(o_ref.dtype)
 
 
-def _fused_forward(x, valid, bp_params, hw, num_heads):
+def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True):
     """x: (BW, N, C) window-partitioned tokens; valid: (BW, N, 1) or None;
-    bp_params: the block's param subtree (norm1/attn/norm2/mlp)."""
+    bp_params: the block's param subtree (norm1/attn/norm2/mlp). With
+    include_mlp=False the kernel stops after the attention residual (output
+    = x + attn(LN1(x)*valid)); the caller applies LN2 + MLP through XLA."""
     BW, N, C = x.shape
     H, W = hw
     assert N == H * W and H == W, (hw, N)
@@ -336,11 +346,18 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
     ln1b = bp_params["norm1"]["bias"].astype(f32).reshape(1, C)
     ln2s = bp_params["norm2"]["scale"].astype(f32).reshape(1, C)
     ln2b = bp_params["norm2"]["bias"].astype(f32).reshape(1, C)
-    mlp = bp_params["mlp"]
-    w1 = mlp["lin1"]["w"].astype(dt)
-    b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
-    w2 = mlp["lin2"]["w"].astype(dt)
-    b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
+    if include_mlp:
+        mlp = bp_params["mlp"]
+        w1 = mlp["lin1"]["w"].astype(dt)
+        b1 = mlp["lin1"]["b"].astype(f32).reshape(1, -1)
+        w2 = mlp["lin2"]["w"].astype(dt)
+        b2 = mlp["lin2"]["b"].astype(f32).reshape(1, C)
+    else:
+        # placeholder operands: the kernel's MLP branch is trace-time dead
+        w1 = jnp.zeros((C, 128), dt)
+        b1 = jnp.zeros((1, 128), f32)
+        w2 = jnp.zeros((128, C), dt)
+        b2 = jnp.zeros((1, C), f32)
     hidden = w1.shape[1]
 
     # one window per program measured FASTER than grouping 4 (58.9 vs 59.8
@@ -360,7 +377,8 @@ def _fused_forward(x, valid, bp_params, hw, num_heads):
 
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
-        eps=1e-6, masked=masked, group=group, pack=pack, merged=merged)
+        eps=1e-6, masked=masked, group=group, pack=pack, merged=merged,
+        mlp=include_mlp)
     interpret = jax.default_backend() == "cpu"
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
@@ -440,6 +458,62 @@ def _fwb_bwd(hw, num_heads, res, g):
 
 
 fused_window_block.defvjp(_fwb_fwd, _fwb_bwd)
+
+
+def _unfused_window_attn_half(x, valid, bp_params, hw, num_heads):
+    """x + attention(LN1(x) * valid) — the attention half of the window
+    block; correctness oracle and custom_vjp backward for
+    fused_window_attn."""
+    from ..models import common as cm
+    from ..models.image_encoder import apply_attention
+
+    BW, N, C = x.shape
+    H, W = hw
+    a = cm.layer_norm(bp_params["norm1"], x)
+    if valid is not None:
+        a = a * valid
+    return x + apply_attention(bp_params["attn"], a.reshape(BW, H, W, C),
+                               num_heads).reshape(BW, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_window_attn(x, valid, bp_params, hw, num_heads):
+    """Attention-only window kernel: x + attn(LN1(x)*valid), with LN2 + MLP
+    left to the caller (XLA runs them dense over the whole (BW*N, C) row
+    space instead of per-196-row programs).
+
+    Measured on the chip (development/ab_attn_only.py, batch 4 bf16) and NOT
+    defaulted: vit_l 29.9 vs 34.3 tiles/s fused-full, vit_h 17.0 vs 17.2 —
+    the extra HBM round-trip of the (BW*N, C) intermediate outweighs the
+    MXU-row win; Mosaic already pipelines the per-window MLP matmuls across
+    programs. Kept behind MSAM_TPU_WINDOW_ATTN_ONLY=1 for future geometries
+    (and as the building block the PEFT-wrapped path could reuse)."""
+    return _fused_forward(x, valid, bp_params, hw, num_heads,
+                          include_mlp=False)
+
+
+def _fwa_fwd(x, valid, bp_params, hw, num_heads):
+    return fused_window_attn(x, valid, bp_params, hw, num_heads), \
+        (x, valid, bp_params)
+
+
+def _fwa_bwd(hw, num_heads, res, g):
+    x, valid, bp_params = res
+    if valid is None:
+        _, vjp = jax.vjp(
+            lambda x_, p_: _unfused_window_attn_half(x_, None, p_, hw,
+                                                     num_heads),
+            x, bp_params)
+        dx, dp = vjp(g)
+        return dx, None, dp
+    _, vjp = jax.vjp(
+        lambda x_, v_, p_: _unfused_window_attn_half(x_, v_, p_, hw,
+                                                     num_heads),
+        x, valid, bp_params)
+    return vjp(g)
+
+
+fused_window_attn.defvjp(_fwa_fwd, _fwa_bwd)
 
 
 # ---------------------------------------------------------------------------

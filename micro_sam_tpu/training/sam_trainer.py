@@ -53,6 +53,26 @@ def _gumbel_pick(key, region: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack([xs, ys], axis=-1), has_any
 
 
+def _gumbel_pick2(key, region_a: jnp.ndarray, region_b: jnp.ndarray):
+    """Two uniform picks from DISJOINT (N, H, W) regions sharing ONE Gumbel
+    field. Argmaxes over disjoint subsets of an iid field are independent,
+    so this is distributionally identical to two _gumbel_pick calls while
+    paying a single full-resolution noise generation (the corrective pos/neg
+    regions satisfy disjointness: pos ⊆ gt, neg ⊆ ~gt)."""
+    N, H, W = region_a.shape
+    gumbel = jax.random.gumbel(key, (N, H * W))
+
+    def pick(region):
+        flat = region.reshape(N, H * W)
+        masked = jnp.where(flat > 0, gumbel, -jnp.inf)
+        idx = jnp.argmax(masked, axis=-1)
+        idx = jnp.where(jnp.any(flat > 0, axis=-1), idx, 0)
+        return jnp.stack([(idx % W).astype(jnp.float32),
+                          (idx // W).astype(jnp.float32)], axis=-1)
+
+    return pick(region_a), pick(region_b)
+
+
 def _bbox_ring(gt: jnp.ndarray, df: int = 3) -> jnp.ndarray:
     """(N, H, W) masks -> boolean ring inside the df-dilated bbox but outside
     the object (fallback region for negative points; cf. reference
@@ -360,16 +380,15 @@ class SamTrainer:
                 neg_region = pred_mask & ~gt_bool
                 overlap = gt_bool & pred_mask
 
-                kp, kn, km = jax.random.split(subkey, 3)
+                kp, km = jax.random.split(subkey, 2)
                 pos_src = jnp.where(
                     jnp.any(pos_region, axis=(1, 2))[:, None, None], pos_region, overlap
                 )
-                pos_xy, _ = _gumbel_pick(kp, pos_src)
                 neg_src = jnp.where(
                     jnp.any(neg_region, axis=(1, 2))[:, None, None], neg_region,
                     neg_fallback,
                 )
-                neg_xy, _ = _gumbel_pick(kn, neg_src)
+                pos_xy, neg_xy = _gumbel_pick2(kp, pos_src, neg_src)
 
                 scale = jnp.array([scale_x, scale_y])
                 new_pts = jnp.stack([pos_xy * scale, neg_xy * scale], axis=1)  # (N, 2, 2)

@@ -287,6 +287,42 @@ def test_fused_global_attn_matches_unfused():
 
 
 @pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("geom", [(128, 2), (160, 2)])  # hd=64 packed, hd=80
+def test_fused_window_attn_matches_half(geom, masked):
+    """Attention-only window kernel (MLP left to XLA) must equal
+    x + attention(LN1(x) * valid), and its custom_vjp must route gradients
+    to the attention params only."""
+    from micro_sam_tpu.models.image_encoder import init_block
+    from micro_sam_tpu.ops import fused_window_block as fwb
+
+    C, nH = geom
+    W = 7
+    N = W * W
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (W, W), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, N, C), jnp.float32)
+    valid = None
+    if masked:
+        valid = (jax.random.uniform(jax.random.PRNGKey(4), (3, N, 1)) > 0.2
+                 ).astype(jnp.float32)
+
+    y1 = fwb.fused_window_attn(x, valid, bp, (W, W), nH)
+    y2 = fwb._unfused_window_attn_half(x, valid, bp, (W, W), nH)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+    def loss(x_, p_):
+        return jnp.sum(fwb.fused_window_attn(x_, valid, p_, (W, W), nH) ** 2)
+
+    gx, gp = jax.grad(loss, argnums=(0, 1))(x, bp)
+    assert float(jnp.max(jnp.abs(gx))) > 0
+    assert float(jnp.max(jnp.abs(gp["attn"]["qkv"]["w"]))) > 0
+    assert float(jnp.max(jnp.abs(gp["mlp"]["lin1"]["w"]))) == 0
+
+
+@pytest.mark.parametrize("masked", [False, True])
 def test_fused_window_block_merged_hd80(masked):
     """hd == 80 (the vit_h head-dim class) also takes the merged path — the
     per-head slices sit at 80-lane offsets instead of 128-aligned ones; the
