@@ -166,16 +166,32 @@ def conv_transpose2d(p: Params, x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
     """NHWC transposed conv; kernel (kh, kw, out, in) with torch
     ``ConvTranspose2d(kernel=s, stride=s)`` semantics (verified vs torch).
 
-    Computed in float32 (same-dtype operands): the conv_transpose VJP cannot
-    mix a float32 ``preferred_element_type`` cotangent with bf16 operands.
+    kernel == stride (every user: the SAM mask-decoder upscaler and the UNETR
+    deconvs) makes the windows non-overlapping, so the op IS one matmul
+    followed by depth-to-space:
+        out[b, s*i+di, s*j+dj, o] = sum_ci x[b, i, j, ci] * w[di, dj, o, ci]
+    XLA's conv_transpose lowering ran this at ~7 TFLOP/s in f32 (it also
+    could not run in bf16: the VJP rejects a f32 preferred_element_type over
+    bf16 operands); the matmul form runs at matmul rate in the operand dtype
+    with f32 accumulation and a clean dot VJP.
     """
-    y = jax.lax.conv_transpose(
-        x.astype(jnp.float32), p["w"].astype(jnp.float32),
-        strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        transpose_kernel=True,
-    ).astype(x.dtype)
+    w = p["w"]
+    kh, kw, co, ci = w.shape
+    if kh == stride and kw == stride:
+        B, H, W, C = x.shape
+        w2 = w.transpose(3, 0, 1, 2).reshape(ci, kh * kw * co)
+        y = jnp.dot(x.reshape(B * H * W, C), w2.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(B, H, W, kh, kw, co).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(B, H * kh, W * kw, co)
+    else:  # general fallback (no current user)
+        y = jax.lax.conv_transpose(
+            x.astype(jnp.float32), w.astype(jnp.float32),
+            strides=(stride, stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+        ).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

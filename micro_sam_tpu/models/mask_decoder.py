@@ -49,11 +49,56 @@ def apply_attn(p: Params, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = k + k_add
     v = cm.linear(p["v"], v)
     B, Nq, C = q.shape
-    q = q.reshape(B, Nq, nh, C // nh)
-    k = k.reshape(B, k.shape[1], nh, C // nh)
-    v = v.reshape(B, v.shape[1], nh, C // nh)
-    out = attention(q, k, v).reshape(B, Nq, C)
+    Nk = k.shape[1]
+    if Nq != Nk and max(Nq, Nk) >= 1024 and min(Nq, Nk) <= 64 and C // nh <= 32:
+        out = _folded_cross_attention(q, k, v, nh)
+    else:
+        qh = q.reshape(B, Nq, nh, C // nh)
+        kh = k.reshape(B, Nk, nh, C // nh)
+        vh = v.reshape(B, Nk, nh, C // nh)
+        out = attention(qh, kh, vh).reshape(B, Nq, C)
     return cm.linear(p["out"], out)
+
+
+def _folded_cross_attention(q, k, v, nh: int) -> jnp.ndarray:
+    """Cross-attention with one side tiny (prompt tokens, <=64) and the other
+    the image (4096): per-head matmuls here are (4096, 16) @ (16, 25)-class
+    shapes that fill a sliver of the MXU and cost layout transposes around
+    every einsum. Folding the tiny side's heads into a BLOCK-DIAGONAL operand
+    (the same trick as the TinyViT window kernel, ops/fused_tiny_attention.py)
+    turns each direction into dense (., C) @ (C, nh*T)-class matmuls — ~8x
+    redundant FLOPs on the tiny side against zeros, at ~25x better MXU rate,
+    and no head-split transposes of the (B, 4096, C) stream.
+
+    Exact: the zero blocks contribute nothing; softmax runs per head block.
+    """
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
+    hd = C // nh
+    scale = hd ** -0.5
+    eye = jnp.eye(nh, dtype=q.dtype)
+    if Nq >= Nk:  # image queries attend to prompt tokens (cross i->t)
+        kr = k.reshape(B, Nk, nh, hd)
+        k_bd = jnp.einsum("blhc,gh->bgchl", kr, eye).reshape(B, C, nh * Nk)
+        logits = jnp.einsum("bqc,bcl->bql", q * scale, k_bd,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits.reshape(B, Nq, nh, Nk), axis=-1)
+        w = w.reshape(B, Nq, nh * Nk).astype(v.dtype)
+        vr = v.reshape(B, Nk, nh, hd)
+        v_bd = jnp.einsum("blhc,hg->bhlgc", vr, eye).reshape(B, nh * Nk, C)
+        return jnp.einsum("bql,blc->bqc", w, v_bd,
+                          preferred_element_type=jnp.float32).astype(v.dtype)
+    # prompt tokens attend to the image (cross t->i): block-diagonal queries,
+    # full-width av + per-head diagonal extraction
+    qr = q.reshape(B, Nq, nh, hd)
+    q_bd = jnp.einsum("bthc,hg->bhtgc", qr, eye).reshape(B, nh * Nq, C)
+    logits = jnp.einsum("btc,bkc->btk", q_bd * scale, k,
+                        preferred_element_type=jnp.float32)  # (B, nh*Nq, Nk)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out_bd = jnp.einsum("btk,bkc->btc", w, v,
+                        preferred_element_type=jnp.float32).astype(v.dtype)
+    out5 = out_bd.reshape(B, nh, Nq, nh, hd)
+    return jnp.einsum("bhtgc,hg->bthc", out5, eye).reshape(B, Nq, C)
 
 
 def _plain_linear(p: Params) -> bool:

@@ -258,9 +258,19 @@ def test_amg_compact_matches_legacy(tiny_setup):
     kw2 = dict(pred_iou_thresh=0.5, stability_score_thresh=0.5, output_mode="rle")
     _amg_records_equal(legacy.generate(**kw2), compact2.generate(**kw2))
 
-    # thresholds under the floor are refused (those candidates never crossed)
+    # thresholds under the floor transparently redo the device decode with
+    # lowered floors (the reference's generate-with-any-thresholds contract),
+    # so the result still matches the legacy pipeline at those thresholds
+    kw3 = dict(pred_iou_thresh=0.3, stability_score_thresh=0.5, output_mode="rle")
+    _amg_records_equal(legacy.generate(**kw3), compact2.generate(**kw3))
+    assert compact2._prefilter_thresholds[0] <= 0.3
+
+    # restored state (set_state) cannot redo the decode: sub-floor asks raise
+    restored = AutomaticMaskGenerator(predictor, points_per_side=4, points_per_batch=16)
+    restored.set_state(compact.get_state())
+    restored._prefilter_thresholds = (0.5, 0.5)
     with pytest.raises(ValueError, match="prefilter"):
-        compact2.generate(pred_iou_thresh=0.3)
+        restored.generate(pred_iou_thresh=0.3)
 
 
 def test_amg_compact_big_mask_fallback(tiny_setup, monkeypatch):
