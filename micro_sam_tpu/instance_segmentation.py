@@ -228,10 +228,15 @@ class AutomaticMaskGenerator(AMGBase):
         """prefilter_thresholds: (iou_floor, stability_floor) applied ON
         DEVICE during ``initialize`` — only candidates above the floors are
         transferred to the host, so the end-to-end rate tracks the device
-        decode rate instead of the host-link bandwidth. ``generate`` must
-        then be called with thresholds >= the floors (it raises otherwise);
-        pass ``None`` to keep every candidate (exact reference semantics,
-        reference instance_segmentation.py:291 filters post-hoc only)."""
+        decode rate instead of the host-link bandwidth. If ``generate`` is
+        later called with thresholds below the floors, the generator
+        transparently lowers the floors and redoes the device decode (which
+        re-encodes the image when embeddings were not precomputed — the
+        initialize arguments are retained for this); only state restored via
+        ``set_state`` raises instead, because the dropped candidates are
+        unrecoverable there. Pass ``None`` to keep every candidate (exact
+        reference semantics, reference instance_segmentation.py:291 filters
+        post-hoc only)."""
         super().__init__()
         self._predictor = predictor
         self._amg_decoder = None
@@ -470,6 +475,11 @@ class AutomaticMaskGenerator(AMGBase):
             # this generator ran its own initialize: transparently lower the
             # floors and redo the device decode so sub-floor thresholds keep
             # the reference's generate-with-any-thresholds contract
+            warnings.warn(
+                f"generate thresholds ({pred_iou_thresh}, {stability_score_thresh}) are below the "
+                f"device prefilter floors {floors}; re-running the device decode with lowered "
+                "floors (this re-encodes the image if embeddings were not precomputed). "
+                "Construct with prefilter_thresholds=None to avoid the redo.")
             self._prefilter_thresholds = (
                 min(floors[0], float(pred_iou_thresh)),
                 min(floors[1], float(stability_score_thresh)))

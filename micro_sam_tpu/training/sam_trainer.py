@@ -135,6 +135,11 @@ class SamTrainer:
         self.val_loader = val_loader
         self.model = model
         self.optimizer = optimizer or optax.adamw(lr)
+        if n_sub_iteration < 1:
+            # n_sub == 0 would divide the loss by zero (and the multimask
+            # round indexes keys[0]) — fail loudly at construction instead
+            raise ValueError(
+                f"n_sub_iteration must be >= 1, got {n_sub_iteration}")
         self.n_sub_iteration = n_sub_iteration
         self.n_objects_per_batch = n_objects_per_batch or 25
         self.convert_inputs = convert_inputs or ConvertToSamInputs(

@@ -539,10 +539,15 @@ def precompute_image_embeddings(
     if tile_subset is not None and tile_shape is None:
         raise ValueError("tile_subset requires a tiled computation (tile_shape).")
 
+    # MICROSAM_ZARR_FORMAT=3 writes NEW caches in zarr v3 layout so they
+    # round-trip with a v3-writing reference install (reference
+    # micro_sam/util.py:684-706 picks v2/v3 by the installed zarr version);
+    # existing caches keep their format — zarr_lite.open auto-detects.
+    zarr_format = int(os.environ.get("MICROSAM_ZARR_FORMAT", "2"))
     if save_path is None:
-        f = zarr_lite.open(zarr_lite.MemoryStore())
+        f = zarr_lite.open(zarr_lite.MemoryStore(), zarr_format=zarr_format)
     else:
-        f = zarr_lite.open(str(save_path), mode="a")
+        f = zarr_lite.open(str(save_path), mode="a", zarr_format=zarr_format)
 
     signature = _embedding_signature(predictor, input_, tile_shape, halo)
     if _check_saved_embeddings(f, signature):

@@ -529,8 +529,11 @@ def open(path_or_store: Union[str, Store], mode: str = "a",
          zarr_format: Optional[int] = None) -> Group:
     """Open a zarr group on a directory path or a store object.
 
-    zarr_format: 2 (default for new stores) or 3; auto-detected for existing
-    stores from the presence of ``zarr.json`` vs ``.zgroup``.
+    zarr_format: 2 (default) or 3, applied to NEW stores only — an existing
+    store's format is always auto-detected from the presence of ``zarr.json``
+    vs ``.zgroup``, so a format request can never split a store across specs
+    (the reference picks v2/v3 by the installed zarr version,
+    micro_sam/util.py:684-706; here the caller/env picks for fresh caches).
     """
     if isinstance(path_or_store, str):
         if mode == "r" and not os.path.exists(path_or_store):
@@ -538,6 +541,10 @@ def open(path_or_store: Union[str, Store], mode: str = "a",
         store = DirectoryStore(path_or_store)
     else:
         store = path_or_store
+    if "zarr.json" in store:
+        zarr_format = 3
+    elif ".zgroup" in store:
+        zarr_format = 2
     return Group(store, zarr_format=zarr_format)
 
 

@@ -58,6 +58,28 @@ def test_conv_transpose_matches_torch():
     assert np.allclose(np.asarray(y).transpose(0, 3, 1, 2), ref, atol=1e-5)
 
 
+def test_conv_transpose_bf16_drift_bound():
+    """The kernel==stride fast path multiplies in the operand dtype (bf16 on
+    bf16 paths) with f32 accumulation; pin the bf16-vs-f32 drift so the
+    upscaler/UNETR deconv tolerance is a tested contract, not an assumption."""
+    import jax.numpy as jnp
+    from micro_sam_tpu.models import common as cm
+
+    rng = np.random.RandomState(0)
+    # UNETR-deconv-like shape: 2x2 kernel == stride, wide channels
+    w = rng.randn(2, 2, 32, 64).astype(np.float32) / 8.0
+    b = rng.randn(32).astype(np.float32) / 8.0
+    x = rng.randn(2, 16, 16, 64).astype(np.float32)
+    p32 = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    y32 = np.asarray(cm.conv_transpose2d(p32, jnp.asarray(x), stride=2))
+    y16 = np.asarray(cm.conv_transpose2d(
+        p32, jnp.asarray(x, jnp.bfloat16), stride=2)).astype(np.float32)
+    scale = np.abs(y32).max()
+    drift = np.abs(y16 - y32).max() / scale
+    # bf16 has ~3 decimal digits; inputs+weights rounded once each, f32 accum
+    assert drift < 2e-2, drift
+
+
 def test_torch_checkpoint_conversion_roundtrip(tmp_path, tiny_sam):
     """export -> torch state dict -> convert back -> identical forward."""
     torch = pytest.importorskip("torch")

@@ -147,3 +147,92 @@ def test_written_cache_is_spec_conformant(tiny_predictor, tmp_path):
         assert key in attrs, f"missing signature attr {key}"
     feats = _spec_read_v2_array(cache, "features/")
     np.testing.assert_array_equal(feats, np.asarray(emb["features"]))
+
+
+def _spec_read_v3_array(root, prefix=""):
+    """Independent zarr v3 reader: json + zlib only, no zarr_lite."""
+    with open(os.path.join(root, *(prefix + "zarr.json").split("/"))) as f:
+        meta = json.load(f)
+    assert meta["zarr_format"] == 3 and meta["node_type"] == "array"
+    shape = meta["shape"]
+    grid_cfg = meta["chunk_grid"]
+    assert grid_cfg["name"] == "regular"
+    chunks = grid_cfg["configuration"]["chunk_shape"]
+    key_enc = meta["chunk_key_encoding"]
+    assert key_enc["name"] == "default"
+    sep = key_enc.get("configuration", {}).get("separator", "/")
+    codecs = [c["name"] for c in meta["codecs"]]
+    assert codecs[0] == "bytes", "v3 arrays need an array->bytes codec first"
+    assert set(codecs[1:]) <= {"gzip"}
+    dtype = np.dtype(meta["data_type"])
+    out = np.zeros(shape, dtype)
+    import itertools
+    grid = [range((s + c - 1) // c) for s, c in zip(shape, chunks)]
+    for idx in itertools.product(*grid):
+        key = "c" + "".join(f"{sep}{i}" for i in idx)
+        with open(os.path.join(root, *(prefix + key).split("/")), "rb") as f:
+            raw = f.read()
+        if "gzip" in codecs:
+            raw = zlib.decompress(raw, 47)  # gzip framing per the v3 codec
+        block = np.frombuffer(raw, dtype).reshape(chunks)
+        sl = tuple(slice(i * c, min((i + 1) * c, s))
+                   for i, c, s in zip(idx, chunks, shape))
+        out[sl] = block[tuple(slice(0, s.stop - s.start) for s in sl)]
+    return out
+
+
+def test_written_v3_cache_is_spec_conformant(tiny_predictor, tmp_path, monkeypatch):
+    """MICROSAM_ZARR_FORMAT=3 must produce a pure zarr-v3 store (no v2
+    markers) that parses under an independent v3 spec reader and still cache
+    -hits on re-open — the round-trip a v3-writing reference install needs
+    (reference micro_sam/util.py:684-706)."""
+    from micro_sam_tpu import util
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    monkeypatch.setenv("MICROSAM_ZARR_FORMAT", "3")
+    image = fixture_input((64, 80))
+    cache = str(tmp_path / "out_v3.zarr")
+    emb = precompute_image_embeddings(
+        tiny_predictor, image, save_path=cache, verbose=False)
+
+    # layout: v3 markers only
+    assert os.path.exists(os.path.join(cache, "zarr.json"))
+    for key in (".zgroup", ".zattrs", os.path.join("features", ".zarray")):
+        assert not os.path.exists(os.path.join(cache, key)), f"v2 marker {key} in v3 store"
+    with open(os.path.join(cache, "zarr.json")) as f:
+        root_meta = json.load(f)
+    assert root_meta["zarr_format"] == 3 and root_meta["node_type"] == "group"
+    attrs = root_meta["attributes"]
+    for key in ("data_signature", "model_type", "input_size", "original_size"):
+        assert key in attrs, f"missing signature attr {key}"
+    feats = _spec_read_v3_array(cache, "features/")
+    np.testing.assert_array_equal(feats, np.asarray(emb["features"]))
+
+    # re-open WITHOUT the env var: format auto-detected, cache hit (no encode)
+    monkeypatch.delenv("MICROSAM_ZARR_FORMAT")
+    _no_encode(monkeypatch)
+    emb2 = precompute_image_embeddings(
+        tiny_predictor, image, save_path=cache, verbose=False)
+    np.testing.assert_array_equal(
+        np.asarray(emb2["features"]), np.asarray(emb["features"]))
+
+
+def test_written_v3_tiled_cache_round_trips(tiny_predictor, tmp_path, monkeypatch):
+    """Tiled v3 cache: per-tile datasets land as v3 arrays and resume works."""
+    from micro_sam_tpu.util import precompute_image_embeddings
+
+    monkeypatch.setenv("MICROSAM_ZARR_FORMAT", "3")
+    image = fixture_input((96, 112))
+    cache = str(tmp_path / "tiled_v3.zarr")
+    emb = precompute_image_embeddings(
+        tiny_predictor, image, save_path=cache, tile_shape=(64, 64),
+        halo=(8, 8), verbose=False)
+    tiles = emb["features"]
+    tile0 = _spec_read_v3_array(cache, "features/0/")
+    np.testing.assert_array_equal(tile0, np.asarray(tiles[0]["features"]))
+    _no_encode(monkeypatch)
+    emb2 = precompute_image_embeddings(
+        tiny_predictor, image, save_path=cache, tile_shape=(64, 64),
+        halo=(8, 8), verbose=False)
+    np.testing.assert_array_equal(
+        np.asarray(emb2["features"][0]["features"]), tile0)
