@@ -46,17 +46,41 @@ def main():
 
     rng = np.random.RandomState(0)
 
-    def timeit(fn, *args):
-        chk = fn(*args)
-        float(np.asarray(chk).ravel()[0])
+    # Each dispatch through the axon tunnel costs ~3.4 ms of host time, which
+    # swamps sub-ms matmul stages. Every stage is therefore timed as ONE
+    # dispatch of an in-graph lax.scan (iterations serialized by a carry
+    # perturbation so XLA cannot hoist the op), and the null-scan dispatch
+    # baseline is subtracted.
+    from jax import lax
+
+    ITERS = 30
+
+    def _scan_time(body1, *args):
+        """body1(carry_scalar) -> new checksum scalar; returns ms/iteration."""
+        @jax.jit
+        def run(*args):
+            def body(c, _):
+                return body1(c, *args), None
+            s, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+            return s
+        float(run(*args))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(4):
-                chk = fn(*args)
-            float(np.asarray(chk).ravel()[0])
-            best = min(best, (time.perf_counter() - t0) / 4)
-        return best * 1e3
+            float(run(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best / ITERS * 1e3
+
+    baseline_ms = _scan_time(lambda c: c * 1.000001)
+    print(json.dumps({"stage": "scan_baseline_ms_per_iter",
+                      "ms": round(baseline_ms, 4)}), flush=True)
+
+    def timeit_graph(make_out, *args):
+        """make_out(c, *args) -> array whose f32 sum is the checksum."""
+        def body1(c, *a):
+            out = make_out(c, *a)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-30
+        return max(0.0, _scan_time(body1, *args) - baseline_ms)
 
     import jax
 
@@ -67,35 +91,28 @@ def main():
         b = jnp.asarray(rng.rand(batch, K, N), jnp.bfloat16) if batch > 1 else \
             jnp.asarray(rng.rand(K, N), jnp.bfloat16)
 
-        @jax.jit
-        def run(a, b):
-            out = jnp.einsum("...mk,...kn->...mn", a, b)
-            return jnp.sum(out.astype(jnp.float32))
-
-        ms = timeit(run, a, b)
+        ms = timeit_graph(
+            lambda c, a, b: jnp.einsum(
+                "...mk,...kn->...mn", a + c.astype(a.dtype), b), a, b)
         gflop = 2 * batch * M * K * N / 1e9
-        return ms, round(gflop / ms, 1)  # ms, TFLOP/s
+        return ms, round(gflop / max(ms, 1e-6), 1)  # ms, TFLOP/s
 
     def vpu_softmax(batch, rows, cols):
         x = jnp.asarray(rng.rand(batch, rows, cols), jnp.bfloat16)
-
-        @jax.jit
-        def run(x):
-            return jnp.sum(jax.nn.softmax(x, axis=-1).astype(jnp.float32))
-
-        return timeit(run, x)
+        return timeit_graph(
+            lambda c, x: jax.nn.softmax(x + c.astype(x.dtype), axis=-1), x)
 
     def vpu_ln_gelu(rows, c):
         x = jnp.asarray(rng.rand(rows, c), jnp.bfloat16)
 
-        @jax.jit
-        def run(x):
+        def f(carry, x):
+            x = x + carry.astype(x.dtype)
             m = jnp.mean(x.astype(jnp.float32), -1, keepdims=True)
             v = jnp.var(x.astype(jnp.float32), -1, keepdims=True)
             y = ((x - m) / jnp.sqrt(v + 1e-6)).astype(jnp.bfloat16)
-            return jnp.sum(jax.nn.gelu(y).astype(jnp.float32))
+            return jax.nn.gelu(y)
 
-        return timeit(run, x)
+        return timeit_graph(f, x)
 
     stages = {}
 

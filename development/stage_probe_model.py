@@ -65,7 +65,11 @@ def main():
     xw0, pad_hw = window_partition(x0, WS)
     xw0 = xw0.reshape(xw0.shape[0], WS * WS, C)
 
-    def timeit(f, x, iters=10):
+    # Each fenced dispatch through the axon tunnel costs a fixed RTT (~ms);
+    # at iters=10 that bias was ~+3 ms/stage and made the per-stage sums
+    # exceed the measured end-to-end encoder. Measure the null-dispatch
+    # baseline once and subtract it from every stage timing.
+    def _timeit_raw(f, x, iters):
         @jax.jit
         def run(x):
             def body(c, _):
@@ -79,7 +83,13 @@ def main():
             t0 = time.perf_counter()
             float(run(x))
             best = min(best, time.perf_counter() - t0)
-        return best / iters * 1e3  # ms
+        return best * 1e3  # ms for the whole dispatch
+
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    dispatch_ms = _timeit_raw(lambda x: x * 1.000001, tiny, 1)
+
+    def timeit(f, x, iters=10):
+        return max(0.0, _timeit_raw(f, x, iters) - dispatch_ms) / iters
 
     bp0, bpg = p["blocks"][0], p["blocks"][2]
 
@@ -118,11 +128,12 @@ def main():
 
     out = {
         "model": model, "batch": B, "global_fused": global_fused,
-        "patch_ms": round(timeit(patch, px0), 2),
-        "shuffle_roundtrip_ms": round(timeit(shuffle_only, x0), 2),
-        "window_block_ms": round(timeit(one_winblock, xw0), 2),
-        "global_block_ms": round(timeit(global_blk, x0), 2),
-        "neck_ms": round(timeit(neck, x0), 2),
+        "dispatch_baseline_ms": round(dispatch_ms, 2),
+        "patch_ms": round(timeit(patch, px0, iters=20), 2),
+        "shuffle_roundtrip_ms": round(timeit(shuffle_only, x0, iters=20), 2),
+        "window_block_ms": round(timeit(one_winblock, xw0, iters=20), 2),
+        "global_block_ms": round(timeit(global_blk, x0, iters=20), 2),
+        "neck_ms": round(timeit(neck, x0, iters=20), 2),
     }
     out["implied_encoder_ms"] = round(
         out["patch_ms"]

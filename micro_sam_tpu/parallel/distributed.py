@@ -304,6 +304,48 @@ def _dryrun_worker(workdir: str) -> dict:
     trainer.fit(epochs=1, verbose=False)
     trainer_loss = float(trainer.train_metrics[0]["train_loss"])
     ckpt = os.path.join(workdir, "ckpt", "mh-dryrun", "latest.pkl")
+
+    # post-epoch trainer params: multi-host shard feeding must land on the
+    # SAME weights as single-process full-batch feeding (the per-sample
+    # prompt seeding in SamTrainer._prepare_batch is what guarantees it)
+    from jax.experimental import multihost_utils
+    t_params = trainer.model.params
+    if nproc > 1:
+        t_params = multihost_utils.process_allgather(t_params, tiled=True)
+    trainer_param_checksum = float(sum(
+        float(np.sum(np.asarray(x, np.float64) ** 2))
+        for x in jax.tree.leaves(t_params)))
+
+    # the coordinator-written checkpoint must carry those same weights
+    ckpt_checksum = None
+    if os.path.exists(ckpt):
+        import pickle
+        with open(ckpt, "rb") as f:
+            state = pickle.load(f)
+        ckpt_checksum = float(sum(
+            float(np.sum(np.asarray(x, np.float64) ** 2))
+            for x in jax.tree.leaves(state["model_state"])))
+
+    # --- 4. multi-host AMG: the production decode path over the global mesh
+    from ..instance_segmentation import AutomaticMaskGenerator
+    amg_pred = SamPredictor(Sam(cfg, params)).shard_on_mesh(mesh)
+    rng = np.random.RandomState(11)
+    amg_img = np.zeros((128, 128), np.uint8)
+    for i in range(4):
+        y, x = rng.randint(10, 100, 2)
+        amg_img[y:y + 20, x:x + 20] = 120 + 30 * i
+    amg = AutomaticMaskGenerator(
+        amg_pred, points_per_side=4, points_per_batch=2 * data_size,
+        prefilter_thresholds=(0.0, 0.0))
+    amg.initialize(amg_img)
+    records = amg.generate(pred_iou_thresh=0.0, stability_score_thresh=0.0,
+                           box_nms_thresh=0.9, output_mode="rle")
+    sha = hashlib.sha1()
+    for rec in records:
+        sha.update(np.asarray(rec["segmentation"]["counts"], np.int64).tobytes())
+        sha.update(np.round(np.float64(rec["predicted_iou"]), 5).tobytes())
+    amg_sha = sha.hexdigest()
+
     barrier("msam-dryrun-done")
 
     return {
@@ -312,6 +354,9 @@ def _dryrun_worker(workdir: str) -> dict:
         "emb_sha": emb_sha, "step_loss": float(loss),
         "param_checksum": float(checksum),
         "trainer_loss": trainer_loss,
+        "trainer_param_checksum": trainer_param_checksum,
+        "ckpt_checksum": ckpt_checksum,
+        "amg_sha": amg_sha,
         "checkpoint_written": os.path.exists(ckpt),
     }
 
@@ -411,11 +456,28 @@ def dryrun_multihost(n_devices: int = 8, n_processes: int = 2,
             (c["step_loss"], single["step_loss"])
         assert abs(c["param_checksum"] - single["param_checksum"]) \
             / max(abs(single["param_checksum"]), 1.0) < 1e-5
-        assert np.isfinite(c["trainer_loss"])
+        # the REAL SamTrainer: shard-fed cluster epoch == full-batch
+        # single-process epoch (per-sample prompt seeding makes the global
+        # batch identical; the step program is the same SPMD program)
+        assert abs(c["trainer_loss"] - single["trainer_loss"]) < 1e-4, \
+            (c["trainer_loss"], single["trainer_loss"])
+        assert abs(c["trainer_param_checksum"] - single["trainer_param_checksum"]) \
+            / max(abs(single["trainer_param_checksum"]), 1.0) < 1e-5, \
+            (c["trainer_param_checksum"], single["trainer_param_checksum"])
+        assert c["amg_sha"] == single["amg_sha"], \
+            "multi-host AMG differs from single-process"
     assert cluster[0]["checkpoint_written"]
+    # the coordinator-written checkpoint carries the same weights a
+    # single-process run writes
+    assert cluster[0]["ckpt_checksum"] is not None
+    assert abs(cluster[0]["ckpt_checksum"] - single["ckpt_checksum"]) \
+        / max(abs(single["ckpt_checksum"]), 1.0) < 1e-5, \
+        (cluster[0]["ckpt_checksum"], single["ckpt_checksum"])
     print(f"dryrun_multihost: {n_processes} processes x {per_proc} devices == "
           f"single-process ({n_devices} devices): precompute sha match, "
-          f"step loss {single['step_loss']:.6f}, trainer ran")
+          f"step loss {single['step_loss']:.6f}, trainer loss "
+          f"{single['trainer_loss']:.6f} == cluster, AMG sha match, "
+          f"checkpoint checksum match")
     return results
 
 

@@ -32,6 +32,34 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _to_host(arr) -> np.ndarray:
+    """np.asarray that also handles multi-host jax arrays.
+
+    Outputs of multi-host SPMD programs are not fully addressable from one
+    process; the predictor compiles them fully REPLICATED (see shard_on_mesh
+    / _AmgDecoder.dispatch), so the local replica carries the whole value."""
+    if getattr(arr, "is_fully_addressable", True) or isinstance(arr, np.ndarray):
+        return np.asarray(arr)
+    assert arr.is_fully_replicated, (
+        "multi-host arrays must be replicated before host transfer")
+    return np.asarray(arr.addressable_data(0))
+
+
+def _to_global(arr, sharding):
+    """Build a jax.Array with `sharding` from a host value that is IDENTICAL
+    on every process.
+
+    Single-process this is a plain device_put. Multi-host, jit rejects numpy
+    arguments against non-trivial in_shardings and device_put cannot place a
+    host value on non-addressable devices — make_array_from_callback builds
+    the global array from each process's local slice of the shared value."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 class SamPredictor:
     def __init__(self, sam: Sam, mesh=None):
         self.model = sam
@@ -71,12 +99,16 @@ class SamPredictor:
         self._repl_sharding = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         self._data_sharding = data
+        # multi-host: outputs must be replicated so each process can read
+        # them from its local devices (host code may not drive cross-host
+        # eager computations)
+        out = self._repl_sharding if jax.process_count() > 1 else data
         self._encode_fn = jax.jit(
-            self._encode_impl, in_shardings=(p_shard, data), out_shardings=data)
+            self._encode_impl, in_shardings=(p_shard, data), out_shardings=out)
         self._decode_fn = jax.jit(
             self._decode_impl,
             in_shardings=(p_shard, data, data, data, data, data),
-            out_shardings=(data, data))
+            out_shardings=(out, out))
         return self
 
     def _pad_batch(self, *arrays):
@@ -100,7 +132,12 @@ class SamPredictor:
         it over the mesh when the predictor is meshed.
         """
         batch, n = self._pad_batch(np.asarray(batch))
-        feats = self._encode_fn(self.model.params, jnp.asarray(batch))
+        x_in = _to_global(batch, self._data_sharding) \
+            if (self.mesh is not None and jax.process_count() > 1) \
+            else jnp.asarray(batch)
+        feats = self._encode_fn(self.model.params, x_in)
+        if not getattr(feats, "is_fully_addressable", True):
+            feats = _to_host(feats)  # replicated output, local read
         return feats[:n] if feats.shape[0] != n else feats
 
     # ------------------------------------------------------------------
@@ -304,14 +341,27 @@ class SamPredictor:
         B = points.shape[0]
         if feats.shape[0] != B:
             feats = jnp.broadcast_to(feats, (B,) + feats.shape[1:])
-        if self.mesh is not None:
+        mh = self.mesh is not None and jax.process_count() > 1
+        if mh:
+            # multi-host: prompts/features are identical on every process;
+            # assemble global data-sharded inputs (jit rejects numpy against
+            # non-trivial in_shardings)
+            feats = _to_global(_to_host(feats), self._data_sharding)
+            as_in = lambda a: _to_global(np.asarray(a), self._data_sharding)
+        elif self.mesh is not None:
             # replicated->data resharding is a local slice per chip; jit with
             # in_shardings refuses committed arrays with a different layout
             feats = jax.device_put(feats, self._data_sharding)
+            as_in = jnp.asarray
+        else:
+            as_in = jnp.asarray
         low_res, iou = self._decode_fn(
-            self.model.params, feats, jnp.asarray(points), jnp.asarray(labels),
-            jnp.asarray(mi), jnp.asarray(has_mask),
+            self.model.params, feats, as_in(points), as_in(labels),
+            as_in(mi), as_in(has_mask),
         )
+        if mh:
+            # replicated outputs: read the local replica before host slicing
+            low_res, iou = jnp.asarray(_to_host(low_res)), jnp.asarray(_to_host(iou))
         low_res, iou = low_res[:true_b], iou[:true_b]
         if multimask_output:
             low_res, iou = low_res[:, 1:], iou[:, 1:]
@@ -494,13 +544,18 @@ class _AmgDecoder:
         sliced at pow2 buckets so the tiny device-side slice programs are
         compiled once per bucket, not once per n."""
         if not isinstance(handles, dict):
-            return tuple(np.asarray(h) for h in handles)
+            return tuple(_to_host(h) for h in handles)
+
+        multihost = not getattr(handles["n"], "is_fully_addressable", True)
 
         def take(h, n):
+            if multihost:
+                # replicated output: read the local replica, slice on host
+                return _to_host(h)[:n]
             m = min(_next_pow2(max(int(n), 1)), h.shape[0])
             return np.asarray(h[:m])[:n]
 
-        n = int(np.asarray(handles["n"]))
+        n = int(_to_host(handles["n"]))
         out = {"n": n, "crop_hw": handles["crop_hw"]}
         for k in ("iou", "stability", "boxes", "order"):
             out[k] = take(handles[k], n)
@@ -510,7 +565,7 @@ class _AmgDecoder:
             for k in ("crop_packed", "origins", "fits"):
                 out[k] = take(handles[k], n)
             out["packed_big"] = take(
-                handles["packed_big"], int(np.asarray(handles["n_big"])))
+                handles["packed_big"], int(_to_host(handles["n_big"])))
         return out
 
     def dispatch(self, points_xy: np.ndarray):
@@ -536,10 +591,16 @@ class _AmgDecoder:
                 p_shard = sam_param_shardings(pred.model.params, pred.mesh)
                 in_sh = ((p_shard, data, data, data, repl) if compact
                          else (p_shard, data, data, data))
-                # compact outputs are globally reordered (argsort): leave
-                # their placement to XLA
-                out_sh = None if compact else (data, data, data, data)
-                kw = {} if out_sh is None else {"out_shardings": out_sh}
+                if jax.process_count() > 1:
+                    # multi-host: every process must be able to fetch the
+                    # results (np.asarray needs fully-replicated outputs) —
+                    # XLA all-gathers the survivors over DCN/ICI
+                    kw = {"out_shardings": repl}
+                else:
+                    # compact outputs are globally reordered (argsort): leave
+                    # their placement to XLA
+                    out_sh = None if compact else (data, data, data, data)
+                    kw = {} if out_sh is None else {"out_shardings": out_sh}
                 self._jit = jax.jit(
                     functools.partial(impl, pred.model),
                     static_argnums=statics, in_shardings=in_sh, **kw)
@@ -558,15 +619,29 @@ class _AmgDecoder:
         if feats.shape[0] != B:
             feats = jnp.broadcast_to(feats, (B,) + feats.shape[1:])
         if pred.mesh is not None:
-            feats = jax.device_put(feats, pred._data_sharding)
+            if jax.process_count() > 1:
+                # multi-host: features are identical on every process (the
+                # image is global); rebuild them as a global data-sharded
+                # array from the shared host value
+                feats = _to_global(_to_host(feats), pred._data_sharding)
+            else:
+                feats = jax.device_put(feats, pred._data_sharding)
         # statics passed positionally: pjit rejects kwargs when in_shardings
         # is specified (the meshed path)
+        # multi-host: data-sharded inputs must arrive as GLOBAL jax.Arrays
+        # (jit rejects numpy against non-trivial in_shardings); every process
+        # holds the same host value, so _to_global assembles them
+        as_in = ((lambda a: _to_global(a, pred._data_sharding))
+                 if (pred.mesh is not None and jax.process_count() > 1)
+                 else jnp.asarray)
         if compact:
             crop_hw = tuple(pred.original_size)
             crop_size = self.CROP_SIZE if self.crop_transfer else None
+            # true_b rides as a replicated scalar (numpy is allowed against a
+            # trivial in_sharding even multi-host)
             handles = dict(self._jit(
-                pred.model.params, feats, jnp.asarray(pts), jnp.asarray(lbl),
-                jnp.int32(true_b),
+                pred.model.params, feats, as_in(pts), as_in(lbl),
+                np.int32(true_b),
                 self.mask_threshold, self.stability_offset,
                 tuple(pred.input_size), crop_hw,
                 self.prefilter[0], self.prefilter[1], crop_size,
@@ -578,7 +653,7 @@ class _AmgDecoder:
             return handles
 
         packed, iou, stability, boxes = self._jit(
-            pred.model.params, feats, jnp.asarray(pts), jnp.asarray(lbl),
+            pred.model.params, feats, as_in(pts), as_in(lbl),
             self.mask_threshold, self.stability_offset,
             tuple(pred.input_size), tuple(pred.original_size),
         )

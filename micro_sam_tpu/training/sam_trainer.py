@@ -161,6 +161,7 @@ class SamTrainer:
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
+        self.seed = int(seed)
         self._key = (jax.random.key(seed, impl="rbg") if on_tpu
                      else jax.random.PRNGKey(seed))
         self._iteration = 0
@@ -489,12 +490,31 @@ class SamTrainer:
     # host-side batch preparation
     # ------------------------------------------------------------------
     def _prepare_batch(self, image, labels, use_points: bool, use_box: bool,
-                       n_pos: int = 1, n_neg: int = 0):
-        """Sample objects + initial prompts for a numpy batch."""
+                       n_pos: int = 1, n_neg: int = 0,
+                       train: bool = True, batch_idx: int = 0):
+        """Sample objects + initial prompts for a numpy batch.
+
+        When the converter supports per-sample seeds, each image's
+        object/prompt sampling is keyed by its GLOBAL sample index — under
+        multi-host data-parallel training every process feeds its own shard,
+        and per-sample streams make that bit-identical to a single process
+        feeding the whole batch (parallel/distributed.py dryrun asserts it)."""
+        kwargs = {}
+        if getattr(self.convert_inputs, "supports_sample_seeds", False):
+            local_b = np.asarray(labels).shape[0]
+            offset = 0
+            if getattr(self, "_nproc", 1) > 1:
+                import jax as _jax
+                offset = _jax.process_index() * local_b
+            base = (self.seed, 0 if train else 1, self._epoch, batch_idx)
+            kwargs["sample_seeds"] = [
+                np.random.SeedSequence(base + (offset + b,)).generate_state(1)[0]
+                for b in range(local_b)
+            ]
         batched = self.convert_inputs(
             image, labels, n_objects=self.n_objects_per_batch,
             n_pos=n_pos, n_neg=n_neg,
-            get_points=use_points, get_boxes=use_box,
+            get_points=use_points, get_boxes=use_box, **kwargs,
         )
         return batched
 
@@ -504,7 +524,7 @@ class SamTrainer:
     def _run_epoch(self, train: bool = True):
         loader = self.train_loader if train else self.val_loader
         losses, ious = [], []
-        for image, labels in loader:
+        for batch_idx, (image, labels) in enumerate(loader):
             if train:
                 use_points, use_box, multimask, n_pos, n_neg = \
                     self._get_prompt_and_multimasking_choices(self._iteration)
@@ -512,7 +532,9 @@ class SamTrainer:
                 use_points, use_box, multimask, n_pos, n_neg = \
                     self._get_prompt_and_multimasking_choices_for_val(self._iteration)
 
-            batch = self._prepare_batch(image, labels, use_points, use_box, n_pos, n_neg)
+            batch = self._prepare_batch(image, labels, use_points, use_box,
+                                        n_pos, n_neg, train=train,
+                                        batch_idx=batch_idx)
             if batch is None:
                 continue
             images_j, gt, obj_valid, points0, labels0, boxes0 = batch

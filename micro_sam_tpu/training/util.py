@@ -2,7 +2,7 @@
 transforms (reference micro_sam/training/util.py)."""
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -189,27 +189,27 @@ class ConvertToSamInputs:
         self.box_distortion_factor = box_distortion_factor
         self._rng = rng or np.random.RandomState()
 
-    def _distort_boxes(self, bbox_coordinates, shape):
+    def _distort_boxes(self, bbox_coordinates, shape, rng):
         distorted_boxes = []
         for bbox in bbox_coordinates:
             # the bounding box is given in the format (y0, x0, y1, x1)
             bbox_length = [bbox[3] - bbox[1], bbox[2] - bbox[0]]
             sf = self.box_distortion_factor
-            # draw from self._rng (not the global numpy state) so a seeded
+            # draw from rng (not the global numpy state) so a seeded
             # converter is fully reproducible
-            y0 = min(shape[0], max(0, bbox[0] + self._rng.uniform(-sf, sf) * bbox_length[1]))
-            x0 = min(shape[1], max(0, bbox[1] + self._rng.uniform(-sf, sf) * bbox_length[0]))
-            y1 = min(shape[0], max(0, bbox[2] + self._rng.uniform(-sf, sf) * bbox_length[1]))
-            x1 = min(shape[1], max(0, bbox[3] + self._rng.uniform(-sf, sf) * bbox_length[0]))
+            y0 = min(shape[0], max(0, bbox[0] + rng.uniform(-sf, sf) * bbox_length[1]))
+            x0 = min(shape[1], max(0, bbox[1] + rng.uniform(-sf, sf) * bbox_length[0]))
+            y1 = min(shape[0], max(0, bbox[2] + rng.uniform(-sf, sf) * bbox_length[1]))
+            x1 = min(shape[1], max(0, bbox[3] + rng.uniform(-sf, sf) * bbox_length[0]))
             distorted_boxes.append([y0, x0, y1, x1])
         return distorted_boxes
 
-    def _get_prompt_lists(self, gt, n_samples, prompt_generator):
+    def _get_prompt_lists(self, gt, n_samples, prompt_generator, rng):
         """Sample objects and derive prompts (reference training/util.py:187)."""
         center_coordinates, bbox_coordinates = util.get_centers_and_bounding_boxes(gt, mode="p")
         cell_ids = np.unique(gt)[1:]
         if n_samples is not None and len(cell_ids) > n_samples:
-            sampled_cell_ids = self._rng.choice(cell_ids, size=n_samples, replace=False)
+            sampled_cell_ids = rng.choice(cell_ids, size=n_samples, replace=False)
             sampled_cell_ids = np.sort(sampled_cell_ids)
         else:
             sampled_cell_ids = cell_ids
@@ -221,7 +221,7 @@ class ConvertToSamInputs:
             bboxes.append((bb[0][0], bb[1][0], bb[0][1], bb[1][1]))  # y0, x0, y1, x1
 
         if self.box_distortion_factor is not None:
-            bboxes = self._distort_boxes(bboxes, shape=gt.shape[-2:])
+            bboxes = self._distort_boxes(bboxes, shape=gt.shape[-2:], rng=rng)
 
         object_masks = np.stack([gt == i for i in sampled_cell_ids])[:, None].astype(np.float32)
         point_coords, point_labels, box_prompts, _ = prompt_generator(
@@ -233,9 +233,16 @@ class ConvertToSamInputs:
             box_prompts = np.array(bboxes)[:, [1, 0, 3, 2]]  # -> xyxy
         return sampled_cell_ids, object_masks[:, 0], point_coords, point_labels, box_prompts
 
+    #: SamTrainer passes per-sample seeds when this is True, making the
+    #: sampled objects/prompts a function of (seed, iteration, global sample
+    #: index) — the property that makes multi-host shard-fed training equal
+    #: to single-process training (parallel/distributed.py dryrun asserts it)
+    supports_sample_seeds = True
+
     def __call__(self, x, y, n_pos: int = 1, n_neg: int = 0, get_boxes: bool = False,
                  n_samples: Optional[int] = None, n_objects: Optional[int] = None,
-                 get_points: bool = True):
+                 get_points: bool = True,
+                 sample_seeds: Optional[Sequence[int]] = None):
         import jax.numpy as jnp
 
         n_samples = n_objects if n_samples is None else n_samples
@@ -250,14 +257,21 @@ class ConvertToSamInputs:
 
         B, H, W = y.shape[0], y.shape[-2], y.shape[-1]
         y2d = y.reshape(B, H, W)
+        if sample_seeds is not None and len(sample_seeds) != B:
+            raise ValueError(f"sample_seeds must have one entry per image "
+                             f"({len(sample_seeds)} given for batch {B})")
 
-        prompt_generator = PointAndBoxPromptGenerator(
-            n_positive_points=max(n_pos, 1) if get_points else 1,
-            n_negative_points=n_neg,
-            dilation_strength=self.dilation_strength,
-            get_point_prompts=True,
-            get_box_prompts=True,
-        )
+        def make_generator(rng):
+            return PointAndBoxPromptGenerator(
+                n_positive_points=max(n_pos, 1) if get_points else 1,
+                n_negative_points=n_neg,
+                dilation_strength=self.dilation_strength,
+                get_point_prompts=True,
+                get_box_prompts=True,
+                rng=rng,
+            )
+
+        shared_generator = make_generator(self._rng)
 
         per_image = []
         max_o = 0
@@ -266,7 +280,14 @@ class ConvertToSamInputs:
             if len(np.unique(gt)) <= 1:
                 per_image.append(None)
                 continue
-            res = self._get_prompt_lists(gt, n_samples, prompt_generator)
+            if sample_seeds is None:
+                rng, generator = self._rng, shared_generator
+            else:
+                # per-image stream: sampling is independent of batch order
+                # and of which process handles the image
+                rng = np.random.RandomState(int(sample_seeds[b]) & 0xFFFFFFFF)
+                generator = make_generator(rng)
+            res = self._get_prompt_lists(gt, n_samples, generator, rng)
             per_image.append(res)
             max_o = max(max_o, len(res[0]))
 
