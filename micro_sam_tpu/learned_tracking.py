@@ -402,20 +402,145 @@ class LearnedTracker:
     #: the greedy overlap linker is the safer choice (see evaluate_regimes)
     MIN_CONFIDENCE = 0.75
 
-    def track_with_fallback(self, timeseries, segmentation,
-                            min_confidence: Optional[float] = None):
-        """``track``, but auto-select the greedy overlap linker when the
-        learned scorer's confidence is low (out-of-regime inputs). Returns
-        (tracked_segmentation, parent_graph, used_fallback)."""
+    def link_auto(self, segmentation, timeseries=None,
+                  min_confidence: Optional[float] = None):
+        """Pick the better linker for the sequence's motion regime, then run it.
+
+        Two-stage selection (doc/tracking_robustness.md):
+        1. ``choose_linker`` reads cheap geometric signals (overlap viability,
+           estimated drift, churn) off the segmentation and picks the linker
+           that WINS in that regime — greedy when frame-to-frame overlap is
+           reliable (slow or heavy drift on large objects), learned where its
+           feature model earns its keep (churn/occlusions in-regime, or
+           overlap-free small fast objects).
+        2. If the learned linker is chosen, its ``last_confidence`` still
+           gates a greedy fallback (the safety net for inputs the signals
+           misjudge).
+
+        Returns (node_to_track, parent_graph, chosen_linker_str).
+        """
+        choice, _signals = choose_linker(segmentation)
+        if choice == "greedy":
+            n2t, pg = greedy_node_to_track(segmentation)
+            return n2t, pg, "greedy"
         min_confidence = self.MIN_CONFIDENCE if min_confidence is None \
             else min_confidence
-        node_to_track, parent_graph = self.link(segmentation, timeseries)
-        used_fallback = (self.last_confidence is not None
-                         and self.last_confidence < min_confidence)
-        if used_fallback:
-            node_to_track, parent_graph = greedy_node_to_track(segmentation)
+        n2t, pg = self.link(segmentation, timeseries)
+        if (self.last_confidence is not None
+                and self.last_confidence < min_confidence):
+            n2t, pg = greedy_node_to_track(segmentation)
+            return n2t, pg, "greedy"
+        return n2t, pg, "learned"
+
+    def track_with_fallback(self, timeseries, segmentation,
+                            min_confidence: Optional[float] = None):
+        """``track`` with regime-aware linker selection (``link_auto``).
+
+        Returns (tracked_segmentation, parent_graph, used_greedy)."""
+        node_to_track, parent_graph, choice = self.link_auto(
+            segmentation, timeseries, min_confidence)
         return (recolor_by_tracks(segmentation, node_to_track), parent_graph,
-                used_fallback)
+                choice == "greedy")
+
+
+def estimate_linking_signals(segs: np.ndarray, max_transitions: int = 8
+                             ) -> Dict[str, float]:
+    """Cheap geometric statistics of a labeled timeseries that predict which
+    linker wins (no ground truth needed; pure numpy, one pass per transition).
+
+    - ``overlap_frac``: fraction of frame-t+1 objects sharing ANY pixels with
+      a frame-t object. Low = frame-to-frame overlap linking is inviable
+      (small/fast objects), the learned feature model's win regime.
+    - ``drift_px``: median centroid displacement of best-overlap pairs.
+      Beyond the learned scorer's training drift (~3 px/frame) its division
+      decisions degrade before greedy's do.
+    - ``churn_frac``: fraction of t+1 objects with no overlap candidate
+      (births/reappearances) among sequences where overlap is otherwise
+      viable — the regime where the learned scorer beats greedy's
+      force-nothing geometry.
+    - ``median_radius_px``: equivalent-circle radius, for context.
+    """
+    n = segs.shape[0]
+    take = range(max(n - 1, 0)) if n - 1 <= max_transitions else \
+        np.linspace(0, n - 2, max_transitions).astype(int)
+    disps: List[float] = []
+    n_next, n_overlapped = 0, 0
+    radii: List[float] = []
+    for t in take:
+        a, b = segs[t], segs[t + 1]
+        ids_b, counts_b = np.unique(b[b > 0], return_counts=True)
+        if len(ids_b) == 0:
+            continue
+        radii += list(np.sqrt(counts_b / np.pi))
+        n_next += len(ids_b)
+        both = (a > 0) & (b > 0)
+        if not both.any():
+            continue
+        pairs = a[both].astype(np.int64) * (int(b.max()) + 1) + b[both]
+        pair_ids, pair_counts = np.unique(pairs, return_counts=True)
+        pa = pair_ids // (int(b.max()) + 1)
+        pb = pair_ids % (int(b.max()) + 1)
+        # best-overlap parent per t+1 object
+        order = np.argsort(pair_counts)
+        best: Dict[int, int] = {}
+        for i in order:  # ascending: the last write per child is the max
+            best[int(pb[i])] = int(pa[i])
+        n_overlapped += len(best)
+        # centroids of the involved objects only
+        ys, xs = np.nonzero(a > 0)
+        va = a[ys, xs]
+        cy_a = {int(i): ys[va == i].mean() for i in np.unique(pa)}
+        cx_a = {int(i): xs[va == i].mean() for i in np.unique(pa)}
+        ys, xs = np.nonzero(b > 0)
+        vb = b[ys, xs]
+        for child, parent in best.items():
+            sel = vb == child
+            dy = ys[sel].mean() - cy_a[parent]
+            dx = xs[sel].mean() - cx_a[parent]
+            disps.append(float(np.hypot(dy, dx)))
+    overlap_frac = n_overlapped / max(n_next, 1)
+    return {
+        "overlap_frac": overlap_frac,
+        "drift_px": float(np.median(disps)) if disps else float("inf"),
+        "churn_frac": 1.0 - overlap_frac,
+        "median_radius_px": float(np.median(radii)) if radii else 0.0,
+    }
+
+
+#: selection thresholds, calibrated on TRACKING_REGIMES
+#: (development/calibrate_tracker_choice.py; see doc/tracking_robustness.md)
+OVERLAP_VIABLE = 0.60    # below: overlap linking inviable -> learned
+SMALL_OBJECT_RADIUS = 10.0  # px; smaller objects' division children barely
+#                             overlap their parent -> learned
+DRIFT_OUT_OF_REGIME = 4.5  # px/frame beyond the scorer's training drift -> greedy
+STABLE_SCENE_CHURN = 0.02  # below, with slow drift: pure geometry wins -> greedy
+STABLE_SCENE_DRIFT = 2.5
+
+
+def choose_linker(segs: np.ndarray) -> Tuple[str, Dict[str, float]]:
+    """Regime-aware linker selection from ``estimate_linking_signals``.
+
+    Decision (calibrated against the adversarial regimes, where each rule's
+    winner is measured — see the table in doc/tracking_robustness.md):
+    overlap inviable OR small objects -> learned (a division child of a
+    ~6 px-radius object shares few/no pixels with its parent, so greedy's
+    overlap geometry cannot attach it; the feature scorer is size-agnostic);
+    drift beyond the scorer's training regime -> greedy; a stable low-churn
+    slow scene -> greedy (overlap geometry is near-perfect there, incl.
+    divisions); otherwise (in-regime churn / occlusions / dense touching) ->
+    learned.
+    """
+    s = estimate_linking_signals(segs)
+    if s["overlap_frac"] < OVERLAP_VIABLE:
+        return "learned", s
+    if s["median_radius_px"] < SMALL_OBJECT_RADIUS:
+        return "learned", s
+    if s["drift_px"] >= DRIFT_OUT_OF_REGIME:
+        return "greedy", s
+    if s["churn_frac"] <= STABLE_SCENE_CHURN \
+            and s["drift_px"] <= STABLE_SCENE_DRIFT:
+        return "greedy", s
+    return "learned", s
 
 
 def recolor_by_tracks(segmentation: np.ndarray,
@@ -730,9 +855,8 @@ def evaluate_regimes(n_seeds: int = 4, n_frames: int = 12,
             n2t_l, pg_l = tracker.link(segs, images)
             conf = tracker.last_confidence
             n2t_g, pg_g = greedy_node_to_track(segs)
-            _, _, used_fb = tracker.track_with_fallback(images, segs)
-            fallbacks += int(used_fb)
-            n2t_a, pg_a = (n2t_g, pg_g) if used_fb else (n2t_l, pg_l)
+            n2t_a, pg_a, auto_choice = tracker.link_auto(segs, images)
+            fallbacks += int(auto_choice == "greedy")
             for linker, (n2t, pg) in (("learned", (n2t_l, pg_l)),
                                       ("greedy", (n2t_g, pg_g)),
                                       ("auto", (n2t_a, pg_a))):

@@ -466,9 +466,11 @@ def track_across_frames(
 
     Linker precedence: an explicit ``tracker`` (a
     ``learned_tracking.LearnedTracker`` instance, the string "learned", or
-    "auto" = learned with confidence-gated fallback to the greedy overlap
-    linker, see doc/tracking_robustness.md), then the external Trackastra
-    package if installed, then the native greedy overlap linker."""
+    "auto" = regime-aware selection between the learned and the greedy
+    overlap linker from the sequence's motion statistics, with the learned
+    scorer's confidence as a safety net — see doc/tracking_robustness.md),
+    then the external Trackastra package if installed, then the native
+    greedy overlap linker."""
     pbar_init, pbar_update, pbar_close = util.handle_pbar(verbose, pbar_init, pbar_update)
 
     if gap_closing is not None and gap_closing > 0:
@@ -481,13 +483,12 @@ def track_across_frames(
             tracker = LearnedTracker.from_pretrained(
                 "default" if auto else tracker)
         if auto:
-            tracking_result, parent_graph, used_fallback = \
+            tracking_result, parent_graph, used_greedy = \
                 tracker.track_with_fallback(timeseries, segmentation)
-            if used_fallback and verbose:
-                print("track_across_frames: learned-linker confidence "
-                      f"{tracker.last_confidence:.2f} below "
-                      f"{tracker.MIN_CONFIDENCE} — using the greedy overlap "
-                      "linker for this sequence")
+            if used_greedy and verbose:
+                print("track_across_frames: motion regime / confidence "
+                      "selected the greedy overlap linker for this sequence "
+                      "(see learned_tracking.choose_linker)")
         else:
             tracking_result, parent_graph = tracker.track(timeseries, segmentation)
         lineages = _lineages_from_parent_graph(parent_graph, tracking_result)

@@ -184,14 +184,27 @@ def test_confidence_gated_fallback():
     assert min(confs_in) > max(confs_out), (confs_in, confs_out)
     assert min(confs_in) > tracker.MIN_CONFIDENCE, confs_in
 
-    # auto mode: high-confidence path returns the learned result; a forced
-    # high threshold flips it to greedy
+    # auto mode: an in-regime churn sequence selects the learned linker with
+    # high confidence; a forced high threshold flips it to greedy
     images, segs, _ = lt.hela_like_tracking_sequence(
-        n_frames=6, seed=44, drift_scale=1.0)
+        n_frames=6, seed=44, drift_scale=2.0, birth_prob=0.5, death_prob=0.06)
+    choice, signals = lt.choose_linker(segs)
+    assert choice == "learned", signals
     _, _, used = tracker.track_with_fallback(images, segs)
     assert not used
     _, _, used = tracker.track_with_fallback(images, segs, min_confidence=1.1)
     assert used
+
+    # regime-aware selection: stable slow scenes and heavy drift pick greedy
+    # outright, small objects pick learned
+    _, segs_slow, _ = lt.hela_like_tracking_sequence(
+        n_frames=6, seed=44, drift_scale=1.0)
+    assert lt.choose_linker(segs_slow)[0] == "greedy"
+    _, segs_fast, _ = lt.hela_like_tracking_sequence(
+        n_frames=6, seed=44, drift_scale=8.0)
+    assert lt.choose_linker(segs_fast)[0] == "greedy"
+    _, segs_small, _ = lt.synthetic_tracking_sequence(seed=1)
+    assert lt.choose_linker(np.asarray(segs_small))[0] == "learned"
 
 
 def test_track_across_frames_auto_mode():
