@@ -23,6 +23,40 @@ import time
 
 BASELINE_TILES_PER_SEC_PER_CHIP = 5000.0 / 60.0 / 8.0  # north-star on v5e-8
 
+# v5e chip peak (bf16 matmul): 197 TFLOP/s (measured dense-matmul ceiling on
+# this chip is ~195-200, doc/floor_tables.md)
+PEAK_BF16_FLOPS = 197e12
+
+
+def encoder_flops_per_tile(model_type: str) -> float:
+    """Algorithmic matmul FLOPs of one 1024^2 tile through the ViT encoder
+    (qkv/proj/mlp/attention cores + patch embed + neck; rel-pos bias
+    machinery and elementwise work excluded — the standard MFU convention).
+    Used to report MFU next to tiles/s so 'fast' claims are normalized."""
+    from micro_sam_tpu.models.build_sam import get_config
+    cfg = get_config(model_type)
+    if cfg.encoder == "tiny_vit":
+        # TinyViT-5M at 1024^2 (MobileSAM-class encoder): ~40 GFLOP/tile
+        # (approximate analytic figure; its conv/attention mix makes a tight
+        # closed form noisy — MFU for vit_t is indicative, not exact)
+        return 40e9
+    C = cfg.embed_dim
+    depth = cfg.depth
+    n_glob = len(cfg.global_attn_indexes)
+    n_win = depth - n_glob
+    N = 64 * 64                      # tokens
+    Nw = 70 * 70                     # window-padded tokens (14x14 windows)
+    w2 = 14 * 14
+    # qkv (2*C*3C) + proj (2*C*C) + mlp (two matmuls: 2*C*4C + 2*4C*C = 16C^2)
+    per_tok_linear = 6 * C * C + 2 * C * C + 16 * C * C
+    win_attn = 4 * w2 * C            # per padded token: qk + av over 196 keys
+    glob_attn = 4 * N * C            # per token: qk + av over 4096 keys
+    blocks = (n_win * (Nw * per_tok_linear + Nw * win_attn)
+              + n_glob * (N * per_tok_linear + N * glob_attn))
+    patch = 2 * N * (16 * 16 * 3) * C
+    neck = 2 * N * C * 256 + 2 * N * (3 * 3 * 256) * 256
+    return float(blocks + patch + neck)
+
 
 def run_bench():
     import jax
@@ -109,11 +143,26 @@ def run_bench():
             from micro_sam_tpu.ops.amg_utils import build_point_grid
             grid_pts = (build_point_grid(32) * 1024).astype(np.float32)
             ppb = 256
-            # mask_threshold 2.0 gives random-init logits ~real-world mask
-            # sparsity; the prefilter floors are set from a probe batch's
-            # quantiles so ~40% of candidates survive — with trained weights
-            # the default floors (0.5, 0.5) land in the same regime
-            probe = _AmgDecoder(predictor, mask_threshold=2.0)
+            # calibrate mask_threshold so masks average ~2% of the frame
+            # (VERDICT r4 weak#2: the old fixed 2.0 made random-init masks
+            # nearly empty, running RLE/crop-transfer at their cheapest
+            # possible setting). Random-init decoder logits are spatially
+            # smooth at the upscaler's scale, so a quantile threshold yields
+            # coherent blobs with a realistic cell-like area distribution;
+            # amg_mean_mask_area_frac below reports the achieved density.
+            TARGET_AREA_FRAC = 0.02
+            f16 = jnp.broadcast_to(feats[:1], (16,) + feats.shape[1:])
+            pts16 = jnp.asarray(np.concatenate(
+                [grid_pts[:16, None, :], np.zeros((16, 1, 2), np.float32)], 1))
+            lbl16 = jnp.asarray(np.concatenate(
+                [np.ones((16, 1), np.int32), -np.ones((16, 1), np.int32)], 1))
+            low16, _, _ = decode(params, f16, pts16, lbl16)
+            mask_threshold = float(np.quantile(
+                np.asarray(low16[:, 1:], np.float32), 1.0 - TARGET_AREA_FRAC))
+            # prefilter floors from the probe batch's quantiles so ~40% of
+            # candidates survive — with trained weights the default floors
+            # (0.5, 0.5) land in the same regime
+            probe = _AmgDecoder(predictor, mask_threshold=mask_threshold)
             _, iou_w, stab_w, _ = probe(grid_pts[:ppb])
             floors = (float(np.quantile(iou_w, 0.6)),
                       float(np.quantile(stab_w, 0.6)))
@@ -122,7 +171,7 @@ def run_bench():
                 predictor, points_per_side=32, points_per_batch=ppb,
                 prefilter_thresholds=floors)
             gen._amg_decoder = _AmgDecoder(
-                predictor, 1.0, mask_threshold=2.0, prefilter=floors)
+                predictor, 1.0, mask_threshold=mask_threshold, prefilter=floors)
             crop_box = [0, 0, 1024, 1024]
             # warmup one batch (compile)
             gen._consume_batch(
@@ -176,13 +225,13 @@ def run_bench():
             # statics are positional (the jit uses static_argnums)
             _, iou_d, _, _ = probe._jit(
                 params, feats_d, pts_d, lbl_d,
-                2.0, 1.0, (1024, 1024), (1024, 1024))
+                mask_threshold, 1.0, (1024, 1024), (1024, 1024))
             float(jnp.sum(iou_d))
             t0 = time.perf_counter()
             for _ in range(n_batches):
                 _, iou_d, _, _ = probe._jit(
                     params, feats_d, pts_d, lbl_d,
-                    2.0, 1.0, (1024, 1024), (1024, 1024))
+                    mask_threshold, 1.0, (1024, 1024), (1024, 1024))
             float(jnp.sum(iou_d))
             amg_device_masks_per_sec = n_batches * ppb * 3 / (time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001
@@ -256,6 +305,20 @@ def run_bench():
             "vit_t_tiles_per_sec_per_chip": None if vit_t_tiles_per_sec is None else round(vit_t_tiles_per_sec, 1),
             "vit_l_tiles_per_sec_per_chip": None if lh_tiles_per_sec["vit_l"] is None else round(lh_tiles_per_sec["vit_l"], 1),
             "vit_h_tiles_per_sec_per_chip": None if lh_tiles_per_sec["vit_h"] is None else round(lh_tiles_per_sec["vit_h"], 1),
+            # MFU: achieved algorithmic FLOP/s over the chip's bf16 peak
+            # (encoder_flops_per_tile x tiles/s / 197 TFLOP/s) — normalizes
+            # "fast" across model sizes and makes efficiency regressions
+            # driver-visible, not just throughput ones
+            "mfu": {
+                m: (None if tps is None else
+                    round(encoder_flops_per_tile(m) * tps / PEAK_BF16_FLOPS, 3))
+                for m, tps in {
+                    "vit_t": vit_t_tiles_per_sec,
+                    "vit_b": tiles_per_sec if on_tpu else None,
+                    "vit_l": lh_tiles_per_sec["vit_l"],
+                    "vit_h": lh_tiles_per_sec["vit_h"],
+                }.items()
+            },
             "platform": platform,
             "batch": batch,
             "compute_dtype": cfg.compute_dtype,

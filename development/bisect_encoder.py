@@ -32,7 +32,7 @@ def main():
     cfg = get_config(model, compute_dtype="bfloat16")
     params = init_sam_params(jax.random.PRNGKey(0), cfg)
     enc = params["image_encoder"]
-    glob = tuple(cfg.encoder.global_attn_indexes)
+    glob = tuple(cfg.global_attn_indexes)
     depth = len(enc["blocks"])
 
     rng = np.random.RandomState(0)
@@ -49,8 +49,8 @@ def main():
             import micro_sam_tpu.models.image_encoder as ie
             if with_neck:
                 out = apply_image_encoder(
-                    sub, x, cfg.encoder.num_heads,
-                    window_size=cfg.encoder.window_size,
+                    sub, x, cfg.num_heads,
+                    window_size=14,
                     global_attn_indexes=[g for g in glob if g < k])
             else:
                 # inline: blocks only (copy of apply minus neck via monkey

@@ -318,6 +318,33 @@ def apply_image_encoder(
         j = i
         while j < depth and j not in glob:
             j += 1
+        import os as _os0
+        run_blocks = [prep_block(p["blocks"][k]) for k in range(i, j)]
+        kernel_ok = [("lora" not in bp["attn"] and "fact" not in bp["attn"]
+                      and "rel_pos_h" in bp["attn"]
+                      and "w" in bp["attn"]["qkv"]) for bp in run_blocks]
+        # spatial window path (opt-in): each kernel program reads its
+        # (ws, ws, C) tile straight from the padded spatial array, so the
+        # partition/unpartition HBM transposes below never materialize.
+        # Measured SLOWER on v5e and therefore NOT defaulted (vit_b 92.1 vs
+        # 91.0, vit_l 122.2 vs 120.2, vit_h 240.4 vs 236.5 ms/batch): the
+        # per-window strided DMA (14 chunks with a 70*C row stride) loses
+        # more than the XLA transposes cost. Kept behind the env knob for
+        # chips where the tradeoff flips.
+        if (_USE_FUSED_BLOCK and not remat and _on_tpu() and all(kernel_ok)
+                and _os0.environ.get("MSAM_TPU_SPATIAL_WINDOW", "0") == "1"
+                and _os0.environ.get("MSAM_TPU_WINDOW_STACK", "0") != "1"
+                and _os0.environ.get("MSAM_TPU_WINDOW_ATTN_ONLY", "0") != "1"):
+            from ..ops.fused_window_block import fused_window_block_spatial
+            ws = window_size
+            pad_h, pad_w = (-H) % ws, (-W) % ws
+            xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0))) \
+                if (pad_h or pad_w) else x
+            for bp in run_blocks:
+                xp = fused_window_block_spatial(xp, bp, ws, (H, W), num_heads)
+            x = xp[:, :H, :W, :] if (pad_h or pad_w) else xp
+            i = j
+            continue
         xw, pad_hw = window_partition(x, window_size)
         needs_mask = pad_hw != (H, W)
         valid = None

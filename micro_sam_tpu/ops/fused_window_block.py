@@ -72,7 +72,8 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
                         num_heads: int, w: int, scale: float, eps: float,
                         masked: bool, group: int, pack: int,
-                        merged: bool = False, mlp: bool = True):
+                        merged: bool = False, mlp: bool = True,
+                        spatial=None):
     """group windows per program: LN/qkv/proj/MLP matmuls run on
     (group * N) rows (the MXU is badly underutilized at 196 rows); only the
     (N, N) attention cores stay per-window (statically unrolled over the
@@ -82,21 +83,42 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     and u_w[q, kx] are two SMALL batched matmuls, then
     logits = [q*scale | u_h | u_w] @ [k | rows | cols]^T in ONE K = hd + 2w
     contraction (same fold as the global kernel; replaces two key-expanded
-    (N, N)-wide bias matmuls and the half-rate K=hd qk matmul)."""
-    g_, n, c = x_ref.shape
+    (N, N)-wide bias matmuls and the half-rate K=hd qk matmul).
+
+    spatial=(H_valid, W_valid): the window-partition-free layout. x_ref is
+    one (1, w, w, C) tile read straight from the padded (B, Hp, Wp, C)
+    spatial array over a (B, Hp/w, Wp/w) grid — the HBM partition/unpartition
+    transposes XLA paid per run disappear into the kernel's own input DMA —
+    and the pad-validity mask is computed from the program ids instead of
+    being shipped as an operand."""
+    if spatial is not None:
+        # x_ref: (1, 1, w, 1, w, C) — one window tile of the 6-D spatial view
+        c = x_ref.shape[-1]
+        n = w * w
+        gn = n                         # spatial mode is group == 1
+        x = x_ref[...].reshape(n, c).astype(jnp.float32)
+    else:
+        g_, n, c = x_ref.shape
+        gn = group * n
+        x = x_ref[...].reshape(gn, c).astype(jnp.float32)   # (G*N, C)
     hd = c // num_heads
     packed_hd = pack * hd              # lanes per head-pair weight slab
     n_groups = num_heads // pack
-    gn = group * n
-
-    x = x_ref[...].reshape(gn, c).astype(jnp.float32)   # (G*N, C)
 
     # LN1 (+ window pad mask, matching the run-fused encoder path)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     a = (x - mean) * jax.lax.rsqrt(var + eps)
     a = a * ln1s_ref[0] + ln1b_ref[0]
-    if masked:
+    if spatial is not None and masked:
+        # in-grid validity: token row r sits at (wy*w + r//w, wx*w + r%w)
+        hv, wv = spatial
+        wy = pl.program_id(1)
+        wx = pl.program_id(2)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        vm = ((wy * w + rr // w < hv) & (wx * w + rr % w < wv))
+        a = a * vm.astype(jnp.float32)
+    elif masked:
         a = a * valid_ref[...].reshape(gn, 1).astype(jnp.float32)
     a = a.astype(x_ref.dtype)
 
@@ -273,7 +295,7 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
         # the full (BW*N, C) row space — dense MXU rows instead of 196-row
         # per-program matmuls (the MLP is per-token, so it needs no window
         # layout at all)
-        o_ref[...] = x1.reshape(g_, n, c).astype(o_ref.dtype)
+        o_ref[...] = x1.reshape(o_ref.shape).astype(o_ref.dtype)
         return
 
     # LN2 + MLP + residual
@@ -291,16 +313,29 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0]
-    o_ref[...] = (x1 + out).reshape(g_, n, c).astype(o_ref.dtype)
+    o_ref[...] = (x1 + out).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True):
+def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
+                   spatial_hw=None):
     """x: (BW, N, C) window-partitioned tokens; valid: (BW, N, 1) or None;
     bp_params: the block's param subtree (norm1/attn/norm2/mlp). With
     include_mlp=False the kernel stops after the attention residual (output
-    = x + attn(LN1(x)*valid)); the caller applies LN2 + MLP through XLA."""
-    BW, N, C = x.shape
-    H, W = hw
+    = x + attn(LN1(x)*valid)); the caller applies LN2 + MLP through XLA.
+
+    spatial_hw=(H_valid, W_valid): x is the PADDED spatial array
+    (B, Hp, Wp, C) instead of window-partitioned tokens; the grid tiles it
+    (B, Hp/w, Wp/w) and each program reads its (w, w, C) window directly —
+    no partition/unpartition transposes, no valid-mask operand (computed
+    in-kernel from the program ids). Output keeps the spatial layout."""
+    if spatial_hw is not None:
+        B_sp, Hp, Wp, C = x.shape
+        H, W = hw
+        N = H * W
+        assert H == W and Hp % H == 0 and Wp % W == 0, (x.shape, hw)
+    else:
+        BW, N, C = x.shape
+        H, W = hw
     assert N == H * W and H == W, (hw, N)
     hd = C // num_heads
     dt = x.dtype
@@ -368,8 +403,60 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True):
     # sequential grid already pipelines small programs well. Env knob kept
     # for tuning on other chip generations.
     group = int(_os.environ.get("MSAM_TPU_WINDOW_GROUP", "1"))
-    if BW % group != 0:
+    if spatial_hw is not None or (BW % group != 0):
         group = 1
+
+    interpret = jax.default_backend() == "cpu"
+
+    if spatial_hw is not None:
+        # pad-validity from the grid position; operand mask unused
+        masked = (Hp, Wp) != tuple(spatial_hw)
+        valid = jnp.ones((1, 1, 1), dt)  # placeholder operand
+        kernel = functools.partial(
+            _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
+            eps=1e-6, masked=masked, group=1, pack=pack, merged=merged,
+            mlp=include_mlp, spatial=tuple(spatial_hw))
+        const = lambda *shape: pl.BlockSpec(
+            shape, lambda *_: (0,) * len(shape))
+        if merged:
+            qkv_specs = [const(C, 3 * C), const(1, 3 * C)]
+            proj_spec = const(C, C)
+        else:
+            qkv_specs = [const(3 * n_groups, C, pack * hd),
+                         const(3 * n_groups, 1, pack * hd)]
+            proj_spec = const(n_groups, pack * hd, C)
+        # Pallas block shapes must be (8k, 128k)-divisible or equal to the
+        # array dims in the last two positions — a (1, w, w, C) tile of
+        # (B, Hp, Wp, C) is not. The FREE 6-D reshape
+        # (B, Hp/w, w, Wp/w, w, C) makes each window an exact-dim tile, so
+        # the DMA gathers it with strides and no XLA transpose materializes.
+        nH, nW = Hp // H, Wp // W
+        x6 = x.reshape(B_sp, nH, H, nW, W, C)
+        win_spec = pl.BlockSpec((1, 1, H, 1, W, C),
+                                lambda b, i, j: (b, i, 0, j, 0, 0))
+        out6 = pl.pallas_call(
+            kernel,
+            grid=(B_sp, nH, nW),
+            in_specs=[
+                win_spec,
+                const(1, 1, 1),
+                const(1, C), const(1, C),
+                *qkv_specs,
+                const(hd, 2 * N),
+                proj_spec, const(1, C),
+                const(1, C), const(1, C),
+                const(C, hidden), const(1, hidden),
+                const(hidden, C), const(1, C),
+            ],
+            out_specs=win_spec,
+            out_shape=jax.ShapeDtypeStruct((B_sp, nH, H, nW, W, C), dt),
+            scratch_shapes=[pltpu.VMEM((num_heads, 1, N, hd), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(x6, valid, ln1s, ln1b, w3, b3, rhw_t, wp, bpb, ln2s, ln2b, w1, b1,
+          w2, b2)
+        return out6.reshape(B_sp, Hp, Wp, C)
 
     masked = valid is not None
     if not masked:
@@ -379,7 +466,6 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True):
         _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
         eps=1e-6, masked=masked, group=group, pack=pack, merged=merged,
         mlp=include_mlp)
-    interpret = jax.default_backend() == "cpu"
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     if merged:
@@ -458,6 +544,25 @@ def _fwb_bwd(hw, num_heads, res, g):
 
 
 fused_window_block.defvjp(_fwb_fwd, _fwb_bwd)
+
+
+def fused_window_block_spatial(xp, bp_params, window: int, valid_hw,
+                               num_heads: int):
+    """Window transformer block over the PADDED spatial layout.
+
+    xp: (B, Hp, Wp, C) with Hp/Wp multiples of ``window``; valid_hw = the
+    true (H, W) before padding. Each grid program reads its (window, window,
+    C) tile straight out of the spatial array, so the per-run HBM
+    partition/unpartition transposes of the token-layout path (measured
+    ~2.1 ms per 5-block vit_l run, batch 4) never materialize, and the pad
+    mask is derived from the program ids instead of riding as an operand.
+
+    Inference-only (the encoder's remat/training path uses the unfused
+    composition with the flash-attention backward); numerics match
+    fused_window_block on the same windows bit-for-bit — the kernel body is
+    shared."""
+    return _fused_forward(xp, None, bp_params, (window, window), num_heads,
+                          spatial_hw=tuple(valid_hw))
 
 
 def _unfused_window_attn_half(x, valid, bp_params, hw, num_heads):

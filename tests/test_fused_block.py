@@ -40,6 +40,46 @@ def test_fused_window_block_matches_unfused(masked):
     assert err < 5e-4
 
 
+@pytest.mark.parametrize("padded", [False, True])
+@pytest.mark.slow
+def test_fused_window_block_spatial_matches_unfused(padded):
+    """Spatial-layout window kernel (reads (w, w, C) tiles straight from the
+    padded (B, Hp, Wp, C) array, pad mask from program ids) vs the unfused
+    composition on the same windows."""
+    import numpy as np
+    from micro_sam_tpu.models.image_encoder import (
+        init_block, window_partition, window_unpartition)
+    from micro_sam_tpu.ops.fused_window_block import (
+        fused_window_block_spatial, _unfused_reference)
+
+    C, nH, W = 64, 2, 7
+    H_img = 18 if padded else 14          # 18 pads to 21 (3x3 windows)
+    B = 2
+    bp = init_block(jax.random.PRNGKey(0), C, nH, 4.0, (W, W), use_rel_pos=True)
+    bp["attn"]["rel_pos_h"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), bp["attn"]["rel_pos_h"].shape)
+    bp["attn"]["rel_pos_w"] = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(2), bp["attn"]["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, H_img, H_img, C),
+                          jnp.float32)
+
+    pad = (-H_img) % W
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, pad), (0, 0)))
+    y1 = fused_window_block_spatial(xp, bp, W, (H_img, H_img), nH)
+    y1 = y1[:, :H_img, :H_img, :]
+
+    # oracle: partition (zero-pads), mask-LN composition, unpartition
+    xw, pad_hw = window_partition(x, W)
+    valid = None
+    if pad:
+        valid, _ = window_partition(jnp.ones((B, H_img, H_img, 1)), W)
+        valid = valid.reshape(-1, W * W, 1)
+    y2 = _unfused_reference(xw.reshape(-1, W * W, C), valid, bp, (W, W), nH)
+    y2 = window_unpartition(y2.reshape(-1, W, W, C), W, pad_hw,
+                            (H_img, H_img))
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 5e-5
+
+
 @pytest.mark.slow
 def test_fused_global_block_matches_unfused():
     """GLOBAL-attention fused kernel (the one that OOMed the round-1 bench):
