@@ -54,6 +54,12 @@ _SKIPMAX_CLAMP = 80.0
 # identical checksum. Requires pack*hd == 128 so head-pair slices of the
 # merged qkv output are lane-tile-aligned (gated in _fused_forward).
 _MERGED_QKV = _os.environ.get("MSAM_TPU_WINDOW_MERGED", "1") != "0"
+# Hoist the 0/1 mask/gather/expansion constants of the rel-pos bias fold out
+# of the kernel body into operands with constant BlockSpecs: Mosaic re-emits
+# program-invariant iota/abs/max chains in EVERY grid program (vit_l: 400
+# programs per block rebuild ~0.6 MB of constants each), while a constant
+# operand is DMA'd once and stays VMEM-resident across the sequential grid.
+_HOIST_CONST = _os.environ.get("MSAM_TPU_WINDOW_HOIST", "1") != "0"
 
 
 def _erf_poly(z):
@@ -68,12 +74,11 @@ def _erf_poly(z):
 
 
 def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
-                        rhw_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
-                        w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr, *,
+                        rhw_ref, *rest,
                         num_heads: int, w: int, scale: float, eps: float,
                         masked: bool, group: int, pack: int,
                         merged: bool = False, mlp: bool = True,
-                        spatial=None):
+                        spatial=None, hoist: bool = False):
     """group windows per program: LN/qkv/proj/MLP matmuls run on
     (group * N) rows (the MXU is badly underutilized at 196 rows); only the
     (N, N) attention cores stay per-window (statically unrolled over the
@@ -90,7 +95,16 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     spatial array over a (B, Hp/w, Wp/w) grid — the HBM partition/unpartition
     transposes XLA paid per run disappear into the kernel's own input DMA —
     and the pad-validity mask is computed from the program ids instead of
-    being shipped as an operand."""
+    being shipped as an operand.
+
+    hoist=True: the 0/1 mask/gather constants arrive as three extra operand
+    refs (resident across the grid) instead of being rebuilt per program."""
+    if hoist:
+        (msk_ref, gat_ref, rc_ref, wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr) = rest
+    else:
+        (wp_ref, bp_ref, ln2s_ref, ln2b_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref, o_ref, attn_scr) = rest
     if spatial is not None:
         # x_ref: (1, 1, w, 1, w, C) — one window tile of the 6-D spatial view
         c = x_ref.shape[-1]
@@ -129,13 +143,19 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     # 0/1 key-expansion columns of the combined logits matmul (built
     # arithmetically — Mosaic rejects i1 vectors at these layouts):
     # logits = [q*scale | u_h | u_w] @ [k | rows | cols]^T with K = hd + 2w
-    krow_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) // w
-    kcol_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
-    rows_t = jnp.maximum(
-        1.0 - jnp.abs((krow_y - kcol_y).astype(jnp.float32)), 0.0).astype(cdt0)
-    krow_x = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) % w
-    cols_t = jnp.maximum(
-        1.0 - jnp.abs((krow_x - kcol_y).astype(jnp.float32)), 0.0).astype(cdt0)
+    if hoist:
+        rc = rc_ref[...]                 # (n, 2w): [rows_t | cols_t]
+        rows_t, cols_t = rc[:, :w], rc[:, w:]
+    else:
+        krow_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) // w
+        kcol_y = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+        rows_t = jnp.maximum(
+            1.0 - jnp.abs((krow_y - kcol_y).astype(jnp.float32)),
+            0.0).astype(cdt0)
+        krow_x = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) % w
+        cols_t = jnp.maximum(
+            1.0 - jnp.abs((krow_x - kcol_y).astype(jnp.float32)),
+            0.0).astype(cdt0)
 
     # q-side bias terms u_h[q, ky] = q . Rh[qy(q), ky] / u_w[q, kx] via two
     # FULL-SIZE aligned matmuls + a mask instead of per-(head, window)
@@ -147,21 +167,26 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
     # where mask[q, j] keeps table row y==qy(q) (resp. x==qx(q)) and
     # G[j, kk] = [section match][j%w == kk%w]. Exactly one j survives per
     # (q, kk), so the result is EXACT in f32 (single-term sum).
-    mq_y = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // w
-    mq_x = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % w
-    mj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // w
-    mask_h = jnp.maximum(
-        1.0 - jnp.abs((mq_y - mj).astype(jnp.float32)), 0.0)
-    mask_w = jnp.maximum(
-        1.0 - jnp.abs((mq_x - mj).astype(jnp.float32)), 0.0)
-    mask_hw = jnp.concatenate([mask_h, mask_w], axis=1).astype(cdt0)  # (n, 2n)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * w), 0)
-    gk = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * w), 1)
-    g_sect = jnp.maximum(
-        1.0 - jnp.abs((gj // n - gk // w).astype(jnp.float32)), 0.0)
-    g_pos = jnp.maximum(
-        1.0 - jnp.abs((gj % w - gk % w).astype(jnp.float32)), 0.0)
-    gather_g = (g_sect * g_pos).astype(cdt0)                          # (2n, 2w)
+    if hoist:
+        mask_hw = msk_ref[...]                                        # (n, 2n)
+        gather_g = gat_ref[...]                                       # (2n, 2w)
+    else:
+        mq_y = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // w
+        mq_x = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % w
+        mj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // w
+        mask_h = jnp.maximum(
+            1.0 - jnp.abs((mq_y - mj).astype(jnp.float32)), 0.0)
+        mask_w = jnp.maximum(
+            1.0 - jnp.abs((mq_x - mj).astype(jnp.float32)), 0.0)
+        mask_hw = jnp.concatenate(
+            [mask_h, mask_w], axis=1).astype(cdt0)                    # (n, 2n)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * w), 0)
+        gk = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * w), 1)
+        g_sect = jnp.maximum(
+            1.0 - jnp.abs((gj // n - gk // w).astype(jnp.float32)), 0.0)
+        g_pos = jnp.maximum(
+            1.0 - jnp.abs((gj % w - gk % w).astype(jnp.float32)), 0.0)
+        gather_g = (g_sect * g_pos).astype(cdt0)                      # (2n, 2w)
 
     # heads ride in PACKS of `pack` (lanes per matmul = pack*hd): per-head
     # qkv at hd=64 ran the MXU at half its column width, so two heads' weight
@@ -212,7 +237,8 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                         pr, vg.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    attn_scr[hp * pack + d, g] = ov * (1.0 / s)
+                    attn_scr[hp * pack + d, g] = (
+                        ov * (1.0 / s)).astype(attn_scr.dtype)
                 elif fast:
                     # bf16 fast softmax: exp on half-width VPU lanes and the
                     # probs @ v matmul on bf16 MXU passes; the row sum stays
@@ -224,7 +250,8 @@ def _fused_block_kernel(x_ref, valid_ref, ln1s_ref, ln1b_ref, w3_ref, b3_ref,
                         pr, vg.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    attn_scr[hp * pack + d, g] = ov * (1.0 / s)
+                    attn_scr[hp * pack + d, g] = (
+                        ov * (1.0 / s)).astype(attn_scr.dtype)
                 else:
                     m = jnp.max(logits, axis=-1, keepdims=True)
                     pr = jnp.exp(logits - m)
@@ -408,6 +435,26 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
 
     interpret = jax.default_backend() == "cpu"
 
+    # rel-pos fold constants, hoisted to resident operands (see _HOIST_CONST)
+    hoist = _HOIST_CONST
+    cdt = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+    scr_dt = cdt if dt == jnp.bfloat16 else jnp.float32
+    hoist_ops, hoist_specs = (), ()
+    if hoist:
+        import numpy as _np
+        r_ = _np.arange(N)[:, None]
+        j_ = _np.arange(W)[None, :]
+        rc_c = jnp.asarray(_np.concatenate(
+            [(r_ // W == j_), (r_ % W == j_)], axis=1), cdt)      # (n, 2w)
+        jj = _np.arange(N)[None, :]
+        msk_c = jnp.asarray(_np.concatenate(
+            [(r_ // W == jj // W), (r_ % W == jj // W)], axis=1), cdt)
+        gr = _np.arange(2 * N)[:, None]
+        gk_ = _np.arange(2 * W)[None, :]
+        gat_c = jnp.asarray(
+            (gr // N == gk_ // W) & (gr % W == gk_ % W), cdt)     # (2n, 2w)
+        hoist_ops = (msk_c, gat_c, rc_c)
+
     if spatial_hw is not None:
         # pad-validity from the grid position; operand mask unused
         masked = (Hp, Wp) != tuple(spatial_hw)
@@ -415,7 +462,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
         kernel = functools.partial(
             _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
             eps=1e-6, masked=masked, group=1, pack=pack, merged=merged,
-            mlp=include_mlp, spatial=tuple(spatial_hw))
+            mlp=include_mlp, spatial=tuple(spatial_hw), hoist=hoist)
         const = lambda *shape: pl.BlockSpec(
             shape, lambda *_: (0,) * len(shape))
         if merged:
@@ -443,6 +490,8 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
                 const(1, C), const(1, C),
                 *qkv_specs,
                 const(hd, 2 * N),
+                *((const(N, 2 * N), const(2 * N, 2 * W), const(N, 2 * W))
+                  if hoist else ()),
                 proj_spec, const(1, C),
                 const(1, C), const(1, C),
                 const(C, hidden), const(1, hidden),
@@ -450,12 +499,12 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
             ],
             out_specs=win_spec,
             out_shape=jax.ShapeDtypeStruct((B_sp, nH, H, nW, W, C), dt),
-            scratch_shapes=[pltpu.VMEM((num_heads, 1, N, hd), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((num_heads, 1, N, hd), scr_dt)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(x6, valid, ln1s, ln1b, w3, b3, rhw_t, wp, bpb, ln2s, ln2b, w1, b1,
-          w2, b2)
+        )(x6, valid, ln1s, ln1b, w3, b3, rhw_t, *hoist_ops, wp, bpb, ln2s,
+          ln2b, w1, b1, w2, b2)
         return out6.reshape(B_sp, Hp, Wp, C)
 
     masked = valid is not None
@@ -465,7 +514,7 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, w=W, scale=hd ** -0.5,
         eps=1e-6, masked=masked, group=group, pack=pack, merged=merged,
-        mlp=include_mlp)
+        mlp=include_mlp, hoist=hoist)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     if merged:
@@ -485,6 +534,8 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
             const(1, C), const(1, C),
             *qkv_specs,
             const(hd, 2 * N),
+            *((const(N, 2 * N), const(2 * N, 2 * W), const(N, 2 * W))
+              if hoist else ()),
             proj_spec, const(1, C),
             const(1, C), const(1, C),
             const(C, hidden), const(1, hidden),
@@ -492,12 +543,12 @@ def _fused_forward(x, valid, bp_params, hw, num_heads, include_mlp=True,
         ],
         out_specs=pl.BlockSpec((group, N, C), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((BW, N, C), dt),
-        scratch_shapes=[pltpu.VMEM((num_heads, group, N, hd), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((num_heads, group, N, hd), scr_dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, valid, ln1s, ln1b, w3, b3, rhw_t, wp, bpb, ln2s, ln2b, w1, b1,
-      w2, b2)
+    )(x, valid, ln1s, ln1b, w3, b3, rhw_t, *hoist_ops, wp, bpb, ln2s, ln2b,
+      w1, b1, w2, b2)
 
 
 def _unfused_reference(x, valid, bp_params, hw, num_heads):

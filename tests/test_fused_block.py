@@ -326,6 +326,8 @@ def test_fused_global_attn_matches_unfused():
     assert float(jnp.max(jnp.abs(gp["mlp"]["lin1"]["w"]))) == 0
 
 
+@pytest.mark.slow  # opt-in path (MSAM_TPU_WINDOW_ATTN_ONLY, not defaulted);
+# ~35 s of interpret-mode kernel time kept out of the default tier
 @pytest.mark.parametrize("masked", [False, True])
 @pytest.mark.parametrize("geom", [(128, 2), (160, 2)])  # hd=64 packed, hd=80
 def test_fused_window_attn_matches_half(geom, masked):
