@@ -63,10 +63,18 @@ def postprocess_masks(
     original_size: Tuple[int, int],
     img_size: int = 1024,
 ) -> jnp.ndarray:
-    """Upscale low-res mask logits to the original image size (static shapes)."""
+    """Upscale low-res mask logits to the original image size (static shapes).
+
+    Same-shape resizes are skipped: jax.image.resize emits a full gather /
+    matmul pass even at scale 1, which silently doubled the AMG decode
+    program's HBM traffic whenever original_size == (img_size, img_size)."""
     B, N = masks.shape[:2]
-    x = jax.image.resize(masks, (B, N, img_size, img_size), method="bilinear")
-    x = x[:, :, : input_size[0], : input_size[1]]
+    if masks.shape[2:] != (img_size, img_size):
+        masks = jax.image.resize(
+            masks, (B, N, img_size, img_size), method="bilinear")
+    x = masks[:, :, : input_size[0], : input_size[1]]
+    if x.shape[2:] == tuple(original_size):
+        return x
     return jax.image.resize(x, (B, N) + tuple(original_size), method="bilinear")
 
 
