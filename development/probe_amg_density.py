@@ -39,7 +39,7 @@ def main():
     smooth = np.asarray(jax.image.resize(coarse, fshape, "linear"))
     yy, xx = np.mgrid[0:64, 0:64]
     env = np.exp(-(((yy - 31.5) ** 2 + (xx - 31.5) ** 2) / (2.0 * 8.0 ** 2)))
-    smooth *= env[None, :, :, None].astype(np.float32)
+    smooth = smooth * env[None, :, :, None].astype(np.float32)
     smooth = smooth / (smooth.std() + 1e-6)
     feats = jnp.asarray(smooth, cfg.dtype)
     predictor.set_features(feats, (1024, 1024), (1024, 1024))
