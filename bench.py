@@ -270,7 +270,7 @@ def run_bench():
                     chunk, crop_box, (1024, 1024))
             t0 = time.perf_counter()
             n_masks, areas, nfit = 0, [], [0, 0]
-            with _futures.ThreadPoolExecutor(max_workers=1) as fetcher:
+            with _futures.ThreadPoolExecutor(max_workers=2) as fetcher:
                 queue = []
 
                 def consume(fut_pts):
@@ -290,7 +290,7 @@ def run_bench():
                     queue.append((fetcher.submit(
                         _AmgDecoder.fetch,
                         gen._dispatch_batch(chunk, (1024, 1024))), chunk))
-                    if len(queue) > 1:
+                    if len(queue) > 2:
                         consume(queue.pop(0))
                 for fut_pts in queue:
                     consume(fut_pts)
@@ -330,6 +330,30 @@ def run_bench():
 
     # vit_t (the reference's default model): fused TinyViT kernel family.
     # Contained: a failure degrades this field to None, never the bench.
+    # tunnel calibration: AMG end-to-end is transfer-bound, and the tunnel's
+    # per-fetch latency / streaming bandwidth vary by session (observed
+    # 67-476 masks/s across rounds for identical code). Reporting both makes
+    # the masks/s figure interpretable across sessions.
+    tunnel_small_fetch_ms = None
+    tunnel_mbps = None
+    if on_tpu:
+        try:
+            small = jax.jit(lambda: jnp.zeros((128,), jnp.float32))()
+            big = jax.jit(lambda: jnp.zeros((8 * 1024 * 256,), jnp.float32))()
+            np.asarray(small)
+            lat = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(small)
+                lat.append(time.perf_counter() - t0)
+            tunnel_small_fetch_ms = sorted(lat)[2] * 1e3
+            np.asarray(big)
+            t0 = time.perf_counter()
+            np.asarray(big)
+            tunnel_mbps = 8.0 / (time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: tunnel calibration failed, skipping: {e}", file=sys.stderr)
+
     vit_t_tiles_per_sec = None
     if on_tpu:
         try:
@@ -397,6 +421,8 @@ def run_bench():
             "amg_mean_mask_area_frac": None if amg_mean_mask_area_frac is None else round(amg_mean_mask_area_frac, 4),
             "amg_crop_fit_frac": None if amg_fit_frac is None else round(amg_fit_frac, 3),
             "amg_trained_fixture": amg_trained_fixture,
+            "tunnel_small_fetch_ms": None if tunnel_small_fetch_ms is None else round(tunnel_small_fetch_ms, 1),
+            "tunnel_mbps": None if tunnel_mbps is None else round(tunnel_mbps, 1),
             "vit_t_tiles_per_sec_per_chip": None if vit_t_tiles_per_sec is None else round(vit_t_tiles_per_sec, 1),
             "vit_l_tiles_per_sec_per_chip": None if lh_tiles_per_sec["vit_l"] is None else round(lh_tiles_per_sec["vit_l"], 1),
             "vit_h_tiles_per_sec_per_chip": None if lh_tiles_per_sec["vit_h"] is None else round(lh_tiles_per_sec["vit_h"], 1),

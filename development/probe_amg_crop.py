@@ -69,7 +69,7 @@ def main():
         for _ in range(3):
             n_masks, nfit = 0, [0, 0]
             t0 = time.perf_counter()
-            with _futures.ThreadPoolExecutor(max_workers=1) as fetcher:
+            with _futures.ThreadPoolExecutor(max_workers=2) as fetcher:
                 queue = []
 
                 def consume(fut_pts):
@@ -86,7 +86,7 @@ def main():
                     queue.append((fetcher.submit(
                         _AmgDecoder.fetch,
                         gen._dispatch_batch(chunk, (1024, 1024))), chunk))
-                    if len(queue) > 1:
+                    if len(queue) > 2:
                         consume(queue.pop(0))
                 for fut_pts in queue:
                     consume(fut_pts)

@@ -383,13 +383,17 @@ class AutomaticMaskGenerator(AMGBase):
             pbar_init(len(batches), "Predict masks for point grid prompts")
 
         data = MaskData()
-        with _futures.ThreadPoolExecutor(max_workers=1) as fetcher:
+        # two fetch workers, three batches in flight: each fetch is
+        # latency-bound through the tunnel (see _AmgDecoder.fetch), so
+        # overlapping consecutive batches' fetches hides most of it; FIFO
+        # consumption keeps MaskData order deterministic
+        with _futures.ThreadPoolExecutor(max_workers=2) as fetcher:
             fetch_queue = []  # (future over fetched arrays, points)
             for points in batches:
                 handles = self._dispatch_batch(points, crop_hw)
                 fetch_queue.append(
                     (fetcher.submit(_AmgDecoder.fetch, handles), points))
-                if len(fetch_queue) > 1:
+                if len(fetch_queue) > 2:
                     fut, pts = fetch_queue.pop(0)
                     data.cat(self._consume_batch(
                         fut.result(), pts, crop_box, self.original_size))

@@ -550,18 +550,35 @@ class _AmgDecoder:
         """
         return self.fetch(self.dispatch(points_xy))
 
+    #: shared pool for concurrent per-array host transfers (lazily built).
+    #: Through the axon tunnel every fetch pays ~30-200 ms of fixed
+    #: latency regardless of size; nine sequential fetches per batch made
+    #: that latency — not bandwidth — the AMG end-to-end bottleneck.
+    _fetch_pool = None
+
+    @classmethod
+    def _pool(cls):
+        if cls._fetch_pool is None:
+            from concurrent import futures as _futures
+            cls._fetch_pool = _futures.ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="amg-fetch")
+        return cls._fetch_pool
+
     @staticmethod
     def fetch(handles):
         """Pull dispatched device results to the host. Safe to call from a
         worker thread, which is how the AMG loop overlaps this transfer with
         host-side RLE of the previous batch.
 
-        Compact handles (a dict) are fetched in two phases: the survivor
-        count n first (4 bytes), then only the first n rows of each array —
-        sliced at pow2 buckets so the tiny device-side slice programs are
-        compiled once per bucket, not once per n."""
+        Compact handles (a dict) are fetched in TWO CONCURRENT WAVES (the
+        per-fetch tunnel latency dominates, so round trips ride together):
+        wave 1 pulls the survivor counts and every small metadata array at
+        full shape in parallel; wave 2 pulls the packed mask payloads,
+        sliced to the first n rows at pow2 buckets so the tiny device-side
+        slice programs are compiled once per bucket, not once per n."""
         if not isinstance(handles, dict):
-            return tuple(_to_host(h) for h in handles)
+            futs = [_AmgDecoder._pool().submit(_to_host, h) for h in handles]
+            return tuple(f.result() for f in futs)
 
         multihost = not getattr(handles["n"], "is_fully_addressable", True)
 
@@ -569,20 +586,39 @@ class _AmgDecoder:
             if multihost:
                 # replicated output: read the local replica, slice on host
                 return _to_host(h)[:n]
-            m = min(_next_pow2(max(int(n), 1)), h.shape[0])
+            # multiple-of-32 buckets: pow2 buckets wasted up to 2x the
+            # payload (n=132 fetched 256 rows) and the wave-2 transfer is
+            # bandwidth-bound through the tunnel; 32-row granularity caps
+            # the waste at 31 rows for <= N/32 cached slice programs
+            m = min(-(-max(int(n), 1) // 32) * 32, h.shape[0])
             return np.asarray(h[:m])[:n]
 
-        n = int(_to_host(handles["n"]))
+        pool = _AmgDecoder._pool()
+        compact_crops = "packed" not in handles
+        meta_keys = ["iou", "stability", "boxes", "order"]
+        if compact_crops:
+            meta_keys += ["origins", "fits"]
+        # wave 1: counts + full-shape metadata (tiny payloads, one latency)
+        f_n = pool.submit(_to_host, handles["n"])
+        f_nbig = (pool.submit(_to_host, handles["n_big"])
+                  if compact_crops else None)
+        f_meta = {k: pool.submit(_to_host, handles[k]) for k in meta_keys}
+        n = int(f_n.result())
         out = {"n": n, "crop_hw": handles["crop_hw"]}
-        for k in ("iou", "stability", "boxes", "order"):
-            out[k] = take(handles[k], n)
-        if "packed" in handles:
-            out["packed"] = take(handles["packed"], n)
+        # wave 2: bucket-sliced packed payloads, concurrently
+        if compact_crops:
+            n_big = int(f_nbig.result())
+            f_crop = pool.submit(take, handles["crop_packed"], n)
+            f_big = pool.submit(take, handles["packed_big"], n_big)
         else:
-            for k in ("crop_packed", "origins", "fits"):
-                out[k] = take(handles[k], n)
-            out["packed_big"] = take(
-                handles["packed_big"], int(_to_host(handles["n_big"])))
+            f_packed = pool.submit(take, handles["packed"], n)
+        for k in meta_keys:
+            out[k] = f_meta[k].result()[:n]
+        if compact_crops:
+            out["crop_packed"] = f_crop.result()
+            out["packed_big"] = f_big.result()
+        else:
+            out["packed"] = f_packed.result()
         return out
 
     def dispatch(self, points_xy: np.ndarray):
